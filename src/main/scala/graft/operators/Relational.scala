@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Core relational operators (SURVEY.md §2.2 projections/filters, §2.5
+  * aggregations, §2.7 joins) re-expressed over the synthetic tables.
+  *
+  * Every query is a declarative DataFrame plan — filters/projections are
+  * pushed into the parquet scan by Catalyst, aggregations run as partial
+  * (map-side) + final hash aggregates, and dimension joins broadcast.
+  * Results are deterministically ordered and every computed column is
+  * aliased to match the DuckDB oracle exactly.
+  */
+object Relational {
+
+  /** A12 pricing-summary style aggregation (partial+final hash agg;
+    * scan reads only the 5 referenced columns). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** J1/J2 analog: left join preserving unmatched rows + coalesce-to-zero
+    * (reference `basic_preprocessing_people.py:149-163`,
+    * `basic_preprocessing_parkingLot.py:93-97`). Aggregate first, then
+    * broadcast the small grouped side. */
+  def jLeftCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perCust = t.orders.groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("n_orders"),
+      round(sum(col("o_totalprice")), 2).as("total_spent"))
+    t.customer
+      .join(broadcast(perCust), col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Broadcast dimension-chain join (lineitem ⋈ supplier ⋈ nation ⋈
+    * region): revenue per region. Dims broadcast — no shuffle of the
+    * fact side except the final small aggregation. */
+  def jBroadcastDims(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Semi/anti join surface: per-segment counts of customers with and
+    * without orders (left_semi / left_anti against a broadcast key set). */
+  def jSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custKeys = t.orders.select(col("o_custkey")).distinct()
+    val withO = t.customer.join(custKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val withoutO = t.customer.join(custKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(
+        col("c_mktsegment"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Top-k pattern (Kibana "Top 5 values", SURVEY A12): top 10 orders by
+    * revenue, deterministic tie-break on the key. TakeOrderedAndProject —
+    * no global sort materialization. */
+  def aTopkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** A1 deterministic frame-regroup analog: collect_list pinned with
+    * sort_array (reference relies on accidental single-partition order —
+    * SURVEY §2.5 A1). String-join for a stable cross-engine encoding. */
+  def a1Regroup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("linenumbers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** A11 distinct: distinct (event_type, user_id) pairs per type. */
+  def aDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** P5 confidence-threshold filter analog + A3 guard: value > 0.1,
+    * counts and sums per type (filter pushed to parquet scan). */
+  def pFilterThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .filter(col("value") > 0.1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB over the same
+tables, sorts columns by name and rows by all columns, and compares
+values exactly. Dev-tool only — NOT part of the library.
+"""
+import sys, glob, json, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stable stringified sort over all columns
+    key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1) if len(df) else None
+    if key is not None:
+        df = df.loc[key.sort_values().index]
+    return df.reset_index(drop=True)
+
+
+def cell_eq(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
+                return True
+            return float(a) == float(b)
+        except (TypeError, ValueError):
+            return False
+    if hasattr(a, "__len__") and not isinstance(a, str):
+        return list(a) == list(b)
+    return a == b
+
+
+def main():
+    out, sf = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            sdf = norm(pd.concat([pd.read_parquet(f) for f in files]))
+            ddf = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(sdf.columns) != list(ddf.columns):
+            print(f"FAIL {name}: columns spark={list(sdf.columns)} duck={list(ddf.columns)}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(ddf):
+            print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in sdf.columns:
+            sv, dv = sdf[c].tolist(), ddf[c].tolist()
+            for i, (a, b) in enumerate(zip(sv, dv)):
+                if not cell_eq(a, b):
+                    bad.append((c, i, a, b))
+                    if len(bad) > 3:
+                        break
+            if len(bad) > 3:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(bad)}+ cell diffs, first: {bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sdf)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
