@@ -32,7 +32,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     val raw = table("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer `div`, NOT `/`: double division loses precision at
+        // epoch-nanos magnitude (1.7e18 >> 2^53) and lands ±1 µs off.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }

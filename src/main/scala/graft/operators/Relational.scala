@@ -24,8 +24,13 @@ object Relational {
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        sum(col("l_quantity").cast("long")).as("sq"),
         count(lit(1)).as("n_rows"))
+      // quantities are integral: exact integer sum + half-up integer
+      // rounding gives a bit-deterministic 4-decimal average
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"), col("sum_price"),
+        (expr("(20000 * sq + n_rows) div (2 * n_rows)").cast("double") / 10000.0).as("avg_qty"),
+        col("n_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -58,9 +63,16 @@ object Relational {
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
+      // price/discount are 2-decimal data: revenue in exact integer
+      // 1e-4-dollar units (cents × (100 - discount_cents)) so the sum is
+      // order-independent — a raw double sum flakes at round() edges.
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"),
         count(lit(1)).as("n_items"))
+      .select(col("r_name"),
+        (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"),
+        col("n_items"))
       .orderBy(col("r_name"))
   }
 
@@ -88,9 +100,12 @@ object Relational {
     val t = Tables(spark, dir)
     t.lineitem
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+      .orderBy(col("rev4").desc, col("l_orderkey")) // exact-integer order key
       .limit(10)
+      .select(col("l_orderkey"),
+        (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"))
   }
 
   /** A1 deterministic frame-regroup analog: collect_list pinned with
