@@ -43,7 +43,121 @@ object SparkEntry {
     "f_vec_expand" -> Scalars.fVecExpand _,
     "g_explode_tokens" -> Scalars.gExplodeTokens _,
     "p_clean_defaults" -> Scalars.pCleanDefaults _,
+    "dedup_exact" -> Dedup.exact _,
+    "dedup_minhash_lsh" -> Dedup.minhashLsh _,
+    "dedup_simhash" -> Dedup.simhash _,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "text_langid" -> TextAnalysis.langId _,
+    "text_quality" -> TextAnalysis.quality _,
+    "text_token_counts" -> TextAnalysis.tokenCounts _,
+    "text_fingerprint" -> TextAnalysis.fingerprint _,
+    "sim_cosine_topk" -> Similarity.cosineTopk _,
+    "sim_ann_ivf" -> Similarity.annIvf _,
   )
+
+  private def phashSql(e: String, salt: Int): String =
+    graft.functions.PortableHash.phashSql(e, salt)
+
+  private val normSql = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+
+  private val simhashOracle: String = {
+    val sums = (0 until 16)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val bits = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, ${phashSql("tok", 0)} AS h FROM tok),
+        s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
+  }
+
+  private val minhashOracle: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+        sh0 AS (SELECT doc_id, t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS shingle
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS pos FROM tk)),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        hs AS (SELECT doc_id, shingle,
+                      ${phashSql("shingle", 1)} AS h1, ${phashSql("shingle", 2)} AS h2,
+                      ${phashSql("shingle", 3)} AS h3, ${phashSql("shingle", 4)} AS h4
+               FROM sh),
+        sig AS (SELECT doc_id, min(h1) AS mh1, min(h2) AS mh2, min(h3) AS mh3,
+                       min(h4) AS mh4, count(*) AS n_shingles
+                FROM hs GROUP BY doc_id),
+        banded AS (SELECT doc_id, n_shingles,
+                          mh1 || '_' || mh2 AS b1, mh3 || '_' || mh4 AS b2 FROM sig),
+        cand AS (SELECT DISTINCT a, b, na, nb FROM (
+          SELECT l.doc_id AS a, r.doc_id AS b, l.n_shingles AS na, r.n_shingles AS nb
+          FROM banded l JOIN banded r ON l.b1 = r.b1 WHERE l.doc_id < r.doc_id
+          UNION
+          SELECT l.doc_id AS a, r.doc_id AS b, l.n_shingles AS na, r.n_shingles AS nb
+          FROM banded l JOIN banded r ON l.b2 = r.b2 WHERE l.doc_id < r.doc_id)),
+        inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter
+                  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+                  WHERE sa.doc_id < sb.doc_id GROUP BY 1, 2)
+        SELECT c.a, c.b, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+               CAST(c.na + c.nb - coalesce(i.inter, 0) AS BIGINT) AS union_n,
+               CAST((20000 * coalesce(i.inter, 0) + (c.na + c.nb - coalesce(i.inter, 0)))
+                 // (2 * (c.na + c.nb - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_e4
+        FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+        ORDER BY c.a, c.b"""
+
+  private val ngramOracle: String =
+    """WITH d AS (SELECT doc_id, lang, t, len(t) AS nt
+                  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+                  WHERE len(t) >= 2),
+       g0 AS (SELECT doc_id, lang, nt - (nt % 20) AS len_bucket,
+                     t[pos] || ' ' || t[pos+1] AS gram
+              FROM (SELECT doc_id, lang, nt, t, unnest(range(1, nt)) AS pos FROM d)),
+       g1 AS (SELECT DISTINCT doc_id, lang, len_bucket, gram FROM g0),
+       gs AS (SELECT doc_id, count(*) AS ng FROM g1 GROUP BY 1),
+       j AS (SELECT l.lang, l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+             FROM g1 l JOIN g1 r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+               AND l.gram = r.gram
+             WHERE l.doc_id < r.doc_id GROUP BY 1, 2, 3),
+       f AS (SELECT j.lang, j.a, j.b, j.inter, ga.ng + gb.ng - j.inter AS union_n
+             FROM j JOIN gs ga ON j.a = ga.doc_id JOIN gs gb ON j.b = gb.doc_id)
+       SELECT lang, a, b, CAST(inter AS BIGINT) AS inter,
+              CAST(union_n AS BIGINT) AS union_n,
+              CAST((20000 * inter + union_n) // (2 * union_n) AS BIGINT) AS jaccard_e4
+       FROM f WHERE (20000 * inter + union_n) // (2 * union_n) >= 500
+       ORDER BY lang, a, b"""
+
+  private val langidOracle: String = {
+    val scores = graft.operators.TextAnalysis.profiles.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS s_$l"
+    }.mkString(", ")
+    val langs = graft.operators.TextAnalysis.profiles.map(_._1)
+    val cases = langs.map { l =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents)
+        SELECT lang, CASE $cases ELSE 'und' END AS predicted, count(*) AS n_docs
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  private def simOracle(k: Int, sameLabel: Boolean): String = {
+    val labelCond = if (sameLabel) "AND t.label = q.label" else ""
+    s"""WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+        n AS (SELECT vec_id, label, qv,
+                     CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm FROM e),
+        p AS (SELECT q.vec_id AS qid, t.vec_id AS nid, q.nrm AS qn, t.nrm AS tn,
+                     CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(t.qv AS DOUBLE[])) AS BIGINT) AS dot
+              FROM n q JOIN n t ON t.vec_id != q.vec_id $labelCond
+              WHERE q.vec_id < 5),
+        s AS (SELECT qid, nid, CAST(floor(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(tn AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_e6
+              FROM p),
+        r AS (SELECT qid, nid, cos_e6,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM s)
+        SELECT qid, nid, cos_e6, rn FROM r WHERE rn <= $k ORDER BY qid, rn"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -244,5 +358,39 @@ object SparkEntry {
                 count(*) AS n_docs,
                 CAST(sum(length(trim(text))) AS BIGINT) AS total_chars
          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dedup_exact" ->
+      s"""WITH d AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         SELECT doc_id, fp,
+                min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+                count(*) OVER (PARTITION BY fp) AS n_copies,
+                doc_id != min(doc_id) OVER (PARTITION BY fp) AS is_dup
+         FROM d ORDER BY doc_id""",
+    "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_ngram_jaccard" -> ngramOracle,
+    "text_langid" -> langidOracle,
+    "text_quality" ->
+      """WITH q AS (SELECT doc_id, length(text) AS n_chars,
+                    len(string_split(text, ' ')) AS n_tokens,
+                    len(list_distinct(string_split(text, ' '))) AS n_distinct
+                    FROM documents)
+         SELECT doc_id, n_chars, n_tokens, n_distinct,
+                CAST((20000 * n_distinct + n_tokens) // (2 * n_tokens) AS BIGINT)
+                  AS diversity_e4,
+                (n_tokens >= 30 AND n_distinct * 2 >= n_tokens) AS is_quality
+         FROM q ORDER BY doc_id""",
+    "text_token_counts" ->
+      """SELECT lang,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+                CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+                  AS bpe_tokens,
+                count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, substr(md5($normSql), 1, 8) AS fp8,
+                 ${phashSql(normSql, 7)} % 64 AS shard
+         FROM documents ORDER BY doc_id""",
+    "sim_cosine_topk" -> simOracle(10, sameLabel = false),
+    "sim_ann_ivf" -> simOracle(5, sameLabel = true),
   )
 }

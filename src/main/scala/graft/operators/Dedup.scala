@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.PortableHash.phash
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (BASELINE.json north star). All operate on `documents(doc_id, text,
+  * lang, source, n_chars)` and are designed scale-first:
+  *
+  * - exact dedup is a hash-groupBy (one shuffle on the fingerprint);
+  * - MinHash-LSH shuffles on *band keys* — candidate generation is an
+  *   equi-join on bands, never an O(n²) cross join, so it survives
+  *   100 TB (pairs per band bucket stay small when bands are selective);
+  * - SimHash is a single explode + hash-agg pass per doc.
+  *
+  * All hashes are the portable md5-derived family (PortableHash), so
+  * every step is oracle-checkable in DuckDB.
+  */
+object Dedup {
+
+  /** Normalized text: lowercase, alphanumerics only — the canonical
+    * form exact dedup fingerprints. */
+  private def norm(c: org.apache.spark.sql.Column) =
+    regexp_replace(lower(c), "[^a-z0-9]", "")
+
+  /** Exact dedup via md5 fingerprint: every doc mapped to its group
+    * keeper (min doc_id with the same fingerprint) + copy count.
+    * Equivalent of `dropDuplicates` but keeps lineage visible. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    t.documents
+      .withColumn("fp", md5(norm(col("text"))))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("fp"), col("keeper_id"),
+        col("n_copies"), (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 3-token shingles per doc, deduped within doc. */
+  private def shingles(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+          .as("shingle"))
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact
+    * shingle Jaccard. 4 minhash functions → 2 bands of 2; docs sharing
+    * a band become candidate pairs (equi-join on the band key — the
+    * 100 TB-safe plan), then each pair's true Jaccard is computed from
+    * the shingle sets. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sh = shingles(t).cache()
+    val sigs = sh.groupBy(col("doc_id")).agg(
+      min(phash(col("shingle"), 1)).as("mh1"),
+      min(phash(col("shingle"), 2)).as("mh2"),
+      min(phash(col("shingle"), 3)).as("mh3"),
+      min(phash(col("shingle"), 4)).as("mh4"),
+      count(lit(1)).as("n_shingles"))
+    val banded = sigs.select(col("doc_id"), col("n_shingles"),
+      concat(col("mh1"), lit("_"), col("mh2")).as("b1"),
+      concat(col("mh3"), lit("_"), col("mh4")).as("b2"))
+    def pairsOn(band: String) = {
+      val l = banded.select(col(band).as("bk"), col("doc_id").as("a"), col("n_shingles").as("na"))
+      val r = banded.select(col(band).as("bk"), col("doc_id").as("b"), col("n_shingles").as("nb"))
+      l.join(r, Seq("bk")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("na"), col("nb"))
+    }
+    val cands = pairsOn("b1").union(pairsOn("b2")).distinct()
+    val shA = sh.select(col("doc_id").as("a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("b"), col("shingle"))
+    val inter = shA.join(shB, Seq("shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("union_n"))
+      .withColumn("jaccard_e4",
+        expr("(20000 * inter + union_n) div (2 * union_n)"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** 16-bit SimHash per document over the (frequency-weighted) token
+    * stream: bit b is set when Σ_tokens ±1 (sign of hash bit b) > 0.
+    * Single explode + one hash aggregation — no joins. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", phash(col("tok"), 0))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sim.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram Jaccard similarity within (lang, length-bucket) blocks —
+    * blocked all-pairs comparison (the blocking keeps the quadratic
+    * term bounded per block; at scale, block keys shard the work).
+    * Returns pairs with Jaccard ≥ 0.05 over distinct 2-token shingles. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        (size(col("toks")) - pmod(size(col("toks")), lit(20))).as("len_bucket"),
+        array_distinct(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("grams"))
+    val g = docs.select(col("doc_id"), col("lang"), col("len_bucket"),
+      explode(col("grams")).as("gram"),
+      size(col("grams")).as("ng"))
+    val l = g.select(col("lang"), col("len_bucket"), col("gram"),
+      col("doc_id").as("a"), col("ng").as("na"))
+    val r = g.select(col("lang"), col("len_bucket"), col("gram"),
+      col("doc_id").as("b"), col("ng").as("nb"))
+    l.join(r, Seq("lang", "len_bucket", "gram"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("lang"), col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_n", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_e4", expr("(20000 * inter + union_n) div (2 * union_n)"))
+      .filter(col("jaccard_e4") >= 500)
+      .select(col("lang"), col("a"), col("b"), col("inter"), col("union_n"), col("jaccard_e4"))
+      .orderBy(col("lang"), col("a"), col("b"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.PortableHash.phash
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * narrow transformations (no shuffle except final small aggregations)
+  * over codegen'd built-ins — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Per-"language" token profiles for the n-gram/stopword heuristic.
+    * Profiles are over the corpus vocabulary; real deployments would
+    * plug in per-language character-n-gram tables the same way. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "key", "row"),
+    "de" -> Seq("agg", "hash", "batch", "window"),
+    "es" -> Seq("data", "query", "small", "stream"),
+    "fr" -> Seq("join", "line", "sort", "order"),
+    "zh" -> Seq("big", "merge", "spark", "table"))
+
+  private def score(lang: String, words: Seq[String]): Column = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(toks, t -> t in ($inList)))").as(s"s_$lang")
+  }
+
+  /** Language ID: argmax of profile-token hits with a deterministic
+    * preference-order tie-break; confusion-matrix style output
+    * (actual lang × predicted) with counts. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scored = t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id") +: col("lang") +:
+        profiles.map { case (l, ws) => score(l, ws) }: _*)
+    val langs = profiles.map(_._1)
+    // first lang (in profile order) whose score >= all others wins
+    val predicted = langs.foldRight(lit("und")) { case (l, els) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Quality scoring: per-doc integer-exact stats — char/token counts,
+    * lexical diversity (distinct/total tokens, e4 fixed-point), and a
+    * boolean quality gate. No float nondeterminism anywhere. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .withColumn("diversity_e4",
+        expr("(20000 * n_distinct + n_tokens) div (2 * n_tokens)"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 30 && col("n_distinct") * 2 >= col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting, whitespace + BPE-ish regex segmentation
+    * ([a-z]+ | digits | single non-alnum), aggregated per language. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("n_ws", size(split(col("text"), " ")))
+      .withColumn("n_bpe", regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** Document fingerprinting: md5-prefix fingerprint of the normalized
+    * text + a 64-way portable-hash shard bucket (the rolling-hash role:
+    * stable id + partition key for incremental dedup). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val normed = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+    t.documents
+      .select(
+        col("doc_id"),
+        substring(md5(normed), 1, 8).as("fp8"),
+        pmod(phash(normed, 7), lit(64L)).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+}
