@@ -1,0 +1,62 @@
+package graft.app
+
+import org.apache.spark.sql.DataFrame
+import graft.core.Sessions
+import graft.enrich.{Enrich, Sessionization}
+import graft.lake.Lake
+import graft.normalize.Normalize
+import graft.schema.DomainConfig
+
+/** Thin CLI replacing the reference's Flask/Streamlit orchestration
+  * (lifecycle SURVEY.md §3.1 steps 2-6, one SparkSession, no HTTP):
+  *
+  *   runMain graft.app.Process <domain> <rawJsonFile> <lakeRoot>
+  *
+  * raw JSON → normalize → processed zone (wrapped JSON parity copy +
+  * parquet zone table) → enrich → refine zone (JSON + parquet).
+  */
+object Process {
+
+  def enrichFor(domain: String, flat: DataFrame, frames: DataFrame): Option[DataFrame] =
+    domain match {
+      case "vehicle" => Some(Enrich.vehicle(flat))
+      case "people" => Some(Enrich.people(flat))
+      case "safety" => Some(Enrich.safety(flat))
+      case "animal" => Some(Enrich.genericEntity("animal_id")(flat))
+      case "common" => Some(Enrich.genericEntity("object_id")(flat))
+      case "school" => Some(Enrich.school(flat))
+      case "retail" => Some(Enrich.retail(flat))
+      case "parking" => Some(Sessionization(frames))
+      case _ => None // pose/geolocation: pass-through (main.py:284)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val Array(domain, rawFile, root) = args.take(3)
+    val cfg = DomainConfig.byName(domain)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    val lake = Lake(spark, root)
+    val fileName = new java.io.File(rawFile).getName
+
+    val raw = lake.readJsonArray(rawFile)
+    val frames = Normalize.unwrap(raw)
+    val flat = Normalize.flatten(cfg)(raw)
+
+    // processed zone: parity JSON + scale-path parquet
+    val detectionFields = flat.columns.filterNot(c =>
+      cfg.frameCols.contains(c) || c == "_empty_frame").toSeq
+    val grouped = Normalize.regroupByFrame(cfg, detectionFields)(flat)
+    lake.writeWrappedJson(grouped, "frame_detections",
+      s"${lake.zonePath("processed", domain)}/preprocessed_$fileName")
+    lake.writeZoneTable(flat.drop("_empty_frame"), "processed", domain, fileName)
+
+    // refine zone: per-entity records
+    enrichFor(domain, flat, frames).foreach { refined =>
+      lake.writeJsonArray(refined,
+        s"${lake.zonePath("refine", domain)}/refine_$fileName")
+      lake.writeZoneTable(refined, "refine", domain, fileName)
+      println(s"[graft] $domain: ${refined.count()} refined entities")
+    }
+    println(s"[graft] $domain: ${grouped.count()} frames processed")
+    spark.stop()
+  }
+}

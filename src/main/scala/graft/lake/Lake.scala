@@ -1,0 +1,81 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Three-zone object lake (`raw` → `processed` → `refine`) over a
+  * filesystem/S3A root, replacing the reference's MinIO connector
+  * (`Preprocess_Json_Data/connectors/minio_connector.py`,
+  * `config/minio_config.py:14-18`).
+  *
+  * Two storage forms per zone:
+  * - **Parity JSON objects** (S1-S5): the reference's single-object
+  *   array/wrapped layouts, for drop-in compatibility. These collect to
+  *   the driver by design — the reference's outputs are one small JSON
+  *   document per video; they are NOT the scale path.
+  * - **Parquet zone tables**: partitioned columnar tables
+  *   (`zone/domain/`, partitioned by source file), the path every
+  *   100 TB-scale read/write takes (BASELINE.json north star).
+  */
+final case class Lake(spark: SparkSession, root: String) {
+
+  def zonePath(zone: String, domain: String): String =
+    s"$root/$zone/${domain}_detection"
+
+  /** S1: multiLine PERMISSIVE JSON scan (schema inferred; pass an
+    * explicit schema via reader options upstream when known). */
+  def readJsonArray(path: String): DataFrame =
+    spark.read.option("multiLine", true).option("mode", "PERMISSIVE").json(path)
+
+  /** S2: write a DataFrame as a single pretty JSON array object —
+    * parity with `minio_connector.py:45-80` (small per-video documents
+    * only; the reference collects these too). */
+  def writeJsonArray(df: DataFrame, path: String): Unit = {
+    val rows = df.toJSON.collect()
+    val body = rows.mkString("[\n", ",\n", "\n]")
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, body.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** S3: wrapped-JSON sink — rows under a top-level key
+    * (`minio_connector.py:82-112`). */
+  def writeWrappedJson(df: DataFrame, key: String, path: String): Unit = {
+    val rows = df.toJSON.collect()
+    val body = rows.mkString(s"""{"$key": [""" + "\n", ",\n", "\n]}")
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, body.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Scale path: append to the partitioned parquet zone table. */
+  def writeZoneTable(df: DataFrame, zone: String, domain: String,
+      sourceFile: String): Unit =
+    df.withColumn("_source_file", org.apache.spark.sql.functions.lit(sourceFile))
+      .write.mode(SaveMode.Append)
+      .partitionBy("_source_file")
+      .parquet(zonePath(zone, domain))
+
+  def readZoneTable(zone: String, domain: String): DataFrame =
+    spark.read.parquet(zonePath(zone, domain))
+
+  /** S6: catalog listing of a zone prefix. */
+  def list(zone: String, domain: String): Seq[String] = {
+    val dir = Paths.get(zonePath(zone, domain))
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala.map(_.toString).toSeq.sorted
+  }
+
+  /** S9: stamp ingest time at the serving sink. Injectable clock for
+    * deterministic tests (SURVEY §7.4 item 1). */
+  def stampIngest(df: DataFrame, fixedMicros: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    fixedMicros match {
+      case Some(us) => df.withColumn("@timestamp", timestamp_micros(lit(us)))
+      case None => df.withColumn("@timestamp", current_timestamp())
+    }
+  }
+}
