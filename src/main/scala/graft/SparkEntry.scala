@@ -112,9 +112,14 @@ object SparkEntry {
                      t[pos] || ' ' || t[pos+1] AS gram
               FROM (SELECT doc_id, lang, nt, t, unnest(range(1, nt)) AS pos FROM d)),
        g1 AS (SELECT DISTINCT doc_id, lang, len_bucket, gram FROM g0),
-       gs AS (SELECT doc_id, count(*) AS ng FROM g1 GROUP BY 1),
+       dfg AS (SELECT lang, len_bucket, gram FROM g1
+               GROUP BY 1, 2, 3 HAVING count(*) <= 100),
+       kept AS (SELECT g1.* FROM g1
+                JOIN dfg ON g1.lang = dfg.lang AND g1.len_bucket = dfg.len_bucket
+                  AND g1.gram = dfg.gram),
+       gs AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY 1),
        j AS (SELECT l.lang, l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-             FROM g1 l JOIN g1 r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+             FROM kept l JOIN kept r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
                AND l.gram = r.gram
              WHERE l.doc_id < r.doc_id GROUP BY 1, 2, 3),
        f AS (SELECT j.lang, j.a, j.b, j.inter, ga.ng + gb.ng - j.inter AS union_n

@@ -74,9 +74,14 @@ object Dedup {
         .select(col("a"), col("b"), col("na"), col("nb"))
     }
     val cands = pairsOn("b1").union(pairsOn("b2")).distinct()
+    // intersection sizes ONLY for candidate pairs (semi-join pushdown):
+    // a bare shingle self-join would compute |∩| for every pair sharing
+    // any shingle — quadratic fanout on common shingles at scale
     val shA = sh.select(col("doc_id").as("a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("b"), col("shingle"))
-    val inter = shA.join(shB, Seq("shingle"))
+    val inter = cands.select(col("a"), col("b"))
+      .join(shA, Seq("a"))
+      .join(shB, Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     cands.join(inter, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
@@ -107,30 +112,37 @@ object Dedup {
   }
 
   /** N-gram Jaccard similarity within (lang, length-bucket) blocks —
-    * blocked all-pairs comparison (the blocking keeps the quadratic
-    * term bounded per block; at scale, block keys shard the work).
-    * Returns pairs with Jaccard ≥ 0.05 over distinct 2-token shingles. */
+    * blocked all-pairs comparison over distinct 2-token shingles, with a
+    * document-frequency cap: grams appearing in > 100 docs of a block
+    * are dropped from BOTH intersection and union (the standard
+    * inverted-index trick — ultra-common grams carry no similarity
+    * signal but drive the quadratic join fanout at scale).
+    * Returns pairs with Jaccard ≥ 0.05 over the kept grams. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val docs = t.documents
+    val maxDf = 100
+    val g = t.documents
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"),
         (size(col("toks")) - pmod(size(col("toks")), lit(20))).as("len_bucket"),
-        array_distinct(expr(
-          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
-          .as("grams"))
-    val g = docs.select(col("doc_id"), col("lang"), col("len_bucket"),
-      explode(col("grams")).as("gram"),
-      size(col("grams")).as("ng"))
-    val l = g.select(col("lang"), col("len_bucket"), col("gram"),
-      col("doc_id").as("a"), col("ng").as("na"))
-    val r = g.select(col("lang"), col("len_bucket"), col("gram"),
-      col("doc_id").as("b"), col("ng").as("nb"))
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")))
+          .as("gram"))
+    val dfg = g.groupBy(col("lang"), col("len_bucket"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val kept = g.join(dfg.filter(col("df") <= maxDf)
+      .select(col("lang"), col("len_bucket"), col("gram")),
+      Seq("lang", "len_bucket", "gram"))
+    val ng = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val l = kept.select(col("lang"), col("len_bucket"), col("gram"), col("doc_id").as("a"))
+    val r = kept.select(col("lang"), col("len_bucket"), col("gram"), col("doc_id").as("b"))
     l.join(r, Seq("lang", "len_bucket", "gram"))
       .filter(col("a") < col("b"))
-      .groupBy(col("lang"), col("a"), col("b"), col("na"), col("nb"))
+      .groupBy(col("lang"), col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
+      .join(ng.select(col("doc_id").as("a"), col("ng").as("na")), Seq("a"))
+      .join(ng.select(col("doc_id").as("b"), col("ng").as("nb")), Seq("b"))
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard_e4", expr("(20000 * inter + union_n) div (2 * union_n)"))
       .filter(col("jaccard_e4") >= 500)

@@ -22,20 +22,22 @@ object TextAnalysis {
     "fr" -> Seq("join", "line", "sort", "order"),
     "zh" -> Seq("big", "merge", "spark", "table"))
 
-  private def score(lang: String, words: Seq[String]): Column = {
-    val inList = words.map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(toks, t -> t in ($inList)))").as(s"s_$lang")
-  }
-
   /** Language ID: argmax of profile-token hits with a deterministic
     * preference-order tie-break; confusion-matrix style output
-    * (actual lang × predicted) with counts. */
+    * (actual lang × predicted) with counts.
+    *
+    * One explode + hash aggregation (whole-stage codegen) rather than
+    * per-row array lambdas — `filter(toks, ...)` higher-order functions
+    * run interpreted and cost ~8× more at sf0.1. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val scored = t.documents
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id") +: col("lang") +:
-        profiles.map { case (l, ws) => score(l, ws) }: _*)
+    val tok = t.documents.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val scoreCols = profiles.map { case (l, ws) =>
+      sum(when(col("tok").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
+    }
+    val scored = tok.groupBy(col("doc_id"), col("lang"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
     val langs = profiles.map(_._1)
     // first lang (in profile order) whose score >= all others wins
     val predicted = langs.foldRight(lit("und")) { case (l, els) =>
