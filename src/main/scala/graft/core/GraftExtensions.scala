@@ -1,0 +1,21 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.CosineSimQ
+
+/** Session extensions registering the engine's native Catalyst
+  * expressions, activated via `spark.sql.extensions` (see [[Sessions]]).
+  * This is the public, documented injection point — no private Spark
+  * API is touched.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim_e6"),
+      new ExpressionInfo(classOf[CosineSimQ].getName, "cosine_sim_e6"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimQ(exprs.head, exprs(1))))
+  }
+}

@@ -21,6 +21,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   /** Session for local dev/tests. */

@@ -25,21 +25,12 @@ import graft.core.Tables
   */
 object Similarity {
 
-  private val quantize =
-    "transform(%s, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
-
-  private def withQuant(t: Tables): DataFrame =
-    t.embeddings.select(col("vec_id"), col("label"),
-      expr(quantize.format("embedding")).as("qv"))
-      .withColumn("nrm",
-        expr("aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v * v)"))
-
   private def topk(spark: SparkSession, dir: String, k: Int,
       sameLabelOnly: Boolean): DataFrame = {
-    val base = withQuant(Tables(spark, dir))
+    val base = Tables(spark, dir).embeddings
     val queries = base.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("qv").as("q_qv"),
-        col("label").as("q_label"), col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
     val joined =
       if (sameLabelOnly)
         base.join(broadcast(queries), col("label") === col("q_label"))
@@ -47,12 +38,10 @@ object Similarity {
         base.crossJoin(broadcast(queries))
     val scored = joined
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      // native codegen'd expression (graft.functions.CosineSimQ) — the
+      // interpreted aggregate(zip_with(...)) fold costs ~10× more
       .withColumn("cos_e6",
-        floor(col("dot").cast("double")
-          / (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double")))
-          * 1000000.0).cast("long"))
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
