@@ -53,6 +53,13 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "sim_cosine_topk" -> Similarity.cosineTopk _,
     "sim_ann_ivf" -> Similarity.annIvf _,
+    "a2_global_wrap" -> Coverage.a2GlobalWrap _,
+    "f_map_explode" -> Coverage.fMapExplode _,
+    "a12_date_histogram" -> Coverage.a12DateHistogram _,
+    "a12_topn_per_user" -> Coverage.a12TopnPerUser _,
+    "d_running_sum" -> Coverage.dRunningSum _,
+    "s1_json_roundtrip" -> Coverage.s1JsonRoundtrip _,
+    "u_union_keys" -> Coverage.uUnionKeys _,
   )
 
   private def phashSql(e: String, salt: Int): String =
@@ -397,5 +404,47 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "sim_cosine_topk" -> simOracle(10, sameLabel = false),
     "sim_ann_ivf" -> simOracle(5, sameLabel = true),
+    "a2_global_wrap" ->
+      """SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+                CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+         FROM events""",
+    "f_map_explode" ->
+      """SELECT k AS key, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT)
+                  AS sum_value
+         FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+         GROUP BY 1 ORDER BY 1""",
+    "a12_date_histogram" ->
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a12_topn_per_user" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY value DESC, event_id) AS rn FROM events)
+         SELECT user_id, rn, event_id, value FROM r WHERE rn <= 2
+         ORDER BY user_id, rn""",
+    "d_running_sum" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+                    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         r AS (SELECT user_id,
+                      sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_cents,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS rn FROM c)
+         SELECT user_id, CAST(running_cents AS BIGINT) AS running_cents
+         FROM r WHERE rn = 10 ORDER BY user_id""",
+    "s1_json_roundtrip" ->
+      """WITH j AS (SELECT to_json(struct_pack(doc_id := doc_id, lang := lang)) AS j
+                    FROM documents)
+         SELECT json_extract_string(j, '$.lang') AS back_lang, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(j, '$.doc_id') AS BIGINT)) AS BIGINT)
+                  AS sum_ids
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "u_union_keys" ->
+      """SELECT count(*) AS n_total, count(DISTINCT k) AS n_distinct
+         FROM (SELECT c_custkey AS k FROM customer
+               UNION ALL SELECT s_suppkey AS k FROM supplier)""",
   )
 }

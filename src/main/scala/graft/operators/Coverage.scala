@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+import graft.core.Tables
+
+/** Remaining SURVEY.md §2 inventory coverage: global wraps (A2), map
+  * explode (G4/G5 via the F9 to_json/from_json coercion), the
+  * Kibana-style date histogram and per-bucket top-N (A12), running
+  * window sums, JSON round-trip (S1-ish codec surface), and set ops.
+  */
+object Coverage {
+
+  /** A2: global single-row wrap (`groupBy().agg(...)` over everything —
+    * the reference's frame_detections global collect). */
+  def a2GlobalWrap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      min(unix_micros(col("ts"))).as("first_us"),
+      max(unix_micros(col("ts"))).as("last_us"))
+  }
+
+  /** G4/G5 + F9: dynamic-key JSON coerced to a real map, exploded to
+    * key/value rows (`basic_preprocessing_parkingLot.py:32-47`). */
+  def fMapExplode(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .select(explode(col("m")).as(Seq("key", "value")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .orderBy(col("key"))
+  }
+
+  /** A12: Kibana date-histogram — events per hour per type. */
+  def a12DateHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hour_us"), col("event_type"))
+  }
+
+  /** A12: per-bucket top-N (top-2 events by value per user), the
+    * rank-window form of Kibana's "top hits". */
+  def a12TopnPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Running cumulative window sum (exact integer cents), sampled at the
+    * 10th event per user. */
+  def dRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("running_cents",
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 10)
+      .select(col("user_id"), col("running_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** S1-adjacent codec surface: to_json → get_json_object round trip
+    * preserves values. */
+  def s1JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("j", to_json(struct(col("doc_id"), col("lang"))))
+      .withColumn("back_lang", get_json_object(col("j"), "$.lang"))
+      .withColumn("back_id", get_json_object(col("j"), "$.doc_id").cast("long"))
+      .groupBy(col("back_lang"))
+      .agg(count(lit(1)).as("n"), sum(col("back_id")).as("sum_ids"))
+      .orderBy(col("back_lang"))
+  }
+
+  /** Set operations (absent in the reference — SQL-layer completeness):
+    * union + distinct over two key domains. */
+  def uUnionKeys(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val u = t.customer.select(col("c_custkey").as("k"))
+      .union(t.supplier.select(col("s_suppkey").as("k")))
+    u.agg(count(lit(1)).as("n_total"), countDistinct(col("k")).as("n_distinct"))
+  }
+}
