@@ -87,8 +87,10 @@ object SparkEntry {
                 FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS pos FROM tk)),
         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
         hs AS (SELECT doc_id, shingle,
-                      ${phashSql("shingle", 1)} AS h1, ${phashSql("shingle", 2)} AS h2,
-                      ${phashSql("shingle", 3)} AS h3, ${phashSql("shingle", 4)} AS h4
+                      ${graft.functions.PortableHash.phashWindowSql("md5(shingle)", 0)} AS h1,
+                      ${graft.functions.PortableHash.phashWindowSql("md5(shingle)", 1)} AS h2,
+                      ${graft.functions.PortableHash.phashWindowSql("md5(shingle)", 2)} AS h3,
+                      ${graft.functions.PortableHash.phashWindowSql("md5(shingle)", 3)} AS h4
                FROM sh),
         sig AS (SELECT doc_id, min(h1) AS mh1, min(h2) AS mh2, min(h3) AS mh3,
                        min(h4) AS mh4, count(*) AS n_shingles

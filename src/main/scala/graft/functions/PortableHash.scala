@@ -36,4 +36,21 @@ object PortableHash {
     (1 to 8).map { i =>
       s"CAST(ascii(substr(md5($expr || '#$salt'), $i, 1)) AS BIGINT) * ${weights(i - 1)}"
     }.mkString("(", " + ", ")")
+
+  /** Four independent hashes from ONE md5: the 32-hex digest split into
+    * disjoint 8-char windows (offsets 0/8/16/24). Quarter the digest
+    * work of four salted hashes — the md5 dominates minhash cost. */
+  def phashWindow(c: Column, window: Int): Column = {
+    val m = md5(c)
+    (1 to 8).map { i =>
+      ascii(substring(m, window * 8 + i, 1)).cast("long") * lit(weights(i - 1))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB SQL for [[phashWindow]] (md5Expr must be the md5(...) text;
+    * DuckDB CSEs the repeated call). */
+  def phashWindowSql(md5Expr: String, window: Int): String =
+    (1 to 8).map { i =>
+      s"CAST(ascii(substr($md5Expr, ${window * 8 + i}, 1)) AS BIGINT) * ${weights(i - 1)}"
+    }.mkString("(", " + ", ")")
 }

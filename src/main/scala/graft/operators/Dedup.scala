@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.PortableHash.phash
+import graft.functions.PortableHash.{phash, phashWindow}
 
 /** Deduplication operators for large-scale training-data pipelines
   * (BASELINE.json north star). All operate on `documents(doc_id, text,
@@ -58,11 +58,12 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val sh = shingles(t).cache()
+    // 4 minhash functions from one md5 (digest windows — see PortableHash)
     val sigs = sh.groupBy(col("doc_id")).agg(
-      min(phash(col("shingle"), 1)).as("mh1"),
-      min(phash(col("shingle"), 2)).as("mh2"),
-      min(phash(col("shingle"), 3)).as("mh3"),
-      min(phash(col("shingle"), 4)).as("mh4"),
+      min(phashWindow(col("shingle"), 0)).as("mh1"),
+      min(phashWindow(col("shingle"), 1)).as("mh2"),
+      min(phashWindow(col("shingle"), 2)).as("mh3"),
+      min(phashWindow(col("shingle"), 3)).as("mh4"),
       count(lit(1)).as("n_shingles"))
     val banded = sigs.select(col("doc_id"), col("n_shingles"),
       concat(col("mh1"), lit("_"), col("mh2")).as("b1"),
@@ -70,18 +71,19 @@ object Dedup {
     def pairsOn(band: String) = {
       val l = banded.select(col(band).as("bk"), col("doc_id").as("a"), col("n_shingles").as("na"))
       val r = banded.select(col(band).as("bk"), col("doc_id").as("b"), col("n_shingles").as("nb"))
-      l.join(r, Seq("bk")).filter(col("a") < col("b"))
+      l.join(broadcast(r), Seq("bk")).filter(col("a") < col("b"))
         .select(col("a"), col("b"), col("na"), col("nb"))
     }
     val cands = pairsOn("b1").union(pairsOn("b2")).distinct()
     // intersection sizes ONLY for candidate pairs (semi-join pushdown):
     // a bare shingle self-join would compute |∩| for every pair sharing
-    // any shingle — quadratic fanout on common shingles at scale
+    // any shingle — quadratic fanout on common shingles at scale. The
+    // candidate set is small by construction → broadcast it through.
     val shA = sh.select(col("doc_id").as("a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("b"), col("shingle"))
-    val inter = cands.select(col("a"), col("b"))
+    val candSh = broadcast(cands.select(col("a"), col("b")))
       .join(shA, Seq("a"))
-      .join(shB, Seq("b", "shingle"))
+    val inter = shB.join(broadcast(candSh), Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     cands.join(inter, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
@@ -131,8 +133,10 @@ object Dedup {
           .as("gram"))
     val dfg = g.groupBy(col("lang"), col("len_bucket"), col("gram"))
       .agg(count(lit(1)).as("df"))
-    val kept = g.join(dfg.filter(col("df") <= maxDf)
-      .select(col("lang"), col("len_bucket"), col("gram")),
+    // the kept-gram list and per-doc gram counts are orders of magnitude
+    // smaller than the exploded gram stream — broadcast them
+    val kept = g.join(broadcast(dfg.filter(col("df") <= maxDf)
+      .select(col("lang"), col("len_bucket"), col("gram"))),
       Seq("lang", "len_bucket", "gram"))
     val ng = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
     val l = kept.select(col("lang"), col("len_bucket"), col("gram"), col("doc_id").as("a"))
@@ -141,8 +145,8 @@ object Dedup {
       .filter(col("a") < col("b"))
       .groupBy(col("lang"), col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
-      .join(ng.select(col("doc_id").as("a"), col("ng").as("na")), Seq("a"))
-      .join(ng.select(col("doc_id").as("b"), col("ng").as("nb")), Seq("b"))
+      .join(broadcast(ng.select(col("doc_id").as("a"), col("ng").as("na"))), Seq("a"))
+      .join(broadcast(ng.select(col("doc_id").as("b"), col("ng").as("nb"))), Seq("b"))
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard_e4", expr("(20000 * inter + union_n) div (2 * union_n)"))
       .filter(col("jaccard_e4") >= 500)
