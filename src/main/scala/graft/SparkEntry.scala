@@ -60,6 +60,8 @@ object SparkEntry {
     "d_running_sum" -> Coverage.dRunningSum _,
     "s1_json_roundtrip" -> Coverage.s1JsonRoundtrip _,
     "u_union_keys" -> Coverage.uUnionKeys _,
+    "domain_vehicle_enrich" -> DomainBridge.vehicleEnrich _,
+    "domain_slot_sessionize" -> DomainBridge.slotSessionize _,
   )
 
   private def phashSql(e: String, salt: Int): String =
@@ -448,5 +450,71 @@ object SparkEntry {
       """SELECT count(*) AS n_total, count(DISTINCT k) AS n_distinct
          FROM (SELECT c_custkey AS k FROM customer
                UNION ALL SELECT s_suppkey AS k FROM supplier)""",
+    "domain_vehicle_enrich" ->
+      """WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
+                    event_type AS lane, value,
+                    (value > 400.0) AS stopped, (value > 250.0) AS line_crossing,
+                    (event_type = 'error') AS red_light,
+                    CASE WHEN user_id % 2 = 0 THEN 'Up' ELSE 'Down' END AS direction
+                    FROM events),
+         w AS (SELECT *, lag(lane) OVER win AS prev_lane,
+                      lag(direction) OVER win AS prev_dir,
+                      lead(CAST(frame_number AS DOUBLE)) OVER win
+                        - CAST(frame_number AS DOUBLE) AS held
+               FROM f WINDOW win AS (PARTITION BY tracker_id ORDER BY frame_number)),
+         base AS (SELECT tracker_id, count(*) AS frame_count,
+                    CAST(max(frame_number) - min(frame_number) AS DOUBLE) AS duration_seconds,
+                    coalesce(sum(CASE WHEN stopped THEN held END), 0.0) AS stopped_duration,
+                    CAST(sum(CASE WHEN prev_lane IS NOT NULL AND prev_lane <> lane
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS lane_changes,
+                    CAST(sum(CASE WHEN prev_dir IS NOT NULL AND prev_dir <> direction
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS direction_changes,
+                    CAST(sum(CASE WHEN line_crossing THEN 1 ELSE 0 END) AS BIGINT)
+                      AS line_crossing_count,
+                    CAST(sum(CASE WHEN red_light THEN 1 ELSE 0 END) AS BIGINT)
+                      AS red_light_violation_count
+                  FROM w GROUP BY 1),
+         fl AS (SELECT tracker_id,
+                  first_value(lane) OVER (PARTITION BY tracker_id
+                    ORDER BY frame_number) AS il,
+                  last_value(lane) OVER (PARTITION BY tracker_id ORDER BY frame_number
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fn
+                FROM f),
+         fl1 AS (SELECT tracker_id, min(il) AS initial_lane, min(fn) AS final_lane
+                 FROM fl GROUP BY 1),
+         m AS (SELECT tracker_id, lane, count(*) AS cnt, min(frame_number) AS fs
+               FROM f GROUP BY 1, 2),
+         mr AS (SELECT tracker_id, lane AS most_common_lane,
+                       row_number() OVER (PARTITION BY tracker_id
+                         ORDER BY cnt DESC, fs) AS rn FROM m)
+         SELECT b.tracker_id, 'car' AS vehicle_type, b.frame_count,
+                b.duration_seconds, b.stopped_duration, b.lane_changes,
+                f1.initial_lane, f1.final_lane, mm.most_common_lane,
+                b.direction_changes, b.line_crossing_count,
+                b.red_light_violation_count
+         FROM base b
+         JOIN fl1 f1 USING (tracker_id)
+         JOIN (SELECT tracker_id, most_common_lane FROM mr WHERE rn = 1) mm
+           USING (tracker_id)
+         ORDER BY b.tracker_id""",
+    "domain_slot_sessionize" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS slot_id,
+                    CAST(epoch_us(ts) AS DOUBLE) AS tsec,
+                    (value > 100.0) AS occupied FROM events),
+         w AS (SELECT *, lag(occupied) OVER win AS prev,
+                      coalesce(lead(tsec) OVER win - tsec, 0.0) AS held
+               FROM s WINDOW win AS (PARTITION BY slot_id ORDER BY tsec))
+         SELECT slot_id,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND prev AND NOT occupied
+                              THEN 1 ELSE 0 END) AS BIGINT) AS became_free,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND NOT prev AND occupied
+                              THEN 1 ELSE 0 END) AS BIGINT) AS became_occupied,
+                sum(CASE WHEN occupied THEN held ELSE 0.0 END) AS total_occupied_seconds,
+                sum(CASE WHEN NOT occupied THEN held ELSE 0.0 END) AS total_free_seconds,
+                CASE WHEN arg_max(occupied, tsec) THEN 'occupied' ELSE 'free' END
+                  AS slot_status,
+                CAST(sum(CASE WHEN occupied AND (prev IS NULL OR NOT prev)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_parking_sessions
+         FROM w GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -55,7 +55,7 @@ object Coverage {
     t.events
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
-      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .select(col("user_id"), col("rn").cast("long").as("rn"), col("event_id"), col("value"))
       .orderBy(col("user_id"), col("rn"))
   }
 

@@ -63,7 +63,7 @@ object Scalars {
         element_at(col("toks"), 1).as("t1"),
         element_at(col("toks"), 2).as("t2"),
         element_at(col("toks"), 3).as("t3"),
-        size(col("toks")).as("n_tokens"))
+        size(col("toks")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -77,7 +77,7 @@ object Scalars {
       round(element_at(col("embedding"), 2).cast("double"), 4).as("y1"),
       round(element_at(col("embedding"), 3).cast("double"), 4).as("x2"),
       round(element_at(col("embedding"), 4).cast("double"), 4).as("y2"),
-      size(col("embedding")).as("dim"))
+      size(col("embedding")).cast("long").as("dim"))
       .orderBy(col("vec_id"))
   }
 

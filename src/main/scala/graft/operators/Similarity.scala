@@ -45,7 +45,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("nid"), col("cos_e6"), col("rn"))
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_e6"), col("rn").cast("long").as("rn"))
       .orderBy(col("qid"), col("rn"))
   }
 

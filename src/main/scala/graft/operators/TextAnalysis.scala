@@ -61,9 +61,9 @@ object TextAnalysis {
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct"))
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .withColumn("diversity_e4",
         expr("(20000 * n_distinct + n_tokens) div (2 * n_tokens)"))
       .withColumn("is_quality",
