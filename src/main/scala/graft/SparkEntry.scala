@@ -62,6 +62,19 @@ object SparkEntry {
     "u_union_keys" -> Coverage.uUnionKeys _,
     "domain_vehicle_enrich" -> DomainBridge.vehicleEnrich _,
     "domain_slot_sessionize" -> DomainBridge.slotSessionize _,
+    "a12_time_window" -> Coverage.a12TimeWindow _,
+    "mm_byte_metrics" -> Coverage.mmByteMetrics _,
+    // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
+    // synthetic 2-D points from the embeddings table (D11)
+    "view_kmeans" -> ((s: SparkSession, dir: String) => {
+      val t = graft.core.Tables(s, dir)
+      val pts = t.embeddings.select(
+        org.apache.spark.sql.functions.col("embedding").getItem(0)
+          .cast("double").as("center_x"),
+        org.apache.spark.sql.functions.col("embedding").getItem(1)
+          .cast("double").as("center_y"))
+      graft.views.Views.kmeansCenters(pts, k = 4)
+    }),
   )
 
   private def phashSql(e: String, salt: Int): String =
@@ -516,5 +529,16 @@ object SparkEntry {
                 CAST(sum(CASE WHEN occupied AND (prev IS NULL OR NOT prev)
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_parking_sessions
          FROM w GROUP BY 1 ORDER BY 1""",
+    "a12_time_window" ->
+      """SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_us,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "mm_byte_metrics" ->
+      """SELECT doc_id AS asset_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST((octet_length(encode(text)) - 1) // 256 + 1 AS BIGINT) AS n_chunks,
+                md5(text) AS content_md5
+         FROM documents ORDER BY asset_id""",
   )
 }

@@ -87,6 +87,35 @@ object Coverage {
       .orderBy(col("back_lang"))
   }
 
+  /** A12/streaming-shape: tumbling event-time window aggregation via
+    * `window()` — the batch twin of the Structured Streaming plan in
+    * `graft.streaming.StreamIngest.windowedCounts`. */
+  def a12TimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
+  /** Multimodal byte metrics over synthesized binary assets (the
+    * SQL-only path of graft.multimodal) — binary length, chunk count,
+    * content digest. */
+  def mmByteMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("content"))
+      .select(col("asset_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        (floor((length(col("content")) - 1) / 256) + 1).cast("long").as("n_chunks"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Set operations (absent in the reference — SQL-layer completeness):
     * union + distinct over two key domains. */
   def uUnionKeys(spark: SparkSession, dir: String): DataFrame = {

@@ -10,7 +10,9 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every query key has oracle SQL or is explicitly rows-only") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only: non-SQL-expressible ops (driver records a weaker check)
+    val rowsOnly = Set("view_kmeans")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
