@@ -64,6 +64,9 @@ object SparkEntry {
     "domain_slot_sessionize" -> DomainBridge.slotSessionize _,
     "a12_time_window" -> Coverage.a12TimeWindow _,
     "mm_byte_metrics" -> Coverage.mmByteMetrics _,
+    "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
+    "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
+    "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
     // synthetic 2-D points from the embeddings table (D11)
     "view_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -168,6 +171,102 @@ object SparkEntry {
         SELECT lang, CASE $cases ELSE 'und' END AS predicted, count(*) AS n_docs
         FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
   }
+
+  /** Mode-with-tie-break CTE pair over a `f(tracker_id, frame_number,…)`
+    * relation: count desc, first-seen asc (D1 semantics). */
+  private def modeCte(name: String, valueCol: String, exclude: Seq[String]): String = {
+    val excl = if (exclude.isEmpty) ""
+      else s" AND $valueCol NOT IN (${exclude.map(e => s"'$e'").mkString(", ")})"
+    s"""m_$name AS (SELECT tracker_id, $valueCol AS v, count(*) AS cnt,
+                    min(frame_number) AS fs FROM f
+                    WHERE $valueCol IS NOT NULL$excl GROUP BY 1, 2),
+        r_$name AS (SELECT tracker_id, v, row_number() OVER (PARTITION BY tracker_id
+                    ORDER BY cnt DESC, fs) AS rn FROM m_$name),
+        mode_$name AS (SELECT tracker_id, v AS $name FROM r_$name WHERE rn = 1)"""
+  }
+
+  private val peopleEnrichOracle: String =
+    s"""WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
+           CASE WHEN event_type = 'view' THEN 'Unknown' ELSE event_type END AS gender,
+           'bag_' || CAST(user_id % 3 AS VARCHAR) AS carrying,
+           CAST(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END AS BIGINT) AS age,
+           (event_type = 'error') AS inr
+           FROM events),
+        base AS (SELECT tracker_id,
+           (max(CASE WHEN inr THEN 1 ELSE 0 END) = 1) AS entered_restricted_area,
+           min(CASE WHEN inr THEN CAST(frame_number AS DOUBLE) END)
+             AS restricted_area_entry_time,
+           CAST(min(frame_number) AS DOUBLE) AS first_detection,
+           CAST(max(frame_number) AS DOUBLE) AS last_detection,
+           CAST(max(frame_number) - min(frame_number) AS DOUBLE) AS duration_seconds,
+           count(*) AS frame_count
+           FROM f GROUP BY 1),
+        ${modeCte("age_m", "age", Seq.empty)},
+        ${modeCte("gender_m", "gender", Seq("", "Unknown"))},
+        ${modeCte("carrying_m", "carrying", Seq("", "Unknown"))}
+        SELECT b.tracker_id, a.age_m AS age, g.gender_m AS gender,
+               c.carrying_m AS carrying, b.entered_restricted_area,
+               b.restricted_area_entry_time, b.first_detection,
+               b.last_detection, b.duration_seconds, b.frame_count
+        FROM base b
+        LEFT JOIN mode_age_m a USING (tracker_id)
+        LEFT JOIN mode_gender_m g USING (tracker_id)
+        LEFT JOIN mode_carrying_m c USING (tracker_id)
+        ORDER BY b.tracker_id"""
+
+  private val safetyEnrichOracle: String =
+    s"""WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
+           CASE WHEN value > 250.0 THEN 'Safe' ELSE 'Unsafe' END AS safety_status,
+           (value > 100.0) AS hardhat, (value > 200.0) AS mask,
+           (value > 300.0) AS safety_vest, event_type AS missing_item
+           FROM events),
+        fv AS (SELECT tracker_id,
+           first_value(safety_status) OVER (PARTITION BY tracker_id
+             ORDER BY frame_number) AS iss
+           FROM f),
+        fv1 AS (SELECT tracker_id, min(iss) AS initial_safety_status FROM fv GROUP BY 1),
+        base AS (SELECT tracker_id,
+           CASE WHEN max(CASE WHEN safety_status = 'Safe' THEN 1 ELSE 0 END) = 1
+                THEN 'Safe' ELSE 'Unsafe' END AS safety_status,
+           (max(CASE WHEN hardhat THEN 1 ELSE 0 END) = 1) AS hardhat,
+           (max(CASE WHEN mask THEN 1 ELSE 0 END) = 1) AS mask,
+           (max(CASE WHEN safety_vest THEN 1 ELSE 0 END) = 1) AS safety_vest,
+           count(*) AS total_frames,
+           CAST(max(frame_number) - min(frame_number) AS BIGINT) AS duration_frames,
+           CAST(sum(CASE WHEN NOT hardhat THEN 1 ELSE 0 END) AS BIGINT) AS hardhat_violations,
+           CAST(sum(CASE WHEN NOT mask THEN 1 ELSE 0 END) AS BIGINT) AS mask_violations,
+           CAST(sum(CASE WHEN NOT safety_vest THEN 1 ELSE 0 END) AS BIGINT)
+             AS safety_vest_violations,
+           CAST(sum(CASE WHEN safety_status = 'Unsafe' THEN 1 ELSE 0 END) AS BIGINT)
+             AS total_unsafe_frames,
+           count(*) AS bbox_count
+           FROM f GROUP BY 1),
+        ${modeCte("missing", "missing_item", Seq.empty)}
+        SELECT b.tracker_id, f1.initial_safety_status, b.safety_status,
+               b.hardhat, b.mask, b.safety_vest, b.total_frames,
+               b.duration_frames, b.hardhat_violations, b.mask_violations,
+               b.safety_vest_violations, b.total_unsafe_frames,
+               m.missing AS most_common_missing_item, b.bbox_count
+        FROM base b
+        JOIN fv1 f1 USING (tracker_id)
+        LEFT JOIN mode_missing m USING (tracker_id)
+        ORDER BY b.tracker_id"""
+
+  private val embCosineOracle: String =
+    """WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+       n AS (SELECT vec_id, label, qv,
+                    CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm FROM e),
+       p AS (SELECT l.label, l.vec_id AS a, r.vec_id AS b,
+                    CAST(list_dot_product(CAST(l.qv AS DOUBLE[]), CAST(r.qv AS DOUBLE[])) AS BIGINT) AS dot,
+                    l.nrm AS an, r.nrm AS bn
+             FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id),
+       s AS (SELECT label, a, b, CAST(floor(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) * 1000000.0) AS BIGINT)
+               AS cos_e6 FROM p)
+       SELECT label, a, b, cos_e6 FROM s WHERE cos_e6 >= 900000
+       ORDER BY 1, 2, 3"""
 
   private def simOracle(k: Int, sameLabel: Boolean): String = {
     val labelCond = if (sameLabel) "AND t.label = q.label" else ""
@@ -534,6 +633,9 @@ object SparkEntry {
                 event_type, count(*) AS n,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dedup_embedding_cosine" -> embCosineOracle,
+    "domain_people_enrich" -> peopleEnrichOracle,
+    "domain_safety_enrich" -> safetyEnrichOracle,
     "mm_byte_metrics" ->
       """SELECT doc_id AS asset_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -94,6 +94,23 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Embedding-cosine near-dup: pairs within the same coarse bucket
+    * (label — the IVF blocking that survives 100 TB) whose quantized
+    * cosine ≥ 0.90. Uses the native codegen'd CosineSimQ expression. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings
+    val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("ea"), col("eb")))
+      .filter(col("cos_e6") >= 900000L)
+      .select(col("label"), col("a"), col("b"), col("cos_e6"))
+      .orderBy(col("label"), col("a"), col("b"))
+  }
+
   /** 16-bit SimHash per document over the (frequency-weighted) token
     * stream: bit b is set when Σ_tokens ±1 (sign of hash bit b) > 0.
     * Single explode + one hash aggregation — no joins. */

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.enrich.Enrich
+
+/** Second set of production-operator bridges: `Enrich.people` and
+  * `Enrich.safety` through the DuckDB oracle gate (see DomainBridge for
+  * the pattern — deterministic projections only). */
+object DomainBridge2 {
+
+  /** events → people-shaped detections: modes with exclusion, restricted
+    * flags, first-match timestamps all exercised at volume. */
+  private def peopleShaped(t: Tables): DataFrame =
+    t.events.select(
+      col("user_id").as("tracker_id"),
+      col("event_id").as("frame_number"),
+      (col("value") / 500.0).as("confidence"),
+      // "Unknown" rows exercise the mode-exclusion path (D1)
+      when(col("event_type") === "view", "Unknown")
+        .otherwise(col("event_type")).as("gender"),
+      concat(lit("bag_"), pmod(col("user_id"), lit(3))).as("carrying"),
+      (pmod(col("event_id"), lit(50)) === 0).cast("int").cast("long").as("age"),
+      (col("event_type") === "error").as("in_restricted_area"),
+      (col("value") > 480.0).as("entered_restricted"))
+
+  def peopleEnrich(spark: SparkSession, dir: String): DataFrame =
+    Enrich.people(peopleShaped(Tables(spark, dir)))
+      .select(col("tracker_id"), col("age"), col("gender"), col("carrying"),
+        col("entered_restricted_area"),
+        col("restricted_area_entry_time"),
+        col("first_detection"), col("last_detection"),
+        col("duration_seconds"), col("frame_count"))
+      .orderBy(col("tracker_id"))
+
+  /** events → safety-shaped detections: boolean resolution + violation
+    * counts (D8) at volume. */
+  private def safetyShaped(t: Tables): DataFrame =
+    t.events.select(
+      col("user_id").as("tracker_id"),
+      col("event_id").as("frame_number"),
+      when(col("value") > 250.0, "Safe").otherwise("Unsafe").as("safety_status"),
+      (col("value") > 100.0).as("hardhat"),
+      (col("value") > 200.0).as("mask"),
+      (col("value") > 300.0).as("safety_vest"),
+      array(col("event_type")).as("missing_items"),
+      array(col("value"), col("value"), col("value") + 10.0, col("value") + 10.0)
+        .as("bbox"),
+      (col("value")).as("center_x"),
+      (col("value") * 2.0).as("center_y"))
+
+  def safetyEnrich(spark: SparkSession, dir: String): DataFrame =
+    Enrich.safety(safetyShaped(Tables(spark, dir)))
+      .select(col("tracker_id"), col("initial_safety_status"),
+        col("safety_status"), col("hardhat"), col("mask"), col("safety_vest"),
+        col("total_frames"), col("duration_frames"),
+        col("hardhat_violations"), col("mask_violations"),
+        col("safety_vest_violations"), col("total_unsafe_frames"),
+        col("most_common_missing_item"), col("bbox_count"))
+      .orderBy(col("tracker_id"))
+}
