@@ -39,12 +39,20 @@ object Process {
 
     val raw = lake.readJsonArray(rawFile)
     val frames = Normalize.unwrap(raw)
-    val flat = Normalize.flatten(cfg)(raw)
+    // parking's dynamic-key slots struct flattens via the map coercion,
+    // not the generic detection explode
+    val flat =
+      if (domain == "parking") Sessionization.explodeSlots(frames)
+      else Normalize.flatten(cfg)(raw)
 
     // processed zone: parity JSON + scale-path parquet
-    val detectionFields = flat.columns.filterNot(c =>
-      cfg.frameCols.contains(c) || c == "_empty_frame").toSeq
-    val grouped = Normalize.regroupByFrame(cfg, detectionFields)(flat)
+    val grouped =
+      if (domain == "parking") frames
+      else {
+        val detectionFields = flat.columns.filterNot(c =>
+          cfg.frameCols.contains(c) || c == "_empty_frame").toSeq
+        Normalize.regroupByFrame(cfg, detectionFields)(flat)
+      }
     lake.writeWrappedJson(grouped, "frame_detections",
       s"${lake.zonePath("processed", domain)}/preprocessed_$fileName")
     lake.writeZoneTable(flat.drop("_empty_frame"), "processed", domain, fileName)

@@ -108,10 +108,12 @@ object DomainConfig {
     entityKey = Some("animal_id"), synthesizeId = true,
     frameCols = Seq("frame_number", "timestamp"))
 
-  /** parking — wrapped document with dynamic-key `slots` map; its
-    * advanced stage is the slot sessionization special. */
+  /** parking — wrapped document with dynamic-key `slots` map. The slots
+    * struct is NOT a detection array: field names are data, so the
+    * generic explode does not apply — `Sessionization.explodeSlots`
+    * does the to_json/from_json map coercion (F9/G5) instead. */
   val parking: DomainConfig = DomainConfig(
-    name = "parking", wrapped = true, detectionsCol = "slots",
+    name = "parking", wrapped = true, detectionsCol = "",
     entityKey = Some("slot_id"),
     frameCols = Seq("frame_number", "timestamp_sec", "free_slots"))
 
