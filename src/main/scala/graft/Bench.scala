@@ -8,7 +8,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footer cache, executor threads)
     // so the first timed query doesn't absorb startup cost
-    graft.core.Tables(spark, sfDir).lineitem.count()
+    val t = graft.core.Tables(spark, sfDir)
+    t.lineitem.count(); t.events.count(); t.documents.count(); t.embeddings.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
