@@ -32,6 +32,30 @@ class FunctionsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("CosineSimQ equals the interpreted quantized fold on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+      .withColumn("qa", expr(
+        "transform(a, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+      .withColumn("qb", expr(
+        "transform(b, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("na", expr(
+        "aggregate(qa, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      .withColumn("nb", expr(
+        "aggregate(qb, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      .withColumn("fold_e6", floor(col("dot").cast("double")
+        / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+        * 1000000.0).cast("long"))
+      .withColumn("native_e6", graft.functions.CosineSimQ.cosineSimE6(col("a"), col("b")))
+    assert(df.filter(col("fold_e6") =!= col("native_e6")).count() == 0)
+  }
+
   test("CosineSimQ native expression: identity, orthogonal, codegen path") {
     import spark.implicits._
     val df = Seq(
