@@ -65,6 +65,7 @@ object SparkEntry {
     "a12_time_window" -> Coverage.a12TimeWindow _,
     "mm_byte_metrics" -> Coverage.mmByteMetrics _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
+    "skew_salted_agg" -> Skew.skewSaltedAgg _,
     "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
     "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
@@ -634,6 +635,11 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_embedding_cosine" -> embCosineOracle,
+    "skew_salted_agg" ->
+      """SELECT event_type,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
     "domain_people_enrich" -> peopleEnrichOracle,
     "domain_safety_enrich" -> safetyEnrichOracle,
     "mm_byte_metrics" ->
