@@ -250,6 +250,23 @@ object Enrich {
       .orderBy(col(key))
   }
 
+  /** D10 entity-map document assembly: the refined single-document
+    * layout the reference writes to the refine zone — entities keyed by
+    * id (sorted), wrapped with provenance
+    * (`advanced_preprocessing.py:112-120`, S4 sink shape). The clock is
+    * injectable for determinism (SURVEY §7.4 item 1). */
+  def assembleDocument(refined: DataFrame, idCol: String, sourceFile: String,
+      processingDateIso: String, version: String = "1.0"): DataFrame = {
+    val payload = struct(refined.columns.filter(_ != idCol).map(col): _*)
+    refined
+      .select(col(idCol).cast("string").as("_k"), payload.as("_v"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("_k"), col("_v")))))
+        .as("entities"))
+      .withColumn("source_file", lit(sourceFile))
+      .withColumn("processing_date", lit(processingDateIso))
+      .withColumn("processing_version", lit(version))
+  }
+
   /** Retail per-product record (SURVEY §2.8 Retail,
     * `retail/advanced_preprocessing_retail.py:34-58`). */
   def retail(flat: DataFrame): DataFrame = {

@@ -55,6 +55,18 @@ class PeopleSafetySpec extends SparkSpec {
     assert(p3.isNullAt(p3.fieldIndex("carrying")))
   }
 
+  test("D10 document assembly: entities keyed by id + provenance (S4 shape)") {
+    val flat = Normalize.flatten(DomainConfig.people)(readJsonFixture(peopleFixture))
+    val doc = Enrich.assembleDocument(Enrich.people(flat), "tracker_id",
+      "people1.json", "2025-05-06T06:41:20Z").collect().head
+    val entities = doc.getAs[collection.Map[String, org.apache.spark.sql.Row]]("entities")
+    assert(entities.keySet == Set("2", "3"))
+    assert(entities("2").getAs[String]("gender") == "Woman")
+    assert(doc.getAs[String]("source_file") == "people1.json")
+    assert(doc.getAs[String]("processing_date") == "2025-05-06T06:41:20Z")
+    assert(doc.getAs[String]("processing_version") == "1.0")
+  }
+
   private val safetyFixture =
     """[
       {"frame_number": 0, "people": [
