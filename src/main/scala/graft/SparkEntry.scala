@@ -114,14 +114,13 @@ object SparkEntry {
         sig AS (SELECT doc_id, min(h1) AS mh1, min(h2) AS mh2, min(h3) AS mh3,
                        min(h4) AS mh4, count(*) AS n_shingles
                 FROM hs GROUP BY doc_id),
-        banded AS (SELECT doc_id, n_shingles,
-                          mh1 || '_' || mh2 AS b1, mh3 || '_' || mh4 AS b2 FROM sig),
-        cand AS (SELECT DISTINCT a, b, na, nb FROM (
-          SELECT l.doc_id AS a, r.doc_id AS b, l.n_shingles AS na, r.n_shingles AS nb
-          FROM banded l JOIN banded r ON l.b1 = r.b1 WHERE l.doc_id < r.doc_id
-          UNION
-          SELECT l.doc_id AS a, r.doc_id AS b, l.n_shingles AS na, r.n_shingles AS nb
-          FROM banded l JOIN banded r ON l.b2 = r.b2 WHERE l.doc_id < r.doc_id)),
+        bands AS (SELECT doc_id, n_shingles,
+                         unnest(['1_' || mh1 || '_' || mh2,
+                                 '2_' || mh3 || '_' || mh4]) AS bk FROM sig),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                        l.n_shingles AS na, r.n_shingles AS nb
+                 FROM bands l JOIN bands r ON l.bk = r.bk
+                 WHERE l.doc_id < r.doc_id),
         inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter
                   FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
                   WHERE sa.doc_id < sb.doc_id GROUP BY 1, 2)

@@ -65,16 +65,17 @@ object Dedup {
       min(phashWindow(col("shingle"), 2)).as("mh3"),
       min(phashWindow(col("shingle"), 3)).as("mh4"),
       count(lit(1)).as("n_shingles"))
-    val banded = sigs.select(col("doc_id"), col("n_shingles"),
-      concat(col("mh1"), lit("_"), col("mh2")).as("b1"),
-      concat(col("mh3"), lit("_"), col("mh4")).as("b2"))
-    def pairsOn(band: String) = {
-      val l = banded.select(col(band).as("bk"), col("doc_id").as("a"), col("n_shingles").as("na"))
-      val r = banded.select(col(band).as("bk"), col("doc_id").as("b"), col("n_shingles").as("nb"))
-      l.join(broadcast(r), Seq("bk")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("na"), col("nb"))
-    }
-    val cands = pairsOn("b1").union(pairsOn("b2")).distinct()
+    // one scan: explode the two band keys (prefixed so bands can't
+    // cross-match) and self-join once — the two-bands-two-joins form
+    // recomputes the signature aggregation per join side
+    val bands = sigs.select(col("doc_id"), col("n_shingles"),
+      explode(array(
+        concat(lit("1_"), col("mh1"), lit("_"), col("mh2")),
+        concat(lit("2_"), col("mh3"), lit("_"), col("mh4")))).as("bk"))
+    val l = bands.select(col("bk"), col("doc_id").as("a"), col("n_shingles").as("na"))
+    val r = bands.select(col("bk"), col("doc_id").as("b"), col("n_shingles").as("nb"))
+    val cands = l.join(broadcast(r), Seq("bk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("na"), col("nb")).distinct()
     // intersection sizes ONLY for candidate pairs (semi-join pushdown):
     // a bare shingle self-join would compute |∩| for every pair sharing
     // any shingle — quadratic fanout on common shingles at scale. The
