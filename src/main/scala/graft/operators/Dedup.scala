@@ -157,10 +157,18 @@ object Dedup {
       .select(col("lang"), col("len_bucket"), col("gram"))),
       Seq("lang", "len_bucket", "gram"))
     val ng = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
-    val l = kept.select(col("lang"), col("len_bucket"), col("gram"), col("doc_id").as("a"))
-    val r = kept.select(col("lang"), col("len_bucket"), col("gram"), col("doc_id").as("b"))
-    l.join(r, Seq("lang", "len_bucket", "gram"))
-      .filter(col("a") < col("b"))
+    // pair generation: group each gram's (sorted, distinct) doc list and
+    // emit i<j combinations — one shuffle on the gram key instead of a
+    // full two-sided self-join shuffle; per-gram fanout is bounded by
+    // the df cap
+    val byGram = kept.groupBy(col("lang"), col("len_bucket"), col("gram"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    byGram.select(col("lang"), explode(expr(
+        """flatten(transform(sequence(0, size(ids)-2),
+             i -> transform(sequence(i+1, size(ids)-1),
+               j -> struct(ids[i] AS a, ids[j] AS b))))""")).as("p"))
+      .select(col("lang"), col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("lang"), col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(ng.select(col("doc_id").as("a"), col("ng").as("na"))), Seq("a"))
