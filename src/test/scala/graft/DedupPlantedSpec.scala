@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Planted-duplicate spec: the dedup operators must actually find known
+  * exact and near duplicates (the sf tables carry their own incidental
+  * near-dups; here the ground truth is constructed). */
+class DedupPlantedSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 3
+    val nearDup = base.replace("lazy", "sleepy") // one token changed
+    val distinct1 = "completely different content about spark engines and columnar formats " * 3
+    val docs = Seq(
+      (0L, base.trim, "en", "src0", base.length.toLong),
+      (1L, base.trim, "en", "src1", base.length.toLong),        // exact dup of 0
+      (2L, nearDup.trim, "en", "src2", nearDup.length.toLong),  // near dup of 0
+      (3L, distinct1.trim, "en", "src3", distinct1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("graft-dedup").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts under the min-id keeper") {
+    val out = rowsByKey[Long](Dedup.exact(spark, dir), "doc_id")
+    assert(!out(0L).getAs[Boolean]("is_dup"))
+    assert(out(1L).getAs[Boolean]("is_dup"))
+    assert(out(1L).getAs[Long]("keeper_id") == 0L)
+    assert(out(1L).getAs[Long]("n_copies") == 2L)
+    assert(!out(3L).getAs[Boolean]("is_dup"))
+  }
+
+  test("minhash LSH surfaces the exact pair and the near-dup pair") {
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("jaccard_e4"))
+      .toMap
+    // identical docs: jaccard 1.0
+    assert(pairs.get((0L, 1L)).contains(10000L))
+    // near-dup: high but < 1.0
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    pairs.collect { case ((a, b), j) if Set(a, b).contains(2L) =>
+      assert(j > 5000L && j < 10000L)
+    }
+    // the unrelated doc never appears
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs collide, near-dups are close, distinct docs far") {
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val sh = rowsByKey[Long](Dedup.simhash(spark, dir), "doc_id")
+      .map { case (k, r) => k -> r.getAs[Long]("simhash") }
+    assert(sh(0L) == sh(1L))
+    assert(hamming(sh(0L), sh(2L)) <= 4)
+    assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(2L)))
+  }
+}
