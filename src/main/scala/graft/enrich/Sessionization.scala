@@ -95,6 +95,20 @@ object Sessionization {
       .orderBy(col("slot_id"))
   }
 
+  /** Top-level parking_config summary (SURVEY §2.8 Parking:
+    * `advanced_preprocessing.py:299-316`): slot totals plus the final
+    * frame's occupancy state. */
+  def configSummary(slotRows: DataFrame): DataFrame = {
+    val lastState = slotRows
+      .groupBy(col("slot_id"))
+      .agg(max(struct(col("timestamp_sec"), col("occupied"))).as("_last"))
+      .select(col("slot_id"), col("_last.occupied").as("occupied"))
+    lastState.agg(
+      count(lit(1)).as("total_slots"),
+      sum(when(!col("occupied"), 1).otherwise(0)).as("free_slots"),
+      sum(when(col("occupied"), 1).otherwise(0)).as("final_occupancy"))
+  }
+
   /** Full parking advanced stage: wrapped frames → slot rollups. */
   def apply(frames: DataFrame): DataFrame = slotRollup(explodeSlots(frames))
 }

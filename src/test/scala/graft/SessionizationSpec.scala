@@ -45,6 +45,12 @@ class SessionizationSpec extends SparkSpec {
     assert(sess1.map(r => (r.getAs[Double]("entry_time"), r.getAs[Double]("exit_time"),
       r.getAs[Double]("duration"))) == Seq((0.0, 0.0, 0.0), (2.0, 3.0, 1.0)))
 
+    val cfg = Sessionization.configSummary(
+      Sessionization.explodeSlots(frames)).collect().head
+    assert(cfg.getAs[Long]("total_slots") == 2)
+    assert(cfg.getAs[Long]("free_slots") == 1)     // slot 2 free at t3
+    assert(cfg.getAs[Long]("final_occupancy") == 1) // slot 1 occupied at t3
+
     val s2 = byId("2")
     assert(s2.getAs[Long]("became_free") == 0)
     assert(s2.getAs[Long]("became_occupied") == 0)
