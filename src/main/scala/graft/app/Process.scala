@@ -62,6 +62,9 @@ object Process {
       lake.writeJsonArray(refined,
         s"${lake.zonePath("refine", domain)}/refine_$fileName")
       lake.writeZoneTable(refined, "refine", domain, fileName)
+      if (domain == "parking")
+        lake.writeJsonArray(Sessionization.configSummary(flat),
+          s"${lake.zonePath("refine", domain)}/parking_config_$fileName")
       println(s"[graft] $domain: ${refined.count()} refined entities")
     }
     println(s"[graft] $domain: ${grouped.count()} frames processed")
