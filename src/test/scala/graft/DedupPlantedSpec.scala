@@ -49,6 +49,14 @@ class DedupPlantedSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("spark.ml MinHashLSH route agrees on the planted pairs") {
+    val pairs = Dedup.minhashLshMl(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("simhash: identical docs collide, near-dups are close, distinct docs far") {
     def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
     val sh = rowsByKey[Long](Dedup.simhash(spark, dir), "doc_id")
