@@ -14,9 +14,15 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let
       // Catalyst prune computed expressions and understate the work)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0 // sentinel: a failed query must not look like a fast one
+      }
+      spark.catalog.clearCache()
+      name -> t
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

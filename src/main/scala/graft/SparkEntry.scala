@@ -201,11 +201,13 @@ object SparkEntry {
            CAST(max(frame_number) - min(frame_number) AS DOUBLE) AS duration_seconds,
            count(*) AS frame_count
            FROM f GROUP BY 1),
-        ${modeCte("age_m", "age", Seq.empty)},
+        ${modeCte("age_m", "age", Seq.empty).replace("age IS NOT NULL", "age IS NOT NULL AND age != 0")},
         ${modeCte("gender_m", "gender", Seq("", "Unknown"))},
         ${modeCte("carrying_m", "carrying", Seq("", "Unknown"))}
-        SELECT b.tracker_id, a.age_m AS age, g.gender_m AS gender,
-               c.carrying_m AS carrying, b.entered_restricted_area,
+        SELECT b.tracker_id, coalesce(a.age_m, 0) AS age,
+               coalesce(g.gender_m, 'Unknown') AS gender,
+               coalesce(c.carrying_m, 'Unknown') AS carrying,
+               b.entered_restricted_area,
                b.restricted_area_entry_time, b.first_detection,
                b.last_detection, b.duration_seconds, b.frame_count
         FROM base b
@@ -636,7 +638,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> embCosineOracle,
     "skew_salted_agg" ->
       """SELECT event_type,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                count(DISTINCT user_id) AS n_distinct,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
     "domain_people_enrich" -> peopleEnrichOracle,

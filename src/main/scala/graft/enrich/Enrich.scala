@@ -138,14 +138,16 @@ object Enrich {
         .as("entered_restricted_area"),
       // D6 first matching timestamp
       min(when(col("in_restricted_area"), col("_ts"))).as("restricted_area_entry_time"))
-    // D1 modes excluding ""/"Unknown" (reference filters before Counter)
+    // D1 modes excluding ""/"Unknown" (reference filters before Counter);
+    // when everything is filtered out the reference's get_most_frequent
+    // returns "Unknown" (0 for the numeric age) — coalesce to match
     base
-      .join(mode(df, key, "age"), Seq(key), "left")
+      .join(mode(df.filter(col("age") =!= 0), key, "age"), Seq(key), "left")
       .join(mode(df, key, "gender", Seq("", "Unknown")), Seq(key), "left")
       .join(mode(df, key, "carrying", Seq("", "Unknown")), Seq(key), "left")
-      .withColumnRenamed("mode_age", "age")
-      .withColumnRenamed("mode_gender", "gender")
-      .withColumnRenamed("mode_carrying", "carrying")
+      .withColumn("age", coalesce(col("mode_age"), lit(0L)))
+      .withColumn("gender", coalesce(col("mode_gender"), lit("Unknown")))
+      .withColumn("carrying", coalesce(col("mode_carrying"), lit("Unknown")))
       .select(col(key), col("age"), col("gender"), col("carrying"),
         col("confidence_avg"), col("entered_restricted_area"),
         col("restricted_area_entry_time"), col("first_detection"),

@@ -66,7 +66,11 @@ final case class Lake(spark: SparkSession, root: String) {
   def list(zone: String, domain: String): Seq[String] = {
     val dir = Paths.get(zonePath(zone, domain))
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.map(_.toString).toSeq.sorted
+    else {
+      val stream = Files.list(dir) // must be closed: holds a directory fd
+      try stream.iterator().asScala.map(_.toString).toSeq.sorted
+      finally stream.close()
+    }
   }
 
   /** S9: stamp ingest time at the serving sink. Injectable clock for

@@ -87,7 +87,9 @@ object Normalize {
         case StringType =>
           val stripped = regexp_replace(
             regexp_replace(col(c), "\\+05:30$", ""), " UTC$", "")
-          d.withColumn(c, to_timestamp(stripped, "yyyy-MM-dd HH:mm:ss"))
+          // try_to_timestamp: malformed strings become null (reference
+          // LEGACY-parser behavior) instead of an ANSI error
+          d.withColumn(c, try_to_timestamp(stripped, lit("yyyy-MM-dd HH:mm:ss")))
         case _ => d
       }
     }
@@ -99,13 +101,17 @@ object Normalize {
     if (!df.columns.contains("bbox")) df
     else {
       val b = col("bbox").cast(ArrayType(DoubleType))
+      // try_element_at, not getItem: under Spark 4's default ANSI mode a
+      // truncated bbox (PERMISSIVE reads admit them) would otherwise
+      // abort the whole job instead of yielding nulls like the reference
+      def el(i: Int) = try_element_at(b, lit(i))
       df.withColumn("bbox", b)
-        .withColumn("bbox_x1", b.getItem(0))
-        .withColumn("bbox_y1", b.getItem(1))
-        .withColumn("bbox_x2", b.getItem(2))
-        .withColumn("bbox_y2", b.getItem(3))
-        .withColumn("center_x", (b.getItem(0) + b.getItem(2)) / 2)
-        .withColumn("center_y", (b.getItem(1) + b.getItem(3)) / 2)
+        .withColumn("bbox_x1", el(1))
+        .withColumn("bbox_y1", el(2))
+        .withColumn("bbox_x2", el(3))
+        .withColumn("bbox_y2", el(4))
+        .withColumn("center_x", (el(1) + el(3)) / 2)
+        .withColumn("center_y", (el(2) + el(4)) / 2)
     }
   }
 

@@ -74,7 +74,8 @@ object Dedup {
         concat(lit("2_"), col("mh3"), lit("_"), col("mh4")))).as("bk"))
     val l = bands.select(col("bk"), col("doc_id").as("a"), col("n_shingles").as("na"))
     val r = bands.select(col("bk"), col("doc_id").as("b"), col("n_shingles").as("nb"))
-    val cands = l.join(broadcast(r), Seq("bk")).filter(col("a") < col("b"))
+    // no broadcast hint: the band table is O(corpus) — let AQE pick
+    val cands = l.join(r, Seq("bk")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("na"), col("nb")).distinct()
     // intersection sizes ONLY for candidate pairs (semi-join pushdown):
     // a bare shingle self-join would compute |∩| for every pair sharing
@@ -176,10 +177,10 @@ object Dedup {
           .as("gram"))
     val dfg = g.groupBy(col("lang"), col("len_bucket"), col("gram"))
       .agg(count(lit(1)).as("df"))
-    // the kept-gram list and per-doc gram counts are orders of magnitude
-    // smaller than the exploded gram stream — broadcast them
-    val kept = g.join(broadcast(dfg.filter(col("df") <= maxDf)
-      .select(col("lang"), col("len_bucket"), col("gram"))),
+    // no broadcast hint on the kept-gram list: it is vocabulary-sized
+    // and grows with the corpus — AQE chooses from actual sizes
+    val kept = g.join(dfg.filter(col("df") <= maxDf)
+      .select(col("lang"), col("len_bucket"), col("gram")),
       Seq("lang", "len_bucket", "gram"))
     val ng = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
     // pair generation: group each gram's (sorted, distinct) doc list and
@@ -196,8 +197,8 @@ object Dedup {
       .select(col("lang"), col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("lang"), col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(ng.select(col("doc_id").as("a"), col("ng").as("na"))), Seq("a"))
-      .join(broadcast(ng.select(col("doc_id").as("b"), col("ng").as("nb"))), Seq("b"))
+      .join(ng.select(col("doc_id").as("a"), col("ng").as("na")), Seq("a"))
+      .join(ng.select(col("doc_id").as("b"), col("ng").as("nb")), Seq("b"))
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard_e4", expr("(20000 * inter + union_n) div (2 * union_n)"))
       .filter(col("jaccard_e4") >= 500)

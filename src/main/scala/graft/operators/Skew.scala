@@ -6,42 +6,36 @@ import graft.core.Tables
 
 /** Skew-mitigation patterns (SCALE.md "Skew" knob).
   *
-  * When a grouping key is pathologically hot (one camera stuck on one
-  * tracker, one event_type dominating), a single reducer owns the hot
-  * key. Two-phase salted aggregation splits each key into `salts`
-  * sub-keys for the partial aggregate, then combines — the hot key's
-  * work spreads over `salts` reducers. AQE's skew-join splitting covers
-  * joins; this covers aggregations, which AQE does not rebalance.
+  * Algebraic aggregates (sum/count/min/max) don't need salting — map-
+  * side partial aggregation already collapses each partition to one row
+  * per key before the shuffle. Salting matters for NON-algebraic
+  * aggregations, where the hot key's full value stream otherwise lands
+  * on one reducer. The canonical case is exact count-distinct: two
+  * phases, value-hash sub-keys — each sub-key holds a disjoint slice of
+  * the value space, so per-slice distinct counts add up exactly.
   */
 object Skew {
 
-  /** Two-phase salted sum/count per key. Phase 1 groups by
-    * (key, salt(row)) — map-side partials spread the hot key; phase 2
-    * combines the per-salt partials. Results are identical to a direct
-    * groupBy (sums of exact integers commute). */
-  def saltedSumCount(df: DataFrame, key: Column, value: Column,
+  /** Exact two-phase distinct count per key. Phase 1 groups by
+    * (key, hash(value) % salts) and counts distinct values inside each
+    * disjoint hash slice — the hot key's distinct-set state spreads over
+    * `salts` reducers; phase 2 sums the per-slice counts (exact, because
+    * the slices partition the value space). */
+  def saltedDistinct(df: DataFrame, key: Column, value: Column,
       salts: Int): DataFrame = {
-    val salted = df.groupBy(key.as("k"), pmod(crc32(monotonicallyIncreasingSalt()), lit(salts)).as("_salt"))
-      .agg(sum(value).as("_psum"), count(lit(1)).as("_pcnt"))
-    salted.groupBy(col("k"))
-      .agg(sum(col("_psum")).as("total"), sum(col("_pcnt")).as("n"))
+    df.groupBy(key.as("k"), pmod(crc32(value.cast("string")), lit(salts)).as("_slice"))
+      .agg(countDistinct(value).as("_pdist"), count(lit(1)).as("_pcnt"))
+      .groupBy(col("k"))
+      .agg(sum(col("_pdist")).as("n_distinct"), sum(col("_pcnt")).as("n"))
   }
 
-  /** Deterministic per-row salt source: a content-free spread column.
-    * spark_partition_id is partition-stable and cheap; the salt only
-    * needs to spread rows, not be reproducible across runs (the final
-    * combine is order/partition independent). */
-  private def monotonicallyIncreasingSalt(): Column =
-    spark_partition_id().cast("string").cast("binary")
-
-  /** Oracle-checkable demonstration over the (15-key, heavily skewed)
-    * events table: salted two-phase totals per event_type, exact
-    * integer cents so the result is bit-equal to a direct aggregation. */
+  /** Oracle-checkable demonstration over the (5-key, heavily skewed)
+    * events table: distinct users per event_type via salted two-phase
+    * distinct — exactly equal to a direct count(DISTINCT ...). */
   def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val withCents = t.events.withColumn("c", round(col("value") * 100).cast("long"))
-    saltedSumCount(withCents, col("event_type"), col("c"), salts = 8)
-      .select(col("k").as("event_type"), col("total").as("sum_cents"), col("n"))
+    saltedDistinct(t.events, col("event_type"), col("user_id"), salts = 8)
+      .select(col("k").as("event_type"), col("n_distinct"), col("n"))
       .orderBy(col("event_type"))
   }
 }

@@ -51,8 +51,9 @@ class PeopleSafetySpec extends SparkSpec {
     val p3 = byId(3L)
     assert(!p3.getAs[Boolean]("entered_restricted_area"))
     assert(p3.getAs[String]("gender") == "Man")
-    // carrying "Unknown" excluded and nothing else seen → no mode row
-    assert(p3.isNullAt(p3.fieldIndex("carrying")))
+    // carrying "Unknown" excluded and nothing else seen → reference's
+    // get_most_frequent falls back to "Unknown" (PARITY #11)
+    assert(p3.getAs[String]("carrying") == "Unknown")
   }
 
   test("D10 document assembly: entities keyed by id + provenance (S4 shape)") {

@@ -32,6 +32,21 @@ class PermissiveSpec extends SparkSpec {
     assert(good.select(sum(col("tracker_id"))).collect().head.getLong(0) == 4L)
   }
 
+  test("truncated bbox and malformed timestamp yield nulls, not ANSI errors") {
+    val flat = graft.normalize.Normalize.flatten(graft.schema.DomainConfig.people)(
+      readJsonFixture(
+        """{"frame_detections": [
+             {"frame_number": 0, "timestamp": "not a timestamp",
+              "detections": [{"tracker_id": 1, "bbox": [10.0, 20.0],
+                "entry_time": "2025-05-06 06:41:00"}]}]}"""))
+    val r = flat.collect().head
+    assert(r.getAs[Double]("bbox_x1") == 10.0)
+    assert(r.isNullAt(r.fieldIndex("bbox_x2"))) // truncated → null, no crash
+    assert(r.isNullAt(r.fieldIndex("center_x")))
+    assert(r.isNullAt(r.fieldIndex("timestamp"))) // unparseable → null
+    assert(!r.isNullAt(r.fieldIndex("entry_time")))
+  }
+
   test("multiLine wrapped document with a missing optional field still parses") {
     val lake = Lake(spark, Files.createTempDirectory("graft-perm2").toString)
     val df = readJsonFixture(

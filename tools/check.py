@@ -26,6 +26,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cell_eq(a, b) -> bool:
+    # arrays first: pd.isna on an ndarray returns an ndarray and would
+    # make the truthiness check below raise
+    if hasattr(a, "__len__") and not isinstance(a, str):
+        if not (hasattr(b, "__len__") and not isinstance(b, str)):
+            return False
+        return list(a) == list(b)
     if pd.isna(a) and pd.isna(b):
         return True
     if isinstance(a, float) or isinstance(b, float):
@@ -35,8 +41,6 @@ def cell_eq(a, b) -> bool:
             return float(a) == float(b)
         except (TypeError, ValueError):
             return False
-    if hasattr(a, "__len__") and not isinstance(a, str):
-        return list(a) == list(b)
     return a == b
 
 
