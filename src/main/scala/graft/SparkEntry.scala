@@ -68,6 +68,7 @@ object SparkEntry {
     "skew_salted_agg" -> Skew.skewSaltedAgg _,
     "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
     "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
+    "domain_retail_enrich" -> DomainBridge2.retailEnrich _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
     // synthetic 2-D points from the embeddings table (D11)
     "view_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -643,6 +644,21 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY 1""",
     "domain_people_enrich" -> peopleEnrichOracle,
     "domain_safety_enrich" -> safetyEnrichOracle,
+    "domain_retail_enrich" ->
+      """WITH f AS (SELECT 'p' || CAST(user_id % 7 AS VARCHAR) AS product_id,
+                    'name_' || CAST(user_id % 7 AS VARCHAR) AS product_name,
+                    'cat_' || CAST(user_id % 7 AS VARCHAR) AS category,
+                    'aisle' AS location,
+                    (value > 450.0) AS picked,
+                    strftime(ts, '%Y-%m-%d') AS expiry_date
+                    FROM events)
+         SELECT product_id, min(product_name) AS product_name,
+                min(category) AS category, min(location) AS location,
+                (max(CASE WHEN picked THEN 1 ELSE 0 END) = 1) AS picked_by_customer,
+                array_to_string(list_sort(list_distinct(list(expiry_date))), ',')
+                  AS unique_expiry_dates,
+                count(*) AS frame_appearances
+         FROM f GROUP BY 1 ORDER BY 1""",
     "mm_byte_metrics" ->
       """SELECT doc_id AS asset_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

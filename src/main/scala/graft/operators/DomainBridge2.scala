@@ -50,6 +50,28 @@ object DomainBridge2 {
       (col("value")).as("center_x"),
       (col("value") * 2.0).as("center_y"))
 
+  /** events → retail-shaped product detections (attributes constant per
+    * product so the reference's unpinned first() stays deterministic). */
+  private def retailShaped(t: Tables): DataFrame =
+    t.events.select(
+      concat(lit("p"), pmod(col("user_id"), lit(7))).as("product_id"),
+      col("event_id").as("frame_number"),
+      concat(lit("name_"), pmod(col("user_id"), lit(7))).as("product_name"),
+      concat(lit("cat_"), pmod(col("user_id"), lit(7))).as("category"),
+      lit("aisle").as("location"),
+      (col("value") / 10.0).as("price"),
+      col("value").as("stock_level"),
+      (col("value") > 450.0).as("picked_by_customer"),
+      date_format(col("ts"), "yyyy-MM-dd").as("expiry_date"))
+
+  def retailEnrich(spark: SparkSession, dir: String): DataFrame =
+    Enrich.retail(retailShaped(Tables(spark, dir)))
+      .select(col("product_id"), col("product_name"), col("category"),
+        col("location"), col("picked_by_customer"),
+        array_join(col("unique_expiry_dates"), ",").as("unique_expiry_dates"),
+        col("frame_appearances"))
+      .orderBy(col("product_id"))
+
   def safetyEnrich(spark: SparkSession, dir: String): DataFrame =
     Enrich.safety(safetyShaped(Tables(spark, dir)))
       .select(col("tracker_id"), col("initial_safety_status"),
