@@ -1,0 +1,24 @@
+package graft
+
+/** Dev tool: run ONE SparkEntry query and dump it to parquet (plus a
+  * stdout preview) — a fast inner loop while iterating on a single
+  * operator, instead of driving all of Verify.
+  *
+  * Usage: runMain graft.RunOne <query> <sfDir> [outDir]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 2) args(2) else "/tmp/runone"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    val n = spark.read.parquet(s"$outDir/$name.parquet").count()
+    System.err.println(s"[runone] $name rows=$n schema=${df.schema.simpleString}")
+    df.show(20, truncate = false)
+    spark.stop()
+  }
+}

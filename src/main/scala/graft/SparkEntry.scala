@@ -69,6 +69,18 @@ object SparkEntry {
     "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
     "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
     "domain_retail_enrich" -> DomainBridge2.retailEnrich _,
+    "a_rollup" -> Analytics.aRollup _,
+    "a_cube" -> Analytics.aCube _,
+    "a_grouping_sets" -> Analytics.aGroupingSets _,
+    "a_pivot" -> Analytics.aPivot _,
+    "a_quantiles" -> Analytics.aQuantiles _,
+    "w_rank_suite" -> Analytics.wRankSuite _,
+    "j_asof" -> Temporal.jAsof _,
+    "j_range" -> Temporal.jRange _,
+    "dedup_cc" -> Cluster.dedupCc _,
+    "stream_sessionize" -> graft.streaming.StreamSessionize.streamSessionize _,
+    "s2_csv_roundtrip" -> graft.sources.Roundtrip.s2CsvRoundtrip _,
+    "s3_partitioned_prune" -> graft.sources.Roundtrip.s3PartitionedPrune _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
     // synthetic 2-D points from the embeddings table (D11)
     "view_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -665,5 +677,119 @@ object SparkEntry {
                 CAST((octet_length(encode(text)) - 1) // 256 + 1 AS BIGINT) AS n_chunks,
                 md5(text) AS content_md5
          FROM documents ORDER BY asset_id""",
+    "a_rollup" ->
+      """SELECT coalesce(l_returnflag, '_all') AS returnflag,
+                coalesce(l_linestatus, '_all') AS linestatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS price_cents,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "a_cube" ->
+      """SELECT coalesce(event_type, '_all') AS event_type,
+                coalesce(user_id % 10, -1) AS cohort,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY CUBE (event_type, user_id % 10)
+         ORDER BY event_type, cohort""",
+    "a_grouping_sets" ->
+      """SELECT coalesce(event_type, '_all') AS event_type,
+                coalesce(user_id % 10, -1) AS cohort,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+         ORDER BY event_type, cohort""",
+    "a_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "a_quantiles" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                    event_id FROM events),
+         r AS (SELECT event_type, c,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY c, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n FROM c)
+         SELECT event_type, max(n) AS n,
+                max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS p50_cents,
+                max(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS p90_cents
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "w_rank_suite" ->
+      """WITH c AS (SELECT user_id, event_id,
+                    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         r AS (SELECT user_id, event_id, c,
+                      row_number() OVER w AS rn,
+                      dense_rank() OVER (PARTITION BY user_id ORDER BY c DESC) AS drank,
+                      ntile(4) OVER w AS quartile,
+                      percent_rank() OVER w AS pr,
+                      cume_dist() OVER w AS cd,
+                      nth_value(c, 3) OVER w AS third_cents
+               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY c DESC, event_id))
+         SELECT user_id, event_id, c, rn, drank, quartile, pr, cd, third_cents
+         FROM r WHERE rn <= 5 ORDER BY user_id, rn""",
+    "j_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+         p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.us AS purchase_us,
+                c.c_us AS click_us, p.us - c.c_us AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.us >= c.c_us
+         ORDER BY p.event_id""",
+    "j_range" ->
+      """WITH bands AS (SELECT i AS band_id, i * 4000 AS lo_c, i * 4000 + 8000 AS hi_c
+                        FROM (SELECT unnest(range(0, 12)) AS i)),
+         e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events)
+         SELECT band_id, CAST(lo_c AS BIGINT) AS lo_c, CAST(hi_c AS BIGINT) AS hi_c,
+                count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents
+         FROM e JOIN bands ON c >= lo_c AND c < hi_c
+         GROUP BY 1, 2, 3 ORDER BY 1""",
+    "dedup_cc" -> {
+      val mh = minhashOracle
+      s"""WITH RECURSIVE mh AS (SELECT a, b FROM ($mh)),
+          ed AS (SELECT a AS src, b AS dst FROM mh
+                 UNION SELECT b AS src, a AS dst FROM mh),
+          v AS (SELECT DISTINCT src AS id FROM ed),
+          walk(id, label) AS (
+            SELECT id, id FROM v
+            UNION
+            SELECT ed.dst, walk.label FROM walk JOIN ed ON ed.src = walk.id),
+          cc AS (SELECT id, min(label) AS component FROM walk GROUP BY 1),
+          sz AS (SELECT component, count(*) AS n_members FROM cc GROUP BY 1)
+          SELECT cc.id AS doc_id, cc.component, sz.n_members
+          FROM cc JOIN sz USING (component) ORDER BY doc_id"""
+    },
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         w AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id
+                 ORDER BY us) AS prev_us FROM e),
+         f AS (SELECT user_id, us,
+                      CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                           THEN 1 ELSE 0 END AS new_sess FROM w),
+         g AS (SELECT user_id, us, sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         SELECT user_id, CAST(min(us) AS BIGINT) AS sess_start_us,
+                CAST(max(us) + 1800000000 AS BIGINT) AS sess_end_us,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid
+         HAVING max(us) + 1800000000 <= (SELECT max(us) FROM e)
+         ORDER BY user_id, sess_start_us""",
+    "s2_csv_roundtrip" ->
+      """SELECT coalesce(lang, 'unknown') AS lang,
+                coalesce(source, 'unknown') AS source,
+                count(*) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS sum_len
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "s3_partitioned_prune" ->
+      """SELECT coalesce(lang, 'unknown') AS lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE coalesce(lang, 'unknown') = 'en'
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** OLAP analytics surface beyond the reference's single-level hash
+  * aggregations (SURVEY §2.5 notes "no grouping sets / cube / rollup /
+  * distinct-agg anywhere" — the serving layer of a lake engine needs
+  * them, so they are first-class here).
+  *
+  * Scale notes: rollup/cube/grouping-sets run as a single Expand +
+  * partial/final hash aggregate in Spark — one shuffle regardless of
+  * the number of grouping sets. Pivot is given its value list
+  * explicitly (no driver-side distinct collect — mandatory at 100 TB).
+  * Exact quantiles use per-group row_number windows; at extreme scale
+  * swap in `percentile_approx` — the column set and callers stay the
+  * same.
+  */
+object Analytics {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** ROLLUP (returnflag, linestatus): detail rows + per-flag subtotals +
+    * grand total in one Expand+agg pass. Null grouping keys are mapped
+    * to a `_all` sentinel on both engines (avoids cross-engine
+    * GROUPING() portability trouble). */
+  def aRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_all")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("_all")).as("linestatus"),
+        col("sum_qty"), col("price_cents"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** CUBE (event_type, user cohort): all 4 grouping combinations. */
+  def aCube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      .cube(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+      .select(
+        coalesce(col("event_type"), lit("_all")).as("event_type"),
+        coalesce(col("cohort"), lit(-1L)).as("cohort"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("event_type"), col("cohort"))
+  }
+
+  /** Explicit GROUPING SETS via the SQL surface (Spark SQL over a temp
+    * view — the engine's `spark.sql` entry point). */
+  def aGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      .createOrReplaceTempView("graft_gs_events")
+    spark.sql(
+      """SELECT coalesce(event_type, '_all') AS event_type,
+                coalesce(cohort, -1L) AS cohort,
+                count(1) AS n,
+                sum(cast(round(value * 100) AS BIGINT)) AS sum_cents
+         FROM graft_gs_events
+         GROUP BY GROUPING SETS ((event_type), (cohort), ())
+         ORDER BY event_type, cohort""")
+  }
+
+  /** Event types present in the synthetic events table. Pivot values
+    * must be declared statically: `pivot(col)` without values runs a
+    * driver-side distinct collect — a non-starter on a 100 TB fact
+    * table. */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT event_type → one count column per type, per user. */
+  def aPivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact p50/p90 per event_type on integer cents via row_number over a
+    * per-group sort (index = ceil(p·n), 1-based — deterministic and
+    * identical on both engines; interpolation-free). */
+  def aQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.events.select(
+      col("event_type"), cents(col("value")).as("c"), col("event_id"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    c.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("c"))).as("p50_cents"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("c"))).as("p90_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Ranking-window suite: row_number / dense_rank / ntile / percent_rank
+    * / cume_dist / nth_value in one window pass (top-5 rows per user by
+    * cents). percent_rank and cume_dist are exact rational divisions of
+    * identical integer ranks — bit-equal across engines. */
+  def wRankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.events.select(
+      col("user_id"), col("event_id"), cents(col("value")).as("c"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("c").desc, col("event_id"))
+    val wVal = Window.partitionBy(col("user_id")).orderBy(col("c").desc)
+    c.select(
+        col("user_id"), col("event_id"), col("c"),
+        row_number().over(w).cast("long").as("rn"),
+        dense_rank().over(wVal).cast("long").as("drank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("c"), 3).over(w).as("third_cents"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("user_id"), col("rn"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over the near-duplicate pair graph — the step
+  * that turns pairwise MinHash-LSH matches into dedup GROUPS (pick one
+  * keeper per component, drop the rest), which is what a training-data
+  * pipeline actually executes.
+  *
+  * Algorithm: iterative hash-min label propagation. Every vertex starts
+  * labeled with its own id; each round every vertex takes the min of its
+  * own and its neighbors' labels; fixpoint after O(component diameter)
+  * rounds. Each round is one shuffle on the vertex id — the standard
+  * distributed CC formulation that scales to billions of edges (no
+  * driver-side union-find, no recursion). `localCheckpoint` truncates
+  * the growing lineage each round so plans stay constant-size.
+  */
+object Cluster {
+
+  /** Generic CC: `edges(src, dst)` undirected pairs → `(id, label)` with
+    * label = min vertex id of the component. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = undirected
+        .join(labels, undirected("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") < col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup clustering: components of the MinHash-LSH candidate-pair
+    * graph, with component sizes. The pair list is the verified
+    * [[Dedup.minhashLsh]] output, so the whole chain
+    * shingle → minhash → band join → CC is oracle-checked end to end. */
+  def dedupCc(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("component"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+}

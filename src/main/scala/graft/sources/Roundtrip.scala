@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Source/sink format coverage beyond JSON (SURVEY §2.1): CSV and
+  * partitioned Parquet, each proven by a write → re-read → aggregate
+  * round-trip whose result must equal computing directly on the
+  * original table (the oracle does exactly that).
+  *
+  * The partitioned write demonstrates the layout a 100 TB lake zone
+  * actually uses — hive-style `lang=<v>/` directories so that a filtered
+  * read lists and scans ONLY the matching partition (partition pruning,
+  * visible as `PartitionFilters` in the scan node).
+  */
+object Roundtrip {
+
+  private def tmpDir(prefix: String): String = {
+    val d = new java.io.File(
+      s"target/tmp/${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    d.mkdirs()
+    d.toString
+  }
+
+  /** CSV sink + source round-trip (header, explicit read schema — CSV
+    * inference is a second full scan, never acceptable at scale). */
+  def s2CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val out = tmpDir("csv_docs")
+    t.documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("text_len"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.option("header", "true")
+      .schema("doc_id BIGINT, lang STRING, source STRING, text_len BIGINT")
+      .csv(out)
+      .select(
+        coalesce(col("lang"), lit("unknown")).as("lang"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        col("text_len"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("text_len")).as("sum_len"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Hive-partitioned parquet write + partition-pruned read-back. */
+  def s3PartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val out = tmpDir("part_docs")
+    t.documents
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("unknown")).as("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("lang") === "en") // partition-pruned: only lang=en/ scanned
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+}
