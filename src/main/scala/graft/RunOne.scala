@@ -15,8 +15,8 @@ object RunOne {
     val spark = graft.core.Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    val n = spark.read.parquet(s"$outDir/$name.parquet").count()
+    df.write.mode("overwrite").parquet(s"$outDir/$name")
+    val n = spark.read.parquet(s"$outDir/$name").count()
     System.err.println(s"[runone] $name rows=$n schema=${df.schema.simpleString}")
     df.show(20, truncate = false)
     spark.stop()

@@ -40,12 +40,17 @@ object PortableHash {
   /** Four independent hashes from ONE md5: the 32-hex digest split into
     * disjoint 8-char windows (offsets 0/8/16/24). Quarter the digest
     * work of four salted hashes — the md5 dominates minhash cost. */
-  def phashWindow(c: Column, window: Int): Column = {
-    val m = md5(c)
+  def phashWindow(c: Column, window: Int): Column =
+    phashFromDigest(md5(c), window)
+
+  /** Same, over an ALREADY-computed md5 hex digest column — project the
+    * digest once and reuse it across all four windows, instead of
+    * trusting codegen subexpression elimination to dedupe four md5
+    * calls inside an aggregate. */
+  def phashFromDigest(m: Column, window: Int): Column =
     (1 to 8).map { i =>
       ascii(substring(m, window * 8 + i, 1)).cast("long") * lit(weights(i - 1))
     }.reduce(_ + _)
-  }
 
   /** DuckDB SQL for [[phashWindow]] (md5Expr must be the md5(...) text;
     * DuckDB CSEs the repeated call). */

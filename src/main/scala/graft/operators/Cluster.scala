@@ -28,6 +28,12 @@ object Cluster {
     var labels = undirected.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // Σ label strictly decreases every round until the fixpoint (labels
+    // only ever drop to a smaller id), so convergence is a scalar
+    // aggregate per round — far cheaper than a join-diff count.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -37,12 +43,10 @@ object Cluster {
       val next = labels.select(col("id"), col("label")).union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") < col("prev"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     labels
@@ -53,7 +57,10 @@ object Cluster {
     * [[Dedup.minhashLsh]] output, so the whole chain
     * shingle → minhash → band join → CC is oracle-checked end to end. */
   def dedupCc(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh(spark, dir)
+    val t = graft.core.Tables(spark, dir)
+    // candidate pairs only — CC doesn't need the exact-Jaccard
+    // verification half of minhashLsh
+    val pairs = Dedup.minhashCandidates(Dedup.shingles(t))
       .select(col("a").as("src"), col("b").as("dst"))
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))

@@ -41,7 +41,7 @@ object Dedup {
   }
 
   /** 3-token shingles per doc, deduped within doc. */
-  private def shingles(t: Tables): DataFrame =
+  private[operators] def shingles(t: Tables): DataFrame =
     t.documents
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -55,16 +55,19 @@ object Dedup {
     * a band become candidate pairs (equi-join on the band key — the
     * 100 TB-safe plan), then each pair's true Jaccard is computed from
     * the shingle sets. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val sh = shingles(t).cache()
-    // 4 minhash functions from one md5 (digest windows — see PortableHash)
-    val sigs = sh.groupBy(col("doc_id")).agg(
-      min(phashWindow(col("shingle"), 0)).as("mh1"),
-      min(phashWindow(col("shingle"), 1)).as("mh2"),
-      min(phashWindow(col("shingle"), 2)).as("mh3"),
-      min(phashWindow(col("shingle"), 3)).as("mh4"),
-      count(lit(1)).as("n_shingles"))
+  /** LSH band-join candidate pairs only (with per-doc shingle counts) —
+    * the shared front half of [[minhashLsh]] and [[Cluster.dedupCc]]:
+    * shingle → 4-way minhash signature → 2 band keys → band equi-join. */
+  def minhashCandidates(sh: DataFrame): DataFrame = {
+    // 4 minhash functions from ONE md5, projected once before the agg
+    // (digest windows — see PortableHash)
+    val sigs = sh.withColumn("m", md5(col("shingle")))
+      .groupBy(col("doc_id")).agg(
+        min(graft.functions.PortableHash.phashFromDigest(col("m"), 0)).as("mh1"),
+        min(graft.functions.PortableHash.phashFromDigest(col("m"), 1)).as("mh2"),
+        min(graft.functions.PortableHash.phashFromDigest(col("m"), 2)).as("mh3"),
+        min(graft.functions.PortableHash.phashFromDigest(col("m"), 3)).as("mh4"),
+        count(lit(1)).as("n_shingles"))
     // one scan: explode the two band keys (prefixed so bands can't
     // cross-match) and self-join once — the two-bands-two-joins form
     // recomputes the signature aggregation per join side
@@ -75,8 +78,14 @@ object Dedup {
     val l = bands.select(col("bk"), col("doc_id").as("a"), col("n_shingles").as("na"))
     val r = bands.select(col("bk"), col("doc_id").as("b"), col("n_shingles").as("nb"))
     // no broadcast hint: the band table is O(corpus) — let AQE pick
-    val cands = l.join(r, Seq("bk")).filter(col("a") < col("b"))
+    l.join(r, Seq("bk")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("na"), col("nb")).distinct()
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sh = shingles(t).cache()
+    val cands = minhashCandidates(sh)
     // intersection sizes ONLY for candidate pairs (semi-join pushdown):
     // a bare shingle self-join would compute |∩| for every pair sharing
     // any shingle — quadratic fanout on common shingles at scale. The
@@ -175,13 +184,15 @@ object Dedup {
         explode(array_distinct(expr(
           "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")))
           .as("gram"))
-    val dfg = g.groupBy(col("lang"), col("len_bucket"), col("gram"))
-      .agg(count(lit(1)).as("df"))
-    // no broadcast hint on the kept-gram list: it is vocabulary-sized
-    // and grows with the corpus — AQE chooses from actual sizes
-    val kept = g.join(dfg.filter(col("df") <= maxDf)
-      .select(col("lang"), col("len_bucket"), col("gram")),
-      Seq("lang", "len_bucket", "gram"))
+    // df cap via a window count over the gram key: ONE shuffle that the
+    // following per-gram groupBy reuses (same partitioning) — the
+    // groupBy + self-join form re-scans and re-explodes every document
+    // and pays a second join shuffle for nothing
+    val wGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("len_bucket"), col("gram"))
+    val kept = g.withColumn("df", count(lit(1)).over(wGram))
+      .filter(col("df") <= maxDf)
+      .drop("df")
     val ng = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
     // pair generation: group each gram's (sorted, distinct) doc list and
     // emit i<j combinations — one shuffle on the gram key instead of a
