@@ -79,8 +79,14 @@ object SparkEntry {
     "j_range" -> Temporal.jRange _,
     "dedup_cc" -> Cluster.dedupCc _,
     "stream_sessionize" -> graft.streaming.StreamSessionize.streamSessionize _,
+    "stream_state_sessionize" ->
+      graft.streaming.StreamStateSessionize.streamStateSessionize _,
     "s2_csv_roundtrip" -> graft.sources.Roundtrip.s2CsvRoundtrip _,
     "s3_partitioned_prune" -> graft.sources.Roundtrip.s3PartitionedPrune _,
+    "sample_split" -> Sampling.sampleSplit _,
+    "sample_balanced" -> ((s: SparkSession, dir: String) =>
+      Sampling.sampleBalanced(s, dir)),
+    "text_tfidf" -> TextAnalysis.tfidf _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
     // synthetic 2-D points from the embeddings table (D11)
     "view_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -780,6 +786,53 @@ object SparkEntry {
          FROM g GROUP BY user_id, sid
          HAVING max(us) + 1800000000 <= (SELECT max(us) FROM e)
          ORDER BY user_id, sess_start_us""",
+    "stream_state_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         w AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id
+                 ORDER BY us) AS prev_us FROM e),
+         f AS (SELECT user_id, us,
+                      CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                           THEN 1 ELSE 0 END AS new_sess FROM w),
+         g AS (SELECT user_id, us, sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+         s AS (SELECT user_id, sid, CAST(min(us) AS BIGINT) AS sess_start_us,
+                      CAST(max(us) AS BIGINT) AS sess_last_us,
+                      count(*) AS n_events FROM g GROUP BY 1, 2),
+         m AS (SELECT user_id, max(sid) AS max_sid FROM s GROUP BY 1)
+         SELECT s.user_id, s.sess_start_us, s.sess_last_us, s.n_events
+         FROM s JOIN m ON s.user_id = m.user_id AND s.sid < m.max_sid
+         ORDER BY s.user_id, s.sess_start_us""",
+    "sample_split" -> {
+      val b = phashSql("CAST(doc_id AS VARCHAR)", 11)
+      s"""WITH b AS (SELECT lang, $b % 10 AS bucket FROM documents)
+          SELECT lang,
+                 CASE WHEN bucket < 8 THEN 'train'
+                      WHEN bucket = 8 THEN 'dev' ELSE 'test' END AS split,
+                 count(*) AS n_docs
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+    "sample_balanced" -> {
+      val h = phashSql("CAST(doc_id AS VARCHAR)", 12)
+      s"""WITH h AS (SELECT lang, doc_id, $h AS h FROM documents),
+          r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+                  ORDER BY h, doc_id) AS rn FROM h)
+          SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id
+          FROM r WHERE rn <= 50 ORDER BY lang, rn"""
+    },
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+                      (10000 * (SELECT count(*) FROM documents)) // dfc.df AS idf_e4
+               FROM tf JOIN dfc USING (tok)),
+         r AS (SELECT doc_id, tok, tf, df, tf * idf_e4 AS score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tf * idf_e4 DESC, tok) AS rn FROM s)
+         SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, CAST(tf AS BIGINT) AS tf,
+                CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+         FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
     "s2_csv_roundtrip" ->
       """SELECT coalesce(lang, 'unknown') AS lang,
                 coalesce(source, 'unknown') AS source,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.PortableHash.phash
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent AND partitioning-dependent — rerun
+  * the job with different file splits and you get a different sample,
+  * which poisons train/test hygiene. Hash-mod sampling keys the
+  * decision on the ROW (portable salted hash of its id), so membership
+  * is stable across runs, engines, partitionings, and cluster sizes,
+  * and it needs no shuffle at all: the sample is a pushed-down filter.
+  */
+object Sampling {
+
+  /** Deterministic 80/10/10 train/dev/test split by hashed doc id;
+    * returns per-(lang, split) counts. The split column is computable
+    * by any engine that has md5 — membership never drifts. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("bucket", pmod(phash(col("doc_id").cast("string"), 11), lit(10L)))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "dev")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** Class-balanced downsampling: at most `cap` docs per language,
+    * chosen by hash order (deterministic, unbiased by ingest order).
+    * One shuffle on the class key; the per-class sort is bounded by the
+    * class size — for skewed classes at extreme scale, pre-filter with
+    * a hash-mod gate to approximately cap before the exact window. */
+  def sampleBalanced(spark: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    t.documents
+      .withColumn("h", phash(col("doc_id").cast("string"), 12))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+}

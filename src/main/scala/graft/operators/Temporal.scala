@@ -20,33 +20,58 @@ import graft.core.Tables
   */
 object Temporal {
 
-  /** As-of join: for every purchase event, the most recent click of the
-    * same user at or before it (ties at the same microsecond count as
-    * "before" — the click sorts first).
+  /** Generic left as-of join: every `left` row gains the `payload`
+    * columns of the latest `right` row with the same `key` and
+    * `right.ts <= left.ts` (nulls when no such row exists).
     *
-    * Plan shape: union(clicks, purchases) → single hash-partition on
-    * user_id → one window sort → `last(_, ignoreNulls)` carry-forward.
+    * Plan shape: union both sides → ONE hash-partition on the key → one
+    * window sort → `last(_, ignoreNulls)` carry-forward per payload
+    * column. Ties at the same timestamp count as "before" (the right
+    * side sorts first). If the right side has several rows at the same
+    * (key, ts) the carried payload among them is unspecified — dedupe
+    * the right side first when that matters.
+    *
+    * Requirements: `payload` names must not clash with left columns.
     */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftCols = left.columns.toSeq
+    val l2 = payload.foldLeft(left.withColumn("_kind", lit(1))) { (df, p) =>
+      df.withColumn(p, lit(null).cast(rightTypes(p)))
+    }
+    val extraLeft = leftCols.filterNot(c => c == key || c == ts)
+    val r2 = extraLeft.foldLeft(
+      right.select((Seq(key, ts) ++ payload).map(col): _*)
+        .withColumn("_kind", lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(leftTypes(c)))
+    }
+    val cols = (leftCols :+ "_kind") ++ payload
+    val unioned = l2.select(cols.map(col): _*).union(r2.select(cols.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }.filter(col("_kind") === 1).drop("_kind")
+  }
+
+  /** As-of join over the events table: for every purchase event, the
+    * most recent click of the same user at or before it. */
   def jAsof(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val ev = t.events.select(
       col("user_id"), col("event_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("us"), lit(0).as("kind"),
-        col("event_id"), col("us").as("c_us"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us"), lit(1).as("kind"),
-        col("event_id"), lit(null).cast("long").as("c_us"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("kind"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.union(purchases)
-      .withColumn("click_us", last(col("c_us"), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
+      .select(col("user_id"), col("us"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("us").as("c_us"))
+    asofJoin(purchases, clicks, "user_id", "us", Seq("c_us"))
       .select(
         col("event_id"), col("user_id"), col("us").as("purchase_us"),
-        col("click_us"), (col("us") - col("click_us")).as("gap_us"))
+        col("c_us").as("click_us"), (col("us") - col("c_us")).as("gap_us"))
       .orderBy(col("event_id"))
   }
 

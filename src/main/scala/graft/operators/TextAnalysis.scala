@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.PortableHash.phash
@@ -98,5 +99,32 @@ object TextAnalysis {
         substring(md5(normed), 1, 8).as("fp8"),
         pmod(phash(normed, 7), lit(64L)).as("shard"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Top-3 terms per document by quantized TF-IDF. IDF is the rational
+    * form `(10000·N) div df` (reciprocal document frequency in 1e-4
+    * units) — no floating log, so scores are exact integers on every
+    * engine. Two shuffles: per-(doc, term) counts, then the term-keyed
+    * join against document frequencies; the corpus size N arrives via a
+    * broadcast single-row aggregate, never a driver collect. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tf = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = t.documents.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(dfc, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_e4", expr("(10000 * n_total) div df"))
+      .withColumn("score", col("tf") * col("idf_e4"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rn"))
   }
 }

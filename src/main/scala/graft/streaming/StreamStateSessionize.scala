@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Custom stateful sessionization with the TYPED streaming API:
+  * `Dataset[UserEvent].groupByKey.flatMapGroupsWithState` carrying an
+  * open-session state per user (SURVEY §2.9's `KeyValueGroupedDataset`
+  * custom-state surface; the reference's D9 slot loop is the batch
+  * ancestor of this).
+  *
+  * Incremental semantics, pinned for the oracle: a session CLOSES (and
+  * is emitted) when a later event arrives >= 30 min after it — so each
+  * user's final session is still open at end-of-input and is NOT
+  * emitted. The state is exactly the open session (start, last, count):
+  * O(1) per user, merge-on-arrival — this is the shape that holds on an
+  * unbounded stream where re-sorting history would not.
+  */
+object StreamStateSessionize {
+
+  case class UserEvent(user_id: Long, us: Long)
+  case class OpenSession(start: Long, last: Long, n: Long)
+  case class SessionRow(user_id: Long, sess_start_us: Long,
+      sess_last_us: Long, n_events: Long)
+
+  val gapMicros: Long = 1800L * 1000000L
+
+  /** Fold a batch of events (any order) into the open-session state,
+    * emitting every session that a later event closed. */
+  def advance(userId: Long, sorted: Seq[Long], prior: Option[OpenSession])
+      : (Seq[SessionRow], Option[OpenSession]) = {
+    var open = prior
+    val out = Seq.newBuilder[SessionRow]
+    sorted.foreach { us =>
+      open = open match {
+        case Some(s) if us - s.last < gapMicros =>
+          Some(OpenSession(s.start, us, s.n + 1))
+        case Some(s) =>
+          out += SessionRow(userId, s.start, s.last, s.n)
+          Some(OpenSession(us, us, 1L))
+        case None => Some(OpenSession(us, us, 1L))
+      }
+    }
+    (out.result(), open)
+  }
+
+  def streamStateSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = (raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("us", expr("ts div 1000"))
+      case _ => raw.withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    }).select(col("user_id"), col("us")).as[UserEvent]
+    val sessions = ev
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          // a micro-batch's group iterator is unordered; the sort is
+          // bounded by the batch's per-user volume, not history
+          val sorted = events.map(_.us).toSeq.sorted
+          val (closed, open) =
+            advance(uid, sorted, if (state.exists) Some(state.get) else None)
+          open match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          closed.iterator
+      }
+    val qname = "graft_state_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = new java.io.File(s"target/tmp/ckpt_$qname")
+    ckpt.mkdirs()
+    val q = sessions.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+      .select(col("user_id"), col("sess_start_us"), col("sess_last_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+}

@@ -44,4 +44,37 @@ class PlanSpec extends SparkSpec {
     val p = executedPlan("sim_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("range join is a broadcast hash join, never a nested loop") {
+    val p = executedPlan("j_range")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("as-of join shuffles exactly once on the key (no range probe)") {
+    val p = executedPlan("j_asof")
+    val exchanges = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
+      .findAllIn(p).length
+    assert(exchanges === 1, s"as-of pipeline has $exchanges key exchanges")
+    assert(!p.contains("Join"), "as-of must not plan a physical join")
+  }
+
+  test("rollup/cube run as a single Expand + aggregate (one pass)") {
+    val p = executedPlan("a_rollup")
+    assert(p.contains("Expand"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1)
+  }
+
+  test("partitioned read-back prunes to the filtered partition") {
+    val p = executedPlan("s3_partitioned_prune")
+    assert(p.contains("PartitionFilters"))
+    assert(p.contains("isnotnull(lang") || p.contains("(lang"))
+  }
+
+  test("hash-mod sampling needs no shuffle before the aggregation") {
+    val p = executedPlan("sample_split")
+    // the sample membership filter must sit in the scan stage, not
+    // after an exchange: exactly the one aggregation shuffle exists
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+  }
 }
