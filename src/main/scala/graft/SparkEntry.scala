@@ -87,6 +87,10 @@ object SparkEntry {
     "sample_balanced" -> ((s: SparkSession, dir: String) =>
       Sampling.sampleBalanced(s, dir)),
     "text_tfidf" -> TextAnalysis.tfidf _,
+    "dedup_incremental" -> Dedup.incremental _,
+    "sim_centroids" -> Similarity.centroids _,
+    "pipeline_curate" -> Pipelines.curate _,
+    "graph_pagerank" -> Cluster.graphPagerank _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
     // synthetic 2-D points from the embeddings table (D11)
     "view_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -833,6 +837,61 @@ object SparkEntry {
          SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, CAST(tf AS BIGINT) AS tf,
                 CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
          FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "dedup_incremental" -> {
+      val b = phashSql("CAST(doc_id AS VARCHAR)", 21)
+      s"""WITH fp AS (SELECT doc_id,
+             md5($normSql) AS fp, $b % 5 AS b FROM documents),
+          i AS (SELECT * FROM fp WHERE b = 4)
+          SELECT i.fp, min(i.doc_id) AS keep_id, count(*) AS n_copies
+          FROM i WHERE i.fp NOT IN (SELECT fp FROM fp WHERE b < 4)
+          GROUP BY i.fp ORDER BY keep_id"""
+    },
+    "sim_centroids" ->
+      """WITH q AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+           FROM (SELECT label, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings))
+         SELECT label, dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+                CAST(sum(q) AS DOUBLE) / count(*) AS centroid_e4
+         FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
+    "pipeline_curate" -> {
+      val b = phashSql("CAST(doc_id AS VARCHAR)", 11)
+      s"""WITH q AS (SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+           FROM documents),
+          qq AS (SELECT * FROM q
+                 WHERE n_tokens >= 30 AND n_distinct * 2 >= n_tokens),
+          k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5($normSql))
+                  AS keep_id FROM qq),
+          b AS (SELECT lang, n_tokens, $b % 10 AS bucket
+                FROM k WHERE doc_id = keep_id)
+          SELECT lang,
+                 CASE WHEN bucket < 8 THEN 'train'
+                      WHEN bucket = 8 THEN 'dev' ELSE 'test' END AS split,
+                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+    "graph_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        val prev = s"pr${k - 1}"
+        s"""pr$k AS (
+             SELECT v.id,
+                    CAST(150000 + (850000 * coalesce(c.s, 0)) // 1000000 AS BIGINT) AS r
+             FROM v LEFT JOIN (
+               SELECT e.dst AS id, sum(p.r // d.deg) AS s
+               FROM $prev p JOIN deg d ON p.id = d.id JOIN ed e ON e.src = p.id
+               GROUP BY e.dst) c ON v.id = c.id)"""
+      }.mkString(",\n")
+      s"""WITH mh AS (SELECT a, b FROM ($minhashOracle)),
+          ed AS (SELECT a AS src, b AS dst FROM mh
+                 UNION SELECT b AS src, a AS dst FROM mh),
+          v AS (SELECT DISTINCT src AS id FROM ed),
+          deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+          pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v),
+          $iters
+          SELECT id AS doc_id, r AS rank_e6 FROM pr5 ORDER BY doc_id"""
+    },
     "s2_csv_roundtrip" ->
       """SELECT coalesce(lang, 'unknown') AS lang,
                 coalesce(source, 'unknown') AS source,

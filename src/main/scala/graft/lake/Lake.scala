@@ -62,6 +62,32 @@ final case class Lake(spark: SparkSession, root: String) {
   def readZoneTable(zone: String, domain: String): DataFrame =
     spark.read.parquet(zonePath(zone, domain))
 
+  /** Compaction: rewrite a zone table's accumulated small per-ingest
+    * files into `targetFiles` read-optimized files. Per-file ingest
+    * (one upload per video, reference lifecycle §3.1) produces exactly
+    * the small-file pathology that kills scan throughput at scale;
+    * periodic compaction is the standard cure. The rewrite lands in a
+    * staging directory first and swaps in atomically-enough for a
+    * single-writer lake (real multi-writer tables graduate to a table
+    * format with a transaction log). Collapses the per-source partition
+    * layout; `_source_file` lineage survives as a column. */
+  def compact(zone: String, domain: String, targetFiles: Int): Unit = {
+    val path = zonePath(zone, domain)
+    val staging = path + "__compacting"
+    val retired = path + "__retired"
+    spark.read.parquet(path)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
+    Files.move(Paths.get(path), Paths.get(retired))
+    Files.move(Paths.get(staging), Paths.get(path))
+    rmTree(Paths.get(retired))
+  }
+
   /** S6: catalog listing of a zone prefix. */
   def list(zone: String, domain: String): Seq[String] = {
     val dir = Paths.get(zonePath(zone, domain))

@@ -52,6 +52,51 @@ object Cluster {
     labels
   }
 
+  /** Fixed-iteration PageRank with integer-quantized ranks (1e-6
+    * units) so every engine computes bit-identical values — no float
+    * accumulation order to disagree on. Per iteration:
+    *
+    *   share(u) = r(u) div outdeg(u)
+    *   r'(v)    = 150000 + (850000 · Σ_{u→v} share(u)) div 1000000
+    *
+    * (damping 0.85 in e6 fixed-point; all values positive, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree.) Each iteration
+    * is one shuffle on the destination vertex; `localCheckpoint` keeps
+    * the plan constant-size — the standard scalable formulation. */
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val verts = undirected.select(col("src").as("id")).distinct()
+    val deg = undirected.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    var ranks = verts.withColumn("r", lit(1000000L)).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = ranks.join(deg, Seq("id"))
+        .withColumn("share", expr("r div deg"))
+        .join(undirected, ranks("id") === undirected("src"))
+        .groupBy(col("dst").as("cid"))
+        .agg(sum(col("share")).as("s"))
+      ranks = verts.join(contrib, verts("id") === contrib("cid"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(850000 * coalesce(s, 0L)) div 1000000")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** PageRank over the near-dup candidate graph (rank ≈ how central a
+    * doc is inside its duplication cluster). */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.Tables(spark, dir)
+    val pairs = Dedup.minhashCandidates(Dedup.shingles(t))
+      .select(col("a").as("src"), col("b").as("dst"))
+    pageRank(pairs, iters = 5)
+      .select(col("id").as("doc_id"), col("r").as("rank_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dedup clustering: components of the MinHash-LSH candidate-pair
     * graph, with component sizes. The pair list is the verified
     * [[Dedup.minhashLsh]] output, so the whole chain

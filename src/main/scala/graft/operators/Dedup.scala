@@ -22,7 +22,7 @@ object Dedup {
 
   /** Normalized text: lowercase, alphanumerics only — the canonical
     * form exact dedup fingerprints. */
-  private def norm(c: org.apache.spark.sql.Column) =
+  private[operators] def norm(c: org.apache.spark.sql.Column) =
     regexp_replace(lower(c), "[^a-z0-9]", "")
 
   /** Exact dedup via md5 fingerprint: every doc mapped to its group
@@ -164,6 +164,27 @@ object Dedup {
     }.reduce(_ + _)
     sums.select(col("doc_id"), sim.as("simhash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental exact dedup — the production shape: a NEW batch of
+    * documents deduped against the standing corpus fingerprint index,
+    * then within itself. The anti join shuffles only on the fingerprint
+    * (at scale the index side lives bucketed by `fp`, so the standing
+    * side never re-shuffles). Here the corpus/batch split is a
+    * deterministic hash bucket of the one documents table (buckets 0-3 =
+    * standing index, bucket 4 = incoming batch). */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val fp = t.documents.select(
+      col("doc_id"), md5(norm(col("text"))).as("fp"),
+      pmod(phash(col("doc_id").cast("string"), 21), lit(5L)).as("b"))
+    val existing = fp.filter(col("b") < 4)
+    val incoming = fp.filter(col("b") === 4)
+    incoming
+      .join(existing.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
   }
 
   /** N-gram Jaccard similarity within (lang, length-bucket) blocks —

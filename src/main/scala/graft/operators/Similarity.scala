@@ -54,6 +54,25 @@ object Similarity {
     topk(spark, dir, 10, sameLabelOnly = false)
 
   /** IVF-pruned ANN: top-5 within the query's coarse bucket (label). */
+  /** Per-label embedding centroids: quantize each component to e4
+    * integers (the proven float-parity path), posexplode to
+    * (label, dim) pairs, integer-sum in ONE shuffle, divide once at the
+    * end (exact-integer IEEE division — bit-equal on every engine).
+    * This is the IVF training step: the centroids are the coarse
+    * quantizer [[annIvf]] probes. */
+  def centroids(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.Tables(spark, dir)
+    t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .withColumn("centroid_e4",
+        col("sum_q").cast("double") / col("n").cast("double"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     topk(spark, dir, 5, sameLabelOnly = true)
 }
