@@ -69,6 +69,7 @@ object SparkEntry {
     "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
     "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
     "domain_retail_enrich" -> DomainBridge2.retailEnrich _,
+    "domain_school_enrich" -> DomainBridge2.schoolEnrich _,
     "a_rollup" -> Analytics.aRollup _,
     "a_cube" -> Analytics.aCube _,
     "a_grouping_sets" -> Analytics.aGroupingSets _,
@@ -204,7 +205,7 @@ object SparkEntry {
                     min(frame_number) AS fs FROM f
                     WHERE $valueCol IS NOT NULL$excl GROUP BY 1, 2),
         r_$name AS (SELECT tracker_id, v, row_number() OVER (PARTITION BY tracker_id
-                    ORDER BY cnt DESC, fs) AS rn FROM m_$name),
+                    ORDER BY cnt DESC, fs, v) AS rn FROM m_$name),
         mode_$name AS (SELECT tracker_id, v AS $name FROM r_$name WHERE rn = 1)"""
   }
 
@@ -623,7 +624,7 @@ object SparkEntry {
                FROM f GROUP BY 1, 2),
          mr AS (SELECT tracker_id, lane AS most_common_lane,
                        row_number() OVER (PARTITION BY tracker_id
-                         ORDER BY cnt DESC, fs) AS rn FROM m)
+                         ORDER BY cnt DESC, fs, lane) AS rn FROM m)
          SELECT b.tracker_id, 'car' AS vehicle_type, b.frame_count,
                 b.duration_seconds, b.stopped_duration, b.lane_changes,
                 f1.initial_lane, f1.final_lane, mm.most_common_lane,
@@ -666,6 +667,65 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY 1""",
     "domain_people_enrich" -> peopleEnrichOracle,
     "domain_safety_enrich" -> safetyEnrichOracle,
+    "domain_school_enrich" ->
+      """WITH f AS (SELECT user_id AS eid, event_id AS frame_number,
+             'type_' || CAST(user_id % 4 AS VARCHAR) AS event_type,
+             'loc_' || CAST(user_id % 5 AS VARCHAR) AS location,
+             'note' AS notes,
+             CAST(user_id % 8 AS DOUBLE) * 0.125 AS confidence,
+             CAST(user_id % 4 AS DOUBLE) AS dur_det,
+             (value > 480.0) AS response_required,
+             'p' || CAST(event_id % 7 AS VARCHAR) AS involved_person_id,
+             ['r' || CAST(event_id % 3 AS VARCHAR),
+              'r' || CAST(event_id % 5 AS VARCHAR)] AS person_roles,
+             event_type AS alert_level,
+             (value > 250.0) AS multi
+           FROM events),
+         base AS (SELECT eid,
+             min(event_type) AS event_type, min(location) AS location,
+             min(notes) AS notes,
+             CAST(min(frame_number) AS DOUBLE) AS start_time,
+             CAST(max(frame_number) AS DOUBLE) AS end_time,
+             CAST(max(frame_number) - min(frame_number) AS DOUBLE)
+               AS duration_seconds,
+             count(*) AS frame_occurrences,
+             avg(confidence) AS avg_confidence,
+             avg(dur_det) AS avg_event_duration,
+             coalesce(stddev_samp(dur_det), 0.0) AS event_duration_stddev,
+             (max(CASE WHEN response_required THEN 1 ELSE 0 END) = 1)
+               AS response_required,
+             list_sort(list_distinct(list(involved_person_id)))
+               AS involved_persons,
+             list_sort(list_distinct(flatten(list(person_roles))))
+               AS unique_roles,
+             (max(CASE WHEN multi THEN 1 ELSE 0 END) = 1)
+               AS multiple_persons_involved
+           FROM f GROUP BY 1),
+         ma AS (SELECT eid, alert_level, count(*) AS cnt,
+                       min(frame_number) AS fs FROM f GROUP BY 1, 2),
+         mar AS (SELECT eid, alert_level, row_number() OVER (
+                   PARTITION BY eid ORDER BY cnt DESC, fs, alert_level) AS rn
+                 FROM ma),
+         ro AS (SELECT eid, frame_number, unnest(person_roles) AS role
+                FROM f),
+         mo AS (SELECT eid, role, count(*) AS cnt,
+                       min(frame_number) AS fs FROM ro GROUP BY 1, 2),
+         mor AS (SELECT eid, role, row_number() OVER (
+                   PARTITION BY eid ORDER BY cnt DESC, fs, role) AS rn FROM mo)
+         SELECT b.eid AS event_id, b.event_type, b.location, b.notes,
+                b.start_time, b.end_time, b.duration_seconds,
+                b.frame_occurrences, b.avg_confidence, b.avg_event_duration,
+                b.event_duration_stddev, b.response_required,
+                b.involved_persons, b.unique_roles,
+                b.multiple_persons_involved,
+                a.alert_level AS most_common_alert_level,
+                r.role AS most_common_role
+         FROM base b
+         LEFT JOIN (SELECT eid, alert_level FROM mar WHERE rn = 1) a
+           USING (eid)
+         LEFT JOIN (SELECT eid, role FROM mor WHERE rn = 1) r
+           USING (eid)
+         ORDER BY b.eid""",
     "domain_retail_enrich" ->
       """WITH f AS (SELECT 'p' || CAST(user_id % 7 AS VARCHAR) AS product_id,
                     'name_' || CAST(user_id % 7 AS VARCHAR) AS product_name,

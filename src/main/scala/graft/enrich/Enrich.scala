@@ -42,8 +42,11 @@ object Enrich {
       (if (exclude.nonEmpty) !col(valueCol).isin(exclude: _*) else lit(true)))
     val counts = filtered.groupBy(col(key), col(valueCol))
       .agg(count(lit(1)).as("cnt"), min(col("frame_number")).as("first_seen"))
+    // count desc, first-seen asc, value asc: the final value tie-break
+    // pins ties where two values first appear in the same row (equal
+    // count AND first_seen) — otherwise rank order is nondeterministic
     val rankW = Window.partitionBy(col(key))
-      .orderBy(col("cnt").desc, col("first_seen"))
+      .orderBy(col("cnt").desc, col("first_seen"), col(valueCol))
     counts.withColumn("rn", row_number().over(rankW))
       .filter(col("rn") === 1)
       .select(col(key), col(valueCol).as(s"mode_$valueCol"))

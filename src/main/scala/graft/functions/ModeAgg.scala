@@ -40,7 +40,10 @@ object ModeAgg extends Aggregator[(String, Long), Map[String, (Long, Long)], Str
 
   override def finish(buf: Map[String, (Long, Long)]): String =
     if (buf.isEmpty) null
-    else buf.minBy { case (_, (c, f)) => (-c, f) }._1
+    // count desc, first-seen asc, value asc — the value tie-break pins
+    // the one case Counter order can't survive distribution: two values
+    // first appearing in the SAME row with equal final counts
+    else buf.minBy { case (v, (c, f)) => (-c, f, v) }._1
 
   override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
     Encoders.kryo[Map[String, (Long, Long)]]

@@ -81,4 +81,37 @@ object DomainBridge2 {
         col("safety_vest_violations"), col("total_unsafe_frames"),
         col("most_common_missing_item"), col("bbox_count"))
       .orderBy(col("tracker_id"))
+
+  /** events → school-event-shaped detections (A8: flatten of role
+    * arrays, alert-mode with first-seen tie-break, stddev of
+    * per-detection durations). Confidence/duration values are
+    * binary-exact constants per entity so double averages stay
+    * bit-deterministic under any summation order. */
+  private def schoolShaped(t: Tables): DataFrame =
+    t.events.select(
+      col("user_id").as("event_id"),
+      col("event_id").as("frame_number"),
+      concat(lit("type_"), pmod(col("user_id"), lit(4))).as("event_type"),
+      concat(lit("loc_"), pmod(col("user_id"), lit(5))).as("location"),
+      lit("note").as("notes"),
+      (pmod(col("user_id"), lit(8)).cast("double") * 0.125).as("confidence"),
+      pmod(col("user_id"), lit(4)).cast("double").as("duration_seconds"),
+      (col("value") > 480.0).as("response_required"),
+      concat(lit("p"), pmod(col("event_id"), lit(7))).as("involved_person_id"),
+      array(concat(lit("r"), pmod(col("event_id"), lit(3))),
+        concat(lit("r"), pmod(col("event_id"), lit(5)))).as("person_roles"),
+      col("event_type").as("alert_level"),
+      (col("value") > 250.0).as("multiple_persons_involved"))
+
+  def schoolEnrich(spark: SparkSession, dir: String): DataFrame =
+    Enrich.school(schoolShaped(Tables(spark, dir)))
+      .select(col("event_id"), col("event_type"), col("location"),
+        col("notes"), col("start_time"), col("end_time"),
+        col("duration_seconds"), col("frame_occurrences"),
+        col("avg_confidence"), col("avg_event_duration"),
+        col("event_duration_stddev"), col("response_required"),
+        col("involved_persons"), col("unique_roles"),
+        col("most_common_alert_level"), col("most_common_role"),
+        col("multiple_persons_involved"))
+      .orderBy(col("event_id"))
 }
