@@ -89,6 +89,9 @@ object SparkEntry {
       Sampling.sampleBalanced(s, dir)),
     "text_tfidf" -> TextAnalysis.tfidf _,
     "dedup_incremental" -> Dedup.incremental _,
+    "f_date_suite" -> FunctionSuites.fDateSuite _,
+    "f_string_suite" -> FunctionSuites.fStringSuite _,
+    "stream_static_join" -> graft.streaming.StreamStaticJoin.streamStaticJoin _,
     "sim_centroids" -> Similarity.centroids _,
     "pipeline_curate" -> Pipelines.curate _,
     "graph_pagerank" -> Cluster.graphPagerank _,
@@ -897,6 +900,34 @@ object SparkEntry {
          SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, CAST(tf AS BIGINT) AS tf,
                 CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
          FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "f_date_suite" ->
+      """WITH o AS (SELECT o_orderdate, date_trunc('month', o_orderdate) AS m
+                    FROM orders)
+         SELECT CAST(epoch_us(m) AS BIGINT) AS month_us,
+                count(*) AS n_orders,
+                CAST(sum(date_part('day', o_orderdate)) AS BIGINT) AS sum_dom,
+                CAST(sum(date_part('dow', o_orderdate)) AS BIGINT) AS sum_dow,
+                CAST(max(CAST(last_day(o_orderdate) AS DATE)
+                  - DATE '1970-01-01') AS BIGINT) AS max_last_day,
+                CAST(max(epoch_us(m + INTERVAL 2 MONTH)) AS BIGINT) AS plus2m_us,
+                CAST(sum(date_diff('day', m, o_orderdate)) AS BIGINT)
+                  AS sum_day_offset
+         FROM o GROUP BY 1 ORDER BY 1""",
+    "f_string_suite" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 16) AS h16, text, lang
+                    FROM documents WHERE lang = 'en')
+         SELECT doc_id,
+                CAST(levenshtein(h16, reverse(h16)) AS BIGINT) AS lev,
+                translate(lower(h16), 'aeiou', '01234') AS tr,
+                CAST(length(repeat(substr(text, 1, 4), 3)) AS BIGINT) AS rep_len,
+                lpad(lang, 5, '_') AS padded
+         FROM d ORDER BY doc_id""",
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "dedup_incremental" -> {
       val b = phashSql("CAST(doc_id AS VARCHAR)", 21)
       s"""WITH fp AS (SELECT doc_id,
