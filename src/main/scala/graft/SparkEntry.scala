@@ -113,6 +113,13 @@ object SparkEntry {
 
   private val normSql = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
 
+  /** SQL twin of Sampling.{splitBucket,splitName} — derived from the
+    * same salt constant so the oracle can never drift from the engine. */
+  private val splitBucketSql: String =
+    s"${graft.functions.PortableHash.phashSql("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.splitSalt)} % 10"
+  private val splitCaseSql: String =
+    "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'dev' ELSE 'test' END"
+
   private val simhashOracle: String = {
     val sums = (0 until 16)
       .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -851,7 +858,9 @@ object SparkEntry {
                 CAST(max(us) + 1800000000 AS BIGINT) AS sess_end_us,
                 count(*) AS n_events
          FROM g GROUP BY user_id, sid
-         HAVING max(us) + 1800000000 <= (SELECT max(us) FROM e)
+         -- Spark tracks watermarks in whole MILLISECONDS: the cut is the
+         -- ms-floored global max event time, not the raw microsecond max
+         HAVING max(us) + 1800000000 <= (SELECT (max(us) // 1000) * 1000 FROM e)
          ORDER BY user_id, sess_start_us""",
     "stream_state_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -869,15 +878,10 @@ object SparkEntry {
          SELECT s.user_id, s.sess_start_us, s.sess_last_us, s.n_events
          FROM s JOIN m ON s.user_id = m.user_id AND s.sid < m.max_sid
          ORDER BY s.user_id, s.sess_start_us""",
-    "sample_split" -> {
-      val b = phashSql("CAST(doc_id AS VARCHAR)", 11)
-      s"""WITH b AS (SELECT lang, $b % 10 AS bucket FROM documents)
-          SELECT lang,
-                 CASE WHEN bucket < 8 THEN 'train'
-                      WHEN bucket = 8 THEN 'dev' ELSE 'test' END AS split,
-                 count(*) AS n_docs
-          FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
-    },
+    "sample_split" ->
+      s"""WITH b AS (SELECT lang, $splitBucketSql AS bucket FROM documents)
+          SELECT lang, $splitCaseSql AS split, count(*) AS n_docs
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     "sample_balanced" -> {
       val h = phashSql("CAST(doc_id AS VARCHAR)", 12)
       s"""WITH h AS (SELECT lang, doc_id, $h AS h FROM documents),
@@ -946,7 +950,6 @@ object SparkEntry {
                 CAST(sum(q) AS DOUBLE) / count(*) AS centroid_e4
          FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
     "pipeline_curate" -> {
-      val b = phashSql("CAST(doc_id AS VARCHAR)", 11)
       s"""WITH q AS (SELECT doc_id, lang, text,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
@@ -955,11 +958,9 @@ object SparkEntry {
                  WHERE n_tokens >= 30 AND n_distinct * 2 >= n_tokens),
           k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5($normSql))
                   AS keep_id FROM qq),
-          b AS (SELECT lang, n_tokens, $b % 10 AS bucket
+          b AS (SELECT lang, n_tokens, $splitBucketSql AS bucket
                 FROM k WHERE doc_id = keep_id)
-          SELECT lang,
-                 CASE WHEN bucket < 8 THEN 'train'
-                      WHEN bucket = 8 THEN 'dev' ELSE 'test' END AS split,
+          SELECT lang, $splitCaseSql AS split,
                  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
           FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
     },

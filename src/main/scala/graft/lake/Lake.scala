@@ -75,14 +75,20 @@ final case class Lake(spark: SparkSession, root: String) {
     val path = zonePath(zone, domain)
     val staging = path + "__compacting"
     val retired = path + "__retired"
-    spark.read.parquet(path)
-      .repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
     def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally s.close()
     }
+    // recover from a prior crash: a stranded __retired means the swap
+    // died between moves — restore it; stale staging is simply discarded
+    if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(retired)))
+      Files.move(Paths.get(retired), Paths.get(path))
+    rmTree(Paths.get(staging))
+    rmTree(Paths.get(retired))
+    spark.read.parquet(path)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
     Files.move(Paths.get(path), Paths.get(retired))
     Files.move(Paths.get(staging), Paths.get(path))
     rmTree(Paths.get(retired))

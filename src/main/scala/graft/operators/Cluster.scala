@@ -20,7 +20,7 @@ object Cluster {
 
   /** Generic CC: `edges(src, dst)` undirected pairs → `(id, label)` with
     * label = min vertex id of the component. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 200): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -49,6 +49,13 @@ object Cluster {
       prevSum = nextSum
       iter += 1
     }
+    // hash-min moves a label one hop per round: maxIters bounds the
+    // component diameter this call can handle. Returning silently here
+    // would hand back WRONG labels — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters) — raise maxIters")
     labels
   }
 

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.PortableHash.phash
 
 /** Capstone composition: the full training-corpus curation pass a data
   * pipeline actually runs, as ONE declarative plan — quality gate →
@@ -28,12 +27,8 @@ object Pipelines {
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keep_id"))
     keepers
-      .withColumn("bucket",
-        pmod(phash(col("doc_id").cast("string"), 11), lit(10L)))
-      .withColumn("split",
-        when(col("bucket") < 8, "train")
-          .when(col("bucket") === 8, "dev")
-          .otherwise("test"))
+      .withColumn("bucket", Sampling.splitBucket(col("doc_id")))
+      .withColumn("split", Sampling.splitName(col("bucket")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("lang"), col("split"))

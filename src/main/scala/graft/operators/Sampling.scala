@@ -17,17 +17,26 @@ import graft.functions.PortableHash.phash
   */
 object Sampling {
 
+  /** THE split definition — salt, bucket count, and thresholds live
+    * here only (Pipelines.curate and both oracles derive from it):
+    * changing them in one place keeps train/test membership in sync
+    * everywhere. */
+  val splitSalt: Int = 11
+
+  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(phash(id.cast("string"), splitSalt), lit(10L))
+
+  def splitName(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 8, "train").when(bucket === 8, "dev").otherwise("test")
+
   /** Deterministic 80/10/10 train/dev/test split by hashed doc id;
     * returns per-(lang, split) counts. The split column is computable
     * by any engine that has md5 — membership never drifts. */
   def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.documents
-      .withColumn("bucket", pmod(phash(col("doc_id").cast("string"), 11), lit(10L)))
-      .withColumn("split",
-        when(col("bucket") < 8, "train")
-          .when(col("bucket") === 8, "dev")
-          .otherwise("test"))
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .withColumn("split", splitName(col("bucket")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))

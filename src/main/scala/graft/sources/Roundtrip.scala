@@ -16,9 +16,11 @@ import graft.core.Tables
   */
 object Roundtrip {
 
+  /** Fixed per-query scratch path — every run overwrites the previous
+    * one (a fresh UUID dir per call would leak disk across repeated
+    * verify/bench loops). */
   private def tmpDir(prefix: String): String = {
-    val d = new java.io.File(
-      s"target/tmp/${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val d = new java.io.File(s"target/tmp/$prefix")
     d.mkdirs()
     d.toString
   }

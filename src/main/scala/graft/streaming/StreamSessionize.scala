@@ -2,8 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 
 /** Event-time sessionization as a REAL Structured Streaming query:
   * file source → watermark → `session_window` (gap-merging state store
@@ -19,42 +17,20 @@ import org.apache.spark.sql.types.LongType
   * the gap from the previous event is >= 30 min; a session's end is
   * last event + gap (Spark merges windows that strictly overlap). In
   * append mode a session is emitted once the watermark passes its end —
-  * with a 0s delay the end-of-stream watermark is the global max event
-  * time, so the oracle applies the same `session_end <= max(ts)` cut.
+  * Spark tracks watermarks in whole MILLISECONDS, so with a 0s delay
+  * the end-of-stream cut is the ms-floored global max event time; the
+  * oracle applies the same `session_end <= floor_ms(max(ts))` cut.
   */
 object StreamSessionize {
 
   val gapMicros: Long = 1800L * 1000000L
 
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // file streams need an explicit schema — probe it from a batch read
-    val batchSchema = spark.read.parquet(path).schema
-    // the file source wants a directory — scope it to the events table
-    // with a glob (the sf dir holds every table's parquet)
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val ev = raw.schema("ts").dataType match {
-      case LongType => // timestamp[ns] read as long (see core.Tables)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-    val sessions = ev
+    val sessions = StreamSource.eventsStream(spark, dir)
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
-    val qname = "graft_sessions_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = new java.io.File(s"target/tmp/ckpt_$qname")
-    ckpt.mkdirs()
-    val q = sessions.writeStream
-      .format("memory").queryName(qname)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(qname)
+    StreamSource.runToMemory(spark, sessions, "append", "graft_sessions")
       .select(
         col("user_id"),
         unix_micros(col("session_window.start")).as("sess_start_us"),

@@ -48,14 +48,8 @@ object StreamStateSessionize {
 
   def streamStateSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = s"$dir/events.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val ev = (raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("us", expr("ts div 1000"))
-      case _ => raw.withColumn("us", unix_micros(col("ts").cast("timestamp")))
-    }).select(col("user_id"), col("us")).as[UserEvent]
+    val ev = StreamSource.eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).as[UserEvent]
     val sessions = ev
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionRow](
@@ -72,18 +66,8 @@ object StreamStateSessionize {
           }
           closed.iterator
       }
-    val qname = "graft_state_sessions_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = new java.io.File(s"target/tmp/ckpt_$qname")
-    ckpt.mkdirs()
-    val q = sessions.writeStream
-      .format("memory").queryName(qname)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(qname)
+    StreamSource.runToMemory(spark, sessions.toDF(), "append",
+        "graft_state_sessions")
       .select(col("user_id"), col("sess_start_us"), col("sess_last_us"),
         col("n_events"))
       .orderBy(col("user_id"), col("sess_start_us"))

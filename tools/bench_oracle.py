@@ -8,11 +8,11 @@ Reads <out>/oracle_sql.json (written by graft.Verify), runs each oracle
 in DuckDB over the sf tables, and prints per-query seconds (best of
 `reps`, default 2) plus the total, as one JSON line. Dev-tool only.
 """
-import sys, json, time
+import os, sys, json, time
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import TABLES  # single source of truth for the table list
 
 
 def main() -> None:
