@@ -26,6 +26,8 @@ object SparkEntry {
     "a_topk_revenue" -> Relational.aTopkRevenue _,
     "a1_regroup" -> Relational.a1Regroup _,
     "a_distinct" -> Relational.aDistinct _,
+    "u_intersect_except" -> Relational.uIntersectExcept _,
+    "a_unpivot" -> Relational.aUnpivot _,
     "p_filter_threshold" -> Relational.pFilterThreshold _,
     "a5_entity_rollup" -> Windows.a5EntityRollup _,
     "d1_mode" -> Windows.d1Mode _,
@@ -598,6 +600,27 @@ object SparkEntry {
       """SELECT count(*) AS n_total, count(DISTINCT k) AS n_distinct
          FROM (SELECT c_custkey AS k FROM customer
                UNION ALL SELECT s_suppkey AS k FROM supplier)""",
+    "u_intersect_except" ->
+      """SELECT (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
+                 INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+                (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
+                 EXCEPT SELECT o_custkey FROM orders)) AS n_except""",
+    "a_unpivot" ->
+      """WITH g AS (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS disc_cents
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, metric, value FROM (
+           SELECT l_orderkey, 'qty' AS metric, qty AS value FROM g
+           UNION ALL
+           SELECT l_orderkey, 'price_cents', price_cents FROM g
+           UNION ALL
+           SELECT l_orderkey, 'disc_cents', disc_cents FROM g)
+         WHERE l_orderkey <= 100
+         ORDER BY l_orderkey, metric""",
     "domain_vehicle_enrich" ->
       """WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
                     event_type AS lane, value,

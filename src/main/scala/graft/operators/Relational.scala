@@ -129,6 +129,36 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Set operations beyond union: INTERSECT / EXCEPT over key sets
+    * (customers with vs without orders by key arithmetic). Spark plans
+    * both as aggregates/semi-anti joins — no materialized temp sets. */
+  def uIntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custKeys = t.customer.select(col("c_custkey").as("k"))
+    val orderCust = t.orders.select(col("o_custkey").as("k"))
+    val both = custKeys.intersect(orderCust)
+    val onlyCust = custKeys.except(orderCust)
+    both.agg(count(lit(1)).as("n_intersect"))
+      .crossJoin(onlyCust.agg(count(lit(1)).as("n_except")))
+  }
+
+  /** Unpivot (wide → long): per-order metric rows from the lineitem
+    * aggregate — the native `unpivot` API, one Expand pass. */
+  def aUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        sum(round(col("l_discount") * 100).cast("long")).as("disc_cents"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("qty"), col("price_cents"), col("disc_cents")),
+        "metric", "value")
+      .filter(col("l_orderkey") <= 100)
+      .orderBy(col("l_orderkey"), col("metric"))
+  }
+
   /** P5 confidence-threshold filter analog + A3 guard: value > 0.1,
     * counts and sums per type (filter pushed to parquet scan). */
   def pFilterThreshold(spark: SparkSession, dir: String): DataFrame = {

@@ -12,14 +12,20 @@ import scala.jdk.CollectionConverters._
   * memory-sink run with checkpoint cleanup. */
 object StreamSource {
 
-  /** Streaming read of `<dir>/events.parquet` with `ts` normalized to a
-    * proper TimestampType. File sources need a directory plus an
-    * explicit schema; the glob scopes the stream to the events table. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  /** Streaming read of event parquet under `dir` with `ts` normalized
+    * to a proper TimestampType. File sources need a directory plus an
+    * explicit schema; the glob scopes the stream to the events table
+    * (default: the single `events.parquet` of an sf dir).
+    * `maxFilesPerTrigger` bounds batch size (0 = all available). */
+  def eventsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0): DataFrame = {
+    val batchSchema = spark.read
+      .option("pathGlobFilter", glob).parquet(dir).schema
+    var reader = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val raw = reader.parquet(dir)
     raw.schema("ts").dataType match {
       case LongType => // timestamp[ns] read as long (see core.Tables)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
