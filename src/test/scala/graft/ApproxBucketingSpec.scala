@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The approximate-at-scale paths (SCALE.md: swap-in replacements for
+  * exact quantiles/distincts past single-node memory) verified against
+  * their exact twins, and bucketed co-located joins — the zero-shuffle
+  * join layout a 100 TB fact-fact join uses. */
+class ApproxBucketingSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct lands within its error bound of exact") {
+    val t = graft.core.Tables(spark, sf)
+    val r = t.events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("percentile_approx tracks the exact p50/p90 within tolerance") {
+    val t = graft.core.Tables(spark, sf)
+    val exact = graft.operators.Analytics.aQuantiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("p50_cents"),
+        r.getAs[Long]("p90_cents"))).toMap
+    val approx = t.events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("c"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("c"), lit(0.9), lit(1000)).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    approx.foreach { case (et, (p50, p90)) =>
+      val (e50, e90) = exact(et)
+      // values span ~0..49000 cents; 2% relative tolerance
+      assert(math.abs(p50 - e50) <= e50 * 0.02 + 100, s"$et p50 $p50 vs $e50")
+      assert(math.abs(p90 - e90) <= e90 * 0.02 + 100, s"$et p90 $p90 vs $e90")
+    }
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val t = graft.core.Tables(spark, sf)
+    val wh = new java.io.File("target/tmp/bucketed")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    t.orders.select(col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/b_orders").mode("overwrite")
+      .saveAsTable("b_orders")
+    t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/b_customer").mode("overwrite")
+      .saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located buckets: the join itself needs NO Exchange; the only
+    // allowed exchange is the final small aggregation
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it still computes the right thing
+    val viaBuckets = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBuckets === direct)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+  }
+}
