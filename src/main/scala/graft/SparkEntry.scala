@@ -735,14 +735,16 @@ object SparkEntry {
                AS multiple_persons_involved
            FROM f GROUP BY 1),
          ma AS (SELECT eid, alert_level, count(*) AS cnt,
-                       min(frame_number) AS fs FROM f GROUP BY 1, 2),
+                       min(frame_number) AS fs FROM f
+                WHERE alert_level IS NOT NULL GROUP BY 1, 2),
          mar AS (SELECT eid, alert_level, row_number() OVER (
                    PARTITION BY eid ORDER BY cnt DESC, fs, alert_level) AS rn
                  FROM ma),
          ro AS (SELECT eid, frame_number, unnest(person_roles) AS role
                 FROM f),
          mo AS (SELECT eid, role, count(*) AS cnt,
-                       min(frame_number) AS fs FROM ro GROUP BY 1, 2),
+                       min(frame_number) AS fs FROM ro
+                WHERE role IS NOT NULL GROUP BY 1, 2),
          mor AS (SELECT eid, role, row_number() OVER (
                    PARTITION BY eid ORDER BY cnt DESC, fs, role) AS rn FROM mo)
          SELECT b.eid AS event_id, b.event_type, b.location, b.notes,

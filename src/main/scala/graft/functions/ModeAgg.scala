@@ -38,12 +38,25 @@ object ModeAgg extends Aggregator[(String, Long), Map[String, (Long, Long)], Str
       acc.updated(v, (c0 + c, math.min(f0, f)))
     }
 
+  /** Value tie-break must order by UTF-8 BYTES (what Spark's binary
+    * string comparison and DuckDB both use) — Scala's String ordering
+    * compares UTF-16 code units and disagrees for supplementary-plane
+    * characters. */
+  private val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val (ab, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n && ab(i) == bb(i)) i += 1
+    if (i < n) (ab(i) & 0xff) - (bb(i) & 0xff) else ab.length - bb.length
+  }
+
   override def finish(buf: Map[String, (Long, Long)]): String =
     if (buf.isEmpty) null
     // count desc, first-seen asc, value asc — the value tie-break pins
     // the one case Counter order can't survive distribution: two values
     // first appearing in the SAME row with equal final counts
-    else buf.minBy { case (v, (c, f)) => (-c, f, v) }._1
+    else buf.minBy { case (v, (c, f)) => (-c, f, v) }(
+      Ordering.Tuple3(Ordering.Long, Ordering.Long, utf8Ordering))._1
 
   override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
     Encoders.kryo[Map[String, (Long, Long)]]

@@ -31,8 +31,12 @@ object Cluster {
     // Σ label strictly decreases every round until the fixpoint (labels
     // only ever drop to a smaller id), so convergence is a scalar
     // aggregate per round — far cheaper than a join-diff count.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      // sum() over an empty frame is NULL — an empty graph must yield
+      // an empty result, not an NPE
+      val cell = df.agg(sum(col("label"))).head()
+      if (cell.isNullAt(0)) 0L else cell.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

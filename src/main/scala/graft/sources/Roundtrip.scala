@@ -16,11 +16,13 @@ import graft.core.Tables
   */
 object Roundtrip {
 
-  /** Fixed per-query scratch path — every run overwrites the previous
-    * one (a fresh UUID dir per call would leak disk across repeated
-    * verify/bench loops). */
+  /** Per-process scratch path — stable within a JVM (each run
+    * overwrites, no unbounded leak) but isolated across concurrently
+    * running Verify/Bench processes, which would otherwise race on the
+    * same overwrite-then-read directory. */
   private def tmpDir(prefix: String): String = {
-    val d = new java.io.File(s"target/tmp/$prefix")
+    val d = new java.io.File(
+      s"target/tmp/${prefix}_${ProcessHandle.current().pid()}")
     d.mkdirs()
     d.toString
   }

@@ -104,7 +104,8 @@ class PropertiesSpec extends SparkSpec {
       .select(graft.functions.PortableHash.phash(col("s"), 0).as("h0"),
         graft.functions.PortableHash.phash(col("s"), 1).as("h1"))
       .collect()
-    val maxH = 103L * ((math.pow(128, 8).toLong - 1) / 127) // Σ 102·128^i bound
+    // Σ_{i=0..7} 102·128^i — max hex-digit ascii is 102 ('f')
+    val maxH = 102L * ((math.pow(128, 8).toLong - 1) / 127)
     df.foreach { r =>
       assert(r.getLong(0) >= 0 && r.getLong(0) <= maxH)
       assert(r.getLong(0) != r.getLong(1), "salt must split the hash family")

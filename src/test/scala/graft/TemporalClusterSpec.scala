@@ -48,6 +48,18 @@ class TemporalClusterSpec extends SparkSpec {
     assert(Seq(10L, 11L).forall(labels(_) == 10L))
   }
 
+  test("connectedComponents on an empty edge set returns empty, no NPE") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Cluster.connectedComponents(edges).count() === 0L)
+  }
+
+  test("ModeAgg value tie-break orders by UTF-8 bytes, not UTF-16") {
+    // U+FFFF sorts AFTER U+1F600 in UTF-16 code units but BEFORE it in
+    // UTF-8 bytes; engines compare binary UTF-8
+    val buf = Map("￿" -> (2L, 5L), "😀" -> (2L, 5L))
+    assert(graft.functions.ModeAgg.finish(buf) === "￿")
+  }
+
   test("connectedComponents converges past the edge direction") {
     // min id sits at the END of the chain: propagation must flow "up"
     val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
