@@ -97,6 +97,8 @@ object SparkEntry {
     "sim_centroids" -> Similarity.centroids _,
     "pipeline_curate" -> Pipelines.curate _,
     "graph_pagerank" -> Cluster.graphPagerank _,
+    "graph_triangles" -> Cluster.graphTriangles _,
+    "sim_knn_classify" -> Similarity.knnClassify _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
     // synthetic 2-D points from the embeddings table (D11)
     "view_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -1008,6 +1010,32 @@ object SparkEntry {
           pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v),
           $iters
           SELECT id AS doc_id, r AS rank_e6 FROM pr5 ORDER BY doc_id"""
+    },
+    "graph_triangles" ->
+      s"""WITH mh AS (SELECT a, b FROM ($minhashOracle))
+          SELECT count(*) AS n_triangles,
+                 CAST(coalesce(sum(t.a + t.b + t.c), 0) AS BIGINT)
+                   AS node_checksum
+          FROM (SELECT e1.a, e1.b, e2.b AS c
+                FROM mh e1
+                JOIN mh e2 ON e2.a = e1.b
+                JOIN mh e3 ON e3.a = e1.a AND e3.b = e2.b) t""",
+    "sim_knn_classify" -> {
+      val topk = simOracle(10, sameLabel = false)
+      s"""WITH topk AS ($topk),
+          lab AS (SELECT vec_id, label FROM embeddings),
+          v AS (SELECT t.qid, l.label AS nlabel, count(*) AS votes,
+                       min(t.rn) AS best_rn
+                FROM topk t JOIN lab l ON l.vec_id = t.nid
+                GROUP BY 1, 2),
+          r AS (SELECT qid, nlabel, votes,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY votes DESC, best_rn, nlabel) AS vr FROM v)
+          SELECT r.qid, r.nlabel AS predicted_label, r.votes,
+                 q.label AS true_label,
+                 (r.nlabel = q.label) AS correct
+          FROM r JOIN lab q ON q.vec_id = r.qid
+          WHERE r.vr = 1 ORDER BY r.qid"""
     },
     "s2_csv_roundtrip" ->
       """SELECT coalesce(lang, 'unknown') AS lang,

@@ -108,6 +108,26 @@ object Cluster {
       .orderBy(col("doc_id"))
   }
 
+  /** Triangle count over the near-dup candidate graph — the clustering-
+    * coefficient ingredient. Edges are canonical (a < b), so each
+    * triangle a<b<c is found exactly once by the two-join wedge close:
+    * (a,b)⋈(b,c)⋈(a,c). At scale the standard refinement orients edges
+    * by degree before joining to bound wedge fanout on hubs; the
+    * candidate graph here is near-regular (band collisions), so the
+    * canonical orientation suffices. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.Tables(spark, dir)
+    val e = Dedup.minhashCandidates(Dedup.shingles(t))
+      .select(col("a"), col("b"))
+    val ab = e
+    val bc = e.select(col("a").as("b"), col("b").as("c"))
+    val ac = e.select(col("a"), col("b").as("c"))
+    ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"),
+        coalesce(sum(col("a") + col("b") + col("c")), lit(0L))
+          .as("node_checksum"))
+  }
+
   /** Dedup clustering: components of the MinHash-LSH candidate-pair
     * graph, with component sizes. The pair list is the verified
     * [[Dedup.minhashLsh]] output, so the whole chain

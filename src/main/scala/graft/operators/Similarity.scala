@@ -73,6 +73,32 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** kNN majority-vote classification over the verified top-k neighbor
+    * lists: predicted label = most voted among the 10 nearest (count
+    * desc, best-rank asc, label asc — fully pinned), checked against
+    * the query's own label. The eval loop a curation pipeline runs to
+    * validate its embedding space. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.Tables(spark, dir)
+    val lab = t.embeddings.select(col("vec_id"), col("label"))
+    val votes = cosineTopk(spark, dir)
+      .join(lab.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+        Seq("nid"))
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"), min(col("rn")).as("best_rn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("best_rn"), col("nlabel"))
+    votes
+      .withColumn("vr", row_number().over(w))
+      .filter(col("vr") === 1)
+      .join(lab.select(col("vec_id").as("qid"), col("label").as("true_label")),
+        Seq("qid"))
+      .select(col("qid"), col("nlabel").as("predicted_label"),
+        col("votes"), col("true_label"),
+        (col("nlabel") === col("true_label")).as("correct"))
+      .orderBy(col("qid"))
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     topk(spark, dir, 5, sameLabelOnly = true)
 }
