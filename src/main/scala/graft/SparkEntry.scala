@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> Relational.q1Agg _,
+    "q3_shipping" -> Relational.q3Shipping _,
     "j_left_coalesce" -> Relational.jLeftCoalesce _,
     "j_broadcast_dims" -> Relational.jBroadcastDims _,
     "j_semi_anti" -> Relational.jSemiAnti _,
@@ -341,6 +342,19 @@ object SparkEntry {
                 ((20000 * sq + n_rows) // (2 * n_rows)) / 10000.0 AS avg_qty,
                 n_rows
          FROM g ORDER BY 1, 2""",
+    "q3_shipping" ->
+      """WITH g AS (SELECT l_orderkey,
+             CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1996-01-01'
+           GROUP BY 1, 2)
+         SELECT l_orderkey, odate_us, ((rev4 + 50) // 100) / 100.0 AS revenue
+         FROM g ORDER BY rev4 DESC, l_orderkey LIMIT 10""",
     "j_left_coalesce" ->
       """SELECT c_custkey, c_name,
          coalesce(n_orders, 0) AS n_orders,

@@ -129,6 +129,31 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Q3-shape shipping-priority join: selective filters on BOTH
+    * dimensions (pushed into the parquet scans), then
+    * customer ⋈ orders ⋈ lineitem with the filtered customer side
+    * broadcast — the canonical selective multi-join every OLAP bench
+    * leads with. Revenue in exact integer 1e-4 units. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t.orders
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    t.lineitem
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+      .orderBy(col("rev4").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("odate_us"),
+        (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"))
+  }
+
   /** Set operations beyond union: INTERSECT / EXCEPT over key sets
     * (customers with vs without orders by key arithmetic). Spark plans
     * both as aggregates/semi-anti joins — no materialized temp sets. */
