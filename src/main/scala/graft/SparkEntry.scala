@@ -79,6 +79,8 @@ object SparkEntry {
     "a_pivot" -> Analytics.aPivot _,
     "a_quantiles" -> Analytics.aQuantiles _,
     "w_rank_suite" -> Analytics.wRankSuite _,
+    "w_range_frame" -> Analytics.wRangeFrame _,
+    "a_corr_cov" -> Analytics.aCorrCov _,
     "j_asof" -> Temporal.jAsof _,
     "j_range" -> Temporal.jRange _,
     "dedup_cc" -> Cluster.dedupCc _,
@@ -853,6 +855,37 @@ object SparkEntry {
                FROM c WINDOW w AS (PARTITION BY user_id ORDER BY c DESC, event_id))
          SELECT user_id, event_id, c, rn, drank, quartile, pr, cd, third_cents
          FROM r WHERE rn <= 5 ORDER BY user_id, rn""",
+    "w_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         r AS (SELECT user_id, event_id, us,
+                      count(*) OVER w AS n_trailing_1h,
+                      CAST(sum(c) OVER w AS BIGINT) AS cents_trailing_1h,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) AS rn
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id,
+                n_trailing_1h, cents_trailing_1h
+         FROM r WHERE rn <= 5 ORDER BY user_id, rn""",
+    "a_corr_cov" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                    FROM lineitem),
+         g AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sx2,
+                      CAST(sum(y * y) AS BIGINT) AS sy2
+               FROM c GROUP BY 1)
+         SELECT l_returnflag, n, sx, sy,
+                (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n
+                  AS covar_pop,
+                (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS corr
+         FROM g ORDER BY l_returnflag""",
     "j_asof" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
                     FROM events),

@@ -110,6 +110,54 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Event-time RANGE frame: events within the trailing hour of each
+    * row (value-based frame, not row-count) — the sliding-window shape
+    * rate limiting and rolling metrics use. Emitted for the first 5
+    * rows per user to keep output bounded. */
+  def wRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), cents(col("value")).as("c"))
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    val rn = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(frame).as("n_trailing_1h"),
+        sum(col("c")).over(frame).as("cents_trailing_1h"),
+        row_number().over(rn).as("rn"))
+      .filter(col("rn") <= 5)
+      .select(col("user_id"), col("rn").cast("long").as("rn"),
+        col("event_id"), col("n_trailing_1h"), col("cents_trailing_1h"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Exact correlation/covariance per group from integer moments
+    * (Σx, Σy, Σxy, Σx², Σy² in cents — order-independent exact longs;
+    * built-in streaming corr/covar accumulate doubles whose result
+    * depends on partition order). The final double formulas see
+    * identical exact integers on every engine. */
+  def aCorrCov(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.lineitem.select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      cents(col("l_extendedprice")).as("y"))
+    c.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .withColumn("covar_pop", expr(
+        "(cast(sxy as double) - cast(sx as double) * cast(sy as double) / n) / n"))
+      .withColumn("corr", expr(
+        """(n * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+           / (sqrt(n * cast(sx2 as double) - cast(sx as double) * cast(sx as double))
+              * sqrt(n * cast(sy2 as double) - cast(sy as double) * cast(sy as double)))"""))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        col("covar_pop"), col("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Ranking-window suite: row_number / dense_rank / ntile / percent_rank
     * / cume_dist / nth_value in one window pass (top-5 rows per user by
     * cents). percent_rank and cume_dist are exact rational divisions of
