@@ -97,6 +97,7 @@ object SparkEntry {
     "f_date_suite" -> FunctionSuites.fDateSuite _,
     "f_string_suite" -> FunctionSuites.fStringSuite _,
     "stream_static_join" -> graft.streaming.StreamStaticJoin.streamStaticJoin _,
+    "stream_stream_join" -> graft.streaming.StreamStreamJoin.streamStreamJoin _,
     "sim_centroids" -> Similarity.centroids _,
     "pipeline_curate" -> Pipelines.curate _,
     "graph_pagerank" -> Cluster.graphPagerank _,
@@ -1000,6 +1001,15 @@ object SparkEntry {
                 CAST(length(repeat(substr(text, 1, 4), 3)) AS BIGINT) AS rep_len,
                 lpad(lang, 5, '_') AS padded
          FROM d ORDER BY doc_id""",
+    "stream_stream_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+               WHERE event_type = 'purchase')
+         SELECT c.user_id, c.c_us, p.p_us
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
+         ORDER BY 1, 2, 3""",
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
