@@ -874,19 +874,20 @@ object SparkEntry {
                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
                     FROM lineitem),
          g AS (SELECT l_returnflag, count(*) AS n,
-                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                      CAST(sum(x * y) AS BIGINT) AS sxy,
-                      CAST(sum(x * x) AS BIGINT) AS sx2,
-                      CAST(sum(y * y) AS BIGINT) AS sy2
-               FROM c GROUP BY 1)
-         SELECT l_returnflag, n, sx, sy,
-                (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n
-                  AS covar_pop,
-                (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                     * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                  AS corr
-         FROM g ORDER BY l_returnflag""",
+                      sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                      sum(x * x) AS sx2, sum(y * y) AS sy2
+               FROM c GROUP BY 1),
+         d AS (SELECT l_returnflag, n,
+                      CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                      CAST(sxy AS DOUBLE) AS sxy,
+                      n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+                      n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+               FROM g)
+         SELECT l_returnflag, n,
+                (sxy - sx * sy / n) / n AS covar_pop,
+                CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                     ELSE (n * sxy - sx * sy) / (sqrt(dx) * sqrt(dy)) END AS corr
+         FROM d ORDER BY l_returnflag""",
     "j_asof" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
                     FROM events),

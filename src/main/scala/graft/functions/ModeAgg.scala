@@ -42,13 +42,8 @@ object ModeAgg extends Aggregator[(String, Long), Map[String, (Long, Long)], Str
     * string comparison and DuckDB both use) — Scala's String ordering
     * compares UTF-16 code units and disagrees for supplementary-plane
     * characters. */
-  private val utf8Ordering: Ordering[String] = (a: String, b: String) => {
-    val (ab, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-    val n = math.min(ab.length, bb.length)
-    var i = 0
-    while (i < n && ab(i) == bb(i)) i += 1
-    if (i < n) (ab(i) & 0xff) - (bb(i) & 0xff) else ab.length - bb.length
-  }
+  private val utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
 
   override def finish(buf: Map[String, (Long, Long)]): String =
     if (buf.isEmpty) null

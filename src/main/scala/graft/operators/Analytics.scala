@@ -131,30 +131,39 @@ object Analytics {
       .orderBy(col("user_id"), col("rn"))
   }
 
-  /** Exact correlation/covariance per group from integer moments
-    * (Σx, Σy, Σxy, Σx², Σy² in cents — order-independent exact longs;
-    * built-in streaming corr/covar accumulate doubles whose result
-    * depends on partition order). The final double formulas see
-    * identical exact integers on every engine. */
+  /** Exact correlation/covariance per group from integer moments —
+    * order-independent, unlike built-in streaming corr/covar whose
+    * double accumulation depends on partition order. Per-row products
+    * fit a long (y² ≤ ~1.1e14); the SUMS are decimal(38,0) (DuckDB:
+    * HUGEINT), so nothing overflows at any realistic scale — Σy² in
+    * raw cents would blow past int64 just above sf0.1. Both engines
+    * convert the identical exact integer to double once, in the final
+    * formulas; zero-variance groups yield NULL corr (pinned — double
+    * semantics at 0 denominators differ across engines). */
   def aCorrCov(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val dec = "decimal(38,0)"
     val c = t.lineitem.select(col("l_returnflag"),
       col("l_quantity").cast("long").as("x"),
       cents(col("l_extendedprice")).as("y"))
     c.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sx2"),
-        sum(col("y") * col("y")).as("sy2"))
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sx2"),
+        sum((col("y") * col("y")).cast(dec)).as("sy2"))
       .withColumn("covar_pop", expr(
         "(cast(sxy as double) - cast(sx as double) * cast(sy as double) / n) / n"))
-      .withColumn("corr", expr(
-        """(n * cast(sxy as double) - cast(sx as double) * cast(sy as double))
-           / (sqrt(n * cast(sx2 as double) - cast(sx as double) * cast(sx as double))
-              * sqrt(n * cast(sy2 as double) - cast(sy as double) * cast(sy as double)))"""))
-      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
-        col("covar_pop"), col("corr"))
+      .withColumn("dx", expr(
+        "n * cast(sx2 as double) - cast(sx as double) * cast(sx as double)"))
+      .withColumn("dy", expr(
+        "n * cast(sy2 as double) - cast(sy as double) * cast(sy as double)"))
+      .withColumn("corr", when(col("dx") === 0.0 || col("dy") === 0.0, lit(null))
+        .otherwise(
+          expr("(n * cast(sxy as double) - cast(sx as double) * cast(sy as double))")
+            / (sqrt(col("dx")) * sqrt(col("dy")))))
+      .select(col("l_returnflag"), col("n"), col("covar_pop"), col("corr"))
       .orderBy(col("l_returnflag"))
   }
 

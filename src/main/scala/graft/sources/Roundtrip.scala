@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import graft.core.Tables
 
 /** Source/sink format coverage beyond JSON (SURVEY §2.1): CSV and
@@ -16,14 +17,31 @@ import graft.core.Tables
   */
 object Roundtrip {
 
-  /** Per-process scratch path — stable within a JVM (each run
-    * overwrites, no unbounded leak) but isolated across concurrently
-    * running Verify/Bench processes, which would otherwise race on the
-    * same overwrite-then-read directory. */
+  /** Per-process scratch path: isolated across concurrently running
+    * Verify/Bench JVMs (which would race on a shared overwrite-then-
+    * read dir), stable within one JVM (reruns overwrite), and removed
+    * by a shutdown hook so repeated fresh-JVM loops don't accumulate
+    * pid-suffixed copies on disk. */
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def tmpDir(prefix: String): String = {
     val d = new java.io.File(
       s"target/tmp/${prefix}_${ProcessHandle.current().pid()}")
     d.mkdirs()
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val root = new java.io.File("target/tmp")
+      val pid = ProcessHandle.current().pid().toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(s"_$pid"))
+          .foreach { dir =>
+            val walk = java.nio.file.Files.walk(dir.toPath)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
+          }
+      }))
+    }
     d.toString
   }
 

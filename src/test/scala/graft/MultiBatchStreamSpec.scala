@@ -15,7 +15,7 @@ class MultiBatchStreamSpec extends SparkSpec {
   private def splitEventsDir(): String = {
     val dir = Files.createTempDirectory("graft-mbatch").toString
     val ev = graft.core.Tables(spark, "/root/testdata/sf0.001").events
-      .select(col("user_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
     // two time-ordered halves written as separate files; modification
     // times ordered so the file source processes them in event-time order
     val cut = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
@@ -63,6 +63,25 @@ class MultiBatchStreamSpec extends SparkSpec {
       .select(col("user_id"), col("s"), col("e"), col("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
+    assert(streamed === expected)
+  }
+
+  test("stream-stream interval join survives micro-batch boundaries") {
+    val dir = splitEventsDir()
+    val stream = StreamSource.eventsStream(
+      spark, s"$dir/*", glob = "part-*.parquet", maxFilesPerTrigger = 1)
+    val joined = graft.streaming.StreamStreamJoin.streamStreamJoinOn(stream)
+    val streamed = StreamSource.runToMemory(spark, joined, "append", "mb_ssj")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001").events
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("p_us"))
+    val expected = c.join(p, col("user_id") === col("pu") &&
+        col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + 3600L * 1000000L)
+      .select(col("user_id"), col("c_us"), col("p_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === expected)
   }
 
