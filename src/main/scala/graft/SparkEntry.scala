@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incremental _,
     "f_date_suite" -> FunctionSuites.fDateSuite _,
     "f_string_suite" -> FunctionSuites.fStringSuite _,
+    "f_cond_bitwise" -> FunctionSuites.fCondBitwise _,
     "stream_static_join" -> graft.streaming.StreamStaticJoin.streamStaticJoin _,
     "stream_stream_join" -> graft.streaming.StreamStreamJoin.streamStreamJoin _,
     "sim_centroids" -> Similarity.centroids _,
@@ -1002,6 +1003,19 @@ object SparkEntry {
                 CAST(length(repeat(substr(text, 1, 4), 3)) AS BIGINT) AS rep_len,
                 lpad(lang, 5, '_') AS padded
          FROM d ORDER BY doc_id""",
+    "f_cond_bitwise" ->
+      """WITH b AS (SELECT event_type, event_id, user_id,
+                    CAST(round(value * 100) AS BIGINT) AS c FROM events)
+         SELECT event_type,
+                count(CASE WHEN nullif(user_id % 10, 0) IS NULL THEN 1 END)
+                  AS n_zero_mod,
+                CAST(sum(least(c, 10000)) AS BIGINT) AS sum_capped,
+                CAST(sum(greatest(c, user_id * 100)) AS BIGINT) AS sum_floored,
+                CAST(sum(event_id & 255) AS BIGINT) AS sum_and,
+                CAST(sum(event_id | 1) AS BIGINT) AS sum_or,
+                CAST(sum(xor(event_id, user_id)) AS BIGINT) AS sum_xor,
+                CAST(sum(user_id << 3) AS BIGINT) AS sum_shl
+         FROM b GROUP BY 1 ORDER BY 1""",
     "stream_stream_join" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
                     WHERE event_type = 'click'),

@@ -31,6 +31,25 @@ object FunctionSuites {
       .orderBy(col("month_us"))
   }
 
+  /** Conditional + bitwise functions: nullif / least / greatest and
+    * AND/OR/XOR/shift over event ids, rolled up per event_type. */
+  def fCondBitwise(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = round(col("value") * 100).cast("long")
+    t.events
+      .select(col("event_type"), col("event_id"), col("user_id"), c.as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(expr("nullif(user_id % 10, 0)").isNull, 1)).as("n_zero_mod"),
+        sum(least(col("c"), lit(10000L))).as("sum_capped"),
+        sum(greatest(col("c"), col("user_id") * 100)).as("sum_floored"),
+        sum(col("event_id").bitwiseAND(lit(255L))).as("sum_and"),
+        sum(col("event_id").bitwiseOR(lit(1L))).as("sum_or"),
+        sum(col("event_id").bitwiseXOR(col("user_id"))).as("sum_xor"),
+        sum(shiftleft(col("user_id"), 3).cast("long")).as("sum_shl"))
+      .orderBy(col("event_type"))
+  }
+
   /** String functions over English docs (single-script text so
     * levenshtein/substr agree across engines' unicode handling):
     * levenshtein, reverse, repeat, translate, lpad. */
