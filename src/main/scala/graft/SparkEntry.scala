@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> Relational.q1Agg _,
     "q3_shipping" -> Relational.q3Shipping _,
+    "q_subqueries" -> Relational.qSubqueries _,
     "j_left_coalesce" -> Relational.jLeftCoalesce _,
     "j_broadcast_dims" -> Relational.jBroadcastDims _,
     "j_semi_anti" -> Relational.jSemiAnti _,
@@ -359,6 +360,14 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT l_orderkey, odate_us, ((rev4 + 50) // 100) / 100.0 AS revenue
          FROM g ORDER BY rev4 DESC, l_orderkey LIMIT 10""",
+    "q_subqueries" ->
+      """SELECT n_name,
+                (SELECT count(1) FROM supplier
+                 WHERE s_nationkey = n_nationkey) AS n_suppliers,
+                EXISTS (SELECT 1 FROM customer
+                        WHERE c_nationkey = n_nationkey
+                          AND c_acctbal > 9000.0) AS has_rich_customer
+         FROM nation ORDER BY n_name""",
     "j_left_coalesce" ->
       """SELECT c_custkey, c_name,
          coalesce(n_orders, 0) AS n_orders,

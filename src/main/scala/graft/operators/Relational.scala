@@ -129,6 +129,24 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Correlated scalar subquery + EXISTS predicate through the SQL
+    * surface — Catalyst decorrelates both into aggregate/semi joins
+    * (no per-row re-execution; `.explain` shows plain joins). */
+  def qSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation.createOrReplaceTempView("graft_sq_nation")
+    t.supplier.createOrReplaceTempView("graft_sq_supplier")
+    t.customer.createOrReplaceTempView("graft_sq_customer")
+    spark.sql(
+      """SELECT n_name,
+                (SELECT count(1) FROM graft_sq_supplier
+                 WHERE s_nationkey = n_nationkey) AS n_suppliers,
+                EXISTS (SELECT 1 FROM graft_sq_customer
+                        WHERE c_nationkey = n_nationkey
+                          AND c_acctbal > 9000.0) AS has_rich_customer
+         FROM graft_sq_nation ORDER BY n_name""")
+  }
+
   /** Q3-shape shipping-priority join: selective filters on BOTH
     * dimensions (pushed into the parquet scans), then
     * customer ⋈ orders ⋈ lineitem with the filtered customer side
