@@ -71,6 +71,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("isnotnull(lang") || p.contains("(lang"))
   }
 
+  test("no query plans an unexpected cartesian or nested-loop join") {
+    // intentional exceptions: brute-force similarity broadcasts the tiny
+    // query/aggregate side through a BroadcastNestedLoopJoin by design
+    val allowNlj = Set("sim_cosine_topk", "sim_ann_ivf", "sim_knn_classify",
+      "text_tfidf", "u_intersect_except", "dedup_incremental")
+    // streaming queries execute on build; roundtrips write scratch files;
+    // iterative ops run jobs — all are covered by their own specs/oracles
+    val skip = Set("stream_sessionize", "stream_state_sessionize",
+      "stream_static_join", "stream_stream_join", "s2_csv_roundtrip",
+      "s3_partitioned_prune", "dedup_cc", "graph_pagerank", "view_kmeans")
+    SparkEntry.queries.keys.filterNot(skip).foreach { name =>
+      val p = executedPlan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!allowNlj(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+    }
+  }
+
   test("hash-mod sampling needs no shuffle before the aggregation") {
     val p = executedPlan("sample_split")
     // the sample membership filter must sit in the scan stage, not
