@@ -102,6 +102,10 @@ object SparkEntry {
     "stream_stream_join" -> graft.streaming.StreamStreamJoin.streamStreamJoin _,
     "sim_centroids" -> Similarity.centroids _,
     "pipeline_curate" -> Pipelines.curate _,
+    "pipeline_pack" -> ((s: SparkSession, dir: String) =>
+      Pipelines.packSequences(s, dir)),
+    "mm_chunk_sample" -> ((s: SparkSession, dir: String) =>
+      Pipelines.mmChunkSample(s, dir)),
     "graph_pagerank" -> Cluster.graphPagerank _,
     "graph_triangles" -> Cluster.graphTriangles _,
     "sim_knn_classify" -> Similarity.knnClassify _,
@@ -1072,6 +1076,26 @@ object SparkEntry {
                  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
           FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+    "pipeline_pack" ->
+      """WITH d AS (SELECT lang, doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         w AS (SELECT lang, doc_id, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "mm_chunk_sample" ->
+      """WITH m AS (SELECT doc_id,
+                    (octet_length(encode(text)) - 1) // 256 AS max_chunk
+                    FROM documents),
+         c AS (SELECT doc_id, unnest(range(0, max_chunk + 1)) AS chunk_idx
+               FROM m)
+         SELECT doc_id, count(*) AS n_sampled,
+                CAST(max(chunk_idx) AS BIGINT) AS last_sampled
+         FROM c WHERE chunk_idx % 10 = 0 GROUP BY 1 ORDER BY 1""",
     "graph_pagerank" -> {
       val iters = (1 to 5).map { k =>
         val prev = s"pr${k - 1}"

@@ -13,6 +13,48 @@ import graft.core.Tables
   * full rows, and the split is a shuffle-free hash of the keeper id. */
 object Pipelines {
 
+  /** Sequence packing (concat-and-chop): documents are laid end-to-end
+    * in a deterministic order per language and chopped into fixed
+    * token-budget bins — the packing step that turns a curated corpus
+    * into fixed-length pretraining sequences. A document's bin is the
+    * bin its FIRST token lands in. One window pass + one aggregation;
+    * the running sum shards by language. */
+  def packSequences(spark: SparkSession, dir: String,
+      tokenBudget: Long = 2048L): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $tokenBudget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Deterministic chunk/frame sampling for multimodal assets: every
+    * k-th fixed-size chunk of each asset (here: 256-byte chunks of the
+    * text payload standing in for video frames — the Spark-side
+    * plumbing is identical). Pure narrow ops: sequence + explode +
+    * modulo filter; no data-dependent driver loop. */
+  def mmChunkSample(spark: SparkSession, dir: String,
+      chunkBytes: Int = 256, every: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"),
+        expr(s"(octet_length(encode(text, 'UTF-8')) - 1) div $chunkBytes")
+          .as("max_chunk"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, max_chunk)")).as("chunk_idx"))
+      .filter(pmod(col("chunk_idx"), lit(every.toLong)) === 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("chunk_idx")).as("last_sampled"))
+      .orderBy(col("doc_id"))
+  }
+
   def curate(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val toks = split(col("text"), " ")
