@@ -1089,7 +1089,8 @@ object SparkEntry {
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "mm_chunk_sample" ->
       """WITH m AS (SELECT doc_id,
-                    (octet_length(encode(text)) - 1) // 256 AS max_chunk
+                    (greatest(octet_length(encode(text)), 1) - 1) // 256
+                      AS max_chunk
                     FROM documents),
          c AS (SELECT doc_id, unnest(range(0, max_chunk + 1)) AS chunk_idx
                FROM m)

@@ -44,8 +44,11 @@ object Pipelines {
       chunkBytes: Int = 256, every: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
     t.documents
+      // greatest(…, 1) keeps the dividend non-negative for empty text
+      // (negative operands are where Spark's truncating div and floor
+      // division `//` disagree); an empty asset still has chunk 0
       .select(col("doc_id"),
-        expr(s"(octet_length(encode(text, 'UTF-8')) - 1) div $chunkBytes")
+        expr(s"(greatest(octet_length(encode(text, 'UTF-8')), 1) - 1) div $chunkBytes")
           .as("max_chunk"))
       .select(col("doc_id"),
         explode(expr("sequence(0L, max_chunk)")).as("chunk_idx"))
