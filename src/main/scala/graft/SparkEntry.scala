@@ -22,6 +22,7 @@ object SparkEntry {
     "q1_agg" -> Relational.q1Agg _,
     "q3_shipping" -> Relational.q3Shipping _,
     "q_subqueries" -> Relational.qSubqueries _,
+    "q1_pricing_full" -> Relational.q1Full _,
     "j_left_coalesce" -> Relational.jLeftCoalesce _,
     "j_broadcast_dims" -> Relational.jBroadcastDims _,
     "j_semi_anti" -> Relational.jSemiAnti _,
@@ -364,6 +365,30 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT l_orderkey, odate_us, ((rev4 + 50) // 100) / 100.0 AS revenue
          FROM g ORDER BY rev4 DESC, l_orderkey LIMIT 10""",
+    "q1_pricing_full" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS q, l_extendedprice,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tc
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+         g AS (SELECT l_returnflag, l_linestatus,
+             sum(q) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             sum(pc * (100 - dc)) AS disc4,
+             sum(pc * (100 - dc) * (100 + tc)) AS charge6,
+             sum(pc) AS spc, sum(dc) AS sdc, count(*) AS n_rows
+           FROM c GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus,
+                CAST(sum_qty AS BIGINT) AS sum_qty, sum_base_price,
+                ((disc4 + 50) // 100) / 100.0 AS sum_disc_price,
+                ((charge6 + 5000) // 10000) / 100.0 AS sum_charge,
+                ((20000 * sum_qty + n_rows) // (2 * n_rows)) / 10000.0 AS avg_qty,
+                ((200 * spc + n_rows) // (2 * n_rows)) / 10000.0 AS avg_price,
+                ((200 * sdc + n_rows) // (2 * n_rows)) / 10000.0 AS avg_disc,
+                n_rows
+         FROM g ORDER BY 1, 2""",
     "q_subqueries" ->
       """SELECT n_name,
                 (SELECT count(1) FROM supplier
