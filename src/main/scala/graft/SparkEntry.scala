@@ -367,7 +367,7 @@ object SparkEntry {
          FROM g ORDER BY rev4 DESC, l_orderkey LIMIT 10""",
     "q1_pricing_full" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
-             CAST(l_quantity AS BIGINT) AS q, l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS q,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
              CAST(round(l_discount * 100) AS BIGINT) AS dc,
              CAST(round(l_tax * 100) AS BIGINT) AS tc
@@ -375,13 +375,13 @@ object SparkEntry {
            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
          g AS (SELECT l_returnflag, l_linestatus,
              sum(q) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
              sum(pc * (100 - dc)) AS disc4,
              sum(pc * (100 - dc) * (100 + tc)) AS charge6,
              sum(pc) AS spc, sum(dc) AS sdc, count(*) AS n_rows
            FROM c GROUP BY 1, 2)
          SELECT l_returnflag, l_linestatus,
-                CAST(sum_qty AS BIGINT) AS sum_qty, sum_base_price,
+                CAST(sum_qty AS BIGINT) AS sum_qty,
+                CAST(spc AS DOUBLE) / 100.0 AS sum_base_price,
                 ((disc4 + 50) // 100) / 100.0 AS sum_disc_price,
                 ((charge6 + 5000) // 10000) / 100.0 AS sum_charge,
                 ((20000 * sum_qty + n_rows) // (2 * n_rows)) / 10000.0 AS avg_qty,
@@ -785,9 +785,9 @@ object SparkEntry {
              coalesce(stddev_samp(dur_det), 0.0) AS event_duration_stddev,
              (max(CASE WHEN response_required THEN 1 ELSE 0 END) = 1)
                AS response_required,
-             list_sort(list_distinct(list(involved_person_id)))
+             array_to_string(list_sort(list_distinct(list(involved_person_id))), ',')
                AS involved_persons,
-             list_sort(list_distinct(flatten(list(person_roles))))
+             array_to_string(list_sort(list_distinct(flatten(list(person_roles)))), ',')
                AS unique_roles,
              (max(CASE WHEN multi THEN 1 ELSE 0 END) = 1)
                AS multiple_persons_involved
@@ -1075,7 +1075,8 @@ object SparkEntry {
              md5($normSql) AS fp, $b % 5 AS b FROM documents),
           i AS (SELECT * FROM fp WHERE b = 4)
           SELECT i.fp, min(i.doc_id) AS keep_id, count(*) AS n_copies
-          FROM i WHERE i.fp NOT IN (SELECT fp FROM fp WHERE b < 4)
+          FROM i WHERE NOT EXISTS (SELECT 1 FROM fp e
+                                   WHERE e.b < 4 AND e.fp = i.fp)
           GROUP BY i.fp ORDER BY keep_id"""
     },
     "sim_centroids" ->

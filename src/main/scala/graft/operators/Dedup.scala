@@ -88,13 +88,17 @@ object Dedup {
     val cands = minhashCandidates(sh)
     // intersection sizes ONLY for candidate pairs (semi-join pushdown):
     // a bare shingle self-join would compute |∩| for every pair sharing
-    // any shingle — quadratic fanout on common shingles at scale. The
-    // candidate set is small by construction → broadcast it through.
+    // any shingle — quadratic fanout on common shingles at scale. Only
+    // the bare pair list (a,b) is broadcast — bounded BY CONSTRUCTION
+    // (LSH bands emit few pairs). Its expansion against the shingle
+    // table (candSh) is corpus-proportional, so that join must NOT be
+    // broadcast: it shuffle-joins on (b, shingle) and AQE may still
+    // downgrade to broadcast at runtime when the actual size allows.
     val shA = sh.select(col("doc_id").as("a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("b"), col("shingle"))
     val candSh = broadcast(cands.select(col("a"), col("b")))
       .join(shA, Seq("a"))
-    val inter = shB.join(broadcast(candSh), Seq("b", "shingle"))
+    val inter = shB.join(candSh, Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     cands.join(inter, Seq("a", "b"), "left")
       .select(col("a"), col("b"),

@@ -110,7 +110,8 @@ object DomainBridge2 {
         col("duration_seconds"), col("frame_occurrences"),
         col("avg_confidence"), col("avg_event_duration"),
         col("event_duration_stddev"), col("response_required"),
-        col("involved_persons"), col("unique_roles"),
+        array_join(col("involved_persons"), ",").as("involved_persons"),
+        array_join(col("unique_roles"), ",").as("unique_roles"),
         col("most_common_alert_level"), col("most_common_role"),
         col("multiple_persons_involved"))
       .orderBy(col("event_id"))

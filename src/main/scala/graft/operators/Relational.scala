@@ -132,9 +132,11 @@ object Relational {
   /** The canonical full pricing-summary (TPC-H Q1 shape): shipdate
     * predicate pushed to the scan, eight aggregates in one partial+final
     * hash-agg pass. Money terms are exact-integer: disc price in 1e-4
-    * units, charge in 1e-6 units (long sums are exact through sf≈100;
-    * past that, switch the two product sums to decimal(38,0) as
-    * a_corr_cov does). Averages use the proven integer half-up form. */
+    * units, charge in 1e-6 units; the two product sums accumulate as
+    * decimal(38,0) (≡ DuckDB HUGEINT) so no scale factor can overflow
+    * them, and sum_base_price is derived from the exact cents sum —
+    * never a partition-order-dependent double accumulation. Averages
+    * use the proven integer half-up form. */
   def q1Full(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val pc = round(col("l_extendedprice") * 100).cast("long")
@@ -145,14 +147,14 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        sum(pc * (lit(100L) - dc)).as("disc4"),
-        sum(pc * (lit(100L) - dc) * (lit(100L) + tc)).as("charge6"),
+        sum((pc * (lit(100L) - dc)).cast("decimal(38,0)")).as("disc4"),
+        sum((pc * (lit(100L) - dc) * (lit(100L) + tc)).cast("decimal(38,0)"))
+          .as("charge6"),
         sum(pc).as("sum_price_cents"),
         sum(dc).as("sum_disc_cents"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-        col("sum_base_price"),
+        (col("sum_price_cents").cast("double") / 100.0).as("sum_base_price"),
         (expr("(disc4 + 50) div 100").cast("double") / 100.0).as("sum_disc_price"),
         (expr("(charge6 + 5000) div 10000").cast("double") / 100.0).as("sum_charge"),
         (expr("(20000 * sum_qty + n_rows) div (2 * n_rows)").cast("double") / 10000.0)

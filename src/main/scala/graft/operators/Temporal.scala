@@ -25,11 +25,15 @@ object Temporal {
     * `right.ts <= left.ts` (nulls when no such row exists).
     *
     * Plan shape: union both sides → ONE hash-partition on the key → one
-    * window sort → `last(_, ignoreNulls)` carry-forward per payload
-    * column. Ties at the same timestamp count as "before" (the right
-    * side sorts first). If the right side has several rows at the same
-    * (key, ts) the carried payload among them is unspecified — dedupe
-    * the right side first when that matters.
+    * window sort → a single `last(struct, ignoreNulls)` carry-forward of
+    * the WHOLE payload struct (one window function regardless of payload
+    * width, and a NULL payload value on the latest matching right row is
+    * carried as NULL — true as-of semantics — instead of falling back to
+    * an older non-null value as a per-column carry would). Ties at the
+    * same timestamp count as "before" (the right side sorts first). If
+    * the right side has several rows at the same (key, ts) the carried
+    * payload among them is unspecified — dedupe the right side first
+    * when that matters.
     *
     * Requirements: `payload` names must not clash with left columns.
     */
@@ -52,9 +56,16 @@ object Temporal {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("_kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }.filter(col("_kind") === 1).drop("_kind")
+    // Right rows wrap their payload in a non-null struct; the struct is
+    // what gets carried, so NULL fields inside the latest match survive.
+    val carried = unioned
+      .withColumn("_carry",
+        when(col("_kind") === 0, struct(payload.map(col): _*)))
+      .withColumn("_c", last(col("_carry"), ignoreNulls = true).over(w))
+      .filter(col("_kind") === 1)
+    payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, col("_c").getField(p))
+    }.drop("_kind", "_carry", "_c")
   }
 
   /** As-of join over the events table: for every purchase event, the

@@ -90,6 +90,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("minhash verification never broadcast-HINTS a corpus-proportional side") {
+    // the only broadcast HINT allowed is the bare (a,b) candidate-pair
+    // list — bounded by LSH construction. The pair-list×shingle expansion
+    // is O(corpus) and must reach the intersection join unhinted (the
+    // planner may still broadcast from MEASURED statistics at tiny SF,
+    // which is safe; a static hint is not — it would OOM at 100 TB).
+    val analyzed = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints <= 1,
+      s"minhash pipeline carries $hints broadcast hints; only the bounded pair list may be hinted")
+  }
+
   test("hash-mod sampling needs no shuffle before the aggregation") {
     val p = executedPlan("sample_split")
     // the sample membership filter must sit in the scan stage, not
