@@ -75,6 +75,9 @@ object SparkEntry {
     "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
     "domain_retail_enrich" -> DomainBridge2.retailEnrich _,
     "domain_school_enrich" -> DomainBridge2.schoolEnrich _,
+    "view_people_es" -> DomainBridge2.peopleEs _,
+    "view_safety_es" -> DomainBridge2.safetyEs _,
+    "view_vehicle_legacy" -> DomainBridge2.vehicleLegacy _,
     "a_rollup" -> Analytics.aRollup _,
     "a_cube" -> Analytics.aCube _,
     "a_grouping_sets" -> Analytics.aGroupingSets _,
@@ -302,6 +305,88 @@ object SparkEntry {
         JOIN fv1 f1 USING (tracker_id)
         LEFT JOIN mode_missing m USING (tracker_id)
         ORDER BY b.tracker_id"""
+
+  private val peopleEsOracle: String =
+    s"""WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
+           CASE WHEN event_type = 'view' THEN 'Unknown' ELSE event_type END AS gender,
+           'bag_' || CAST(user_id % 3 AS VARCHAR) AS carrying,
+           CAST(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END AS BIGINT) AS age,
+           (event_type = 'error') AS inr
+           FROM events),
+        base AS (SELECT tracker_id,
+           (max(CASE WHEN inr THEN 1 ELSE 0 END) = 1) AS entered_restricted_area,
+           min(CASE WHEN inr THEN CAST(frame_number AS DOUBLE) END)
+             AS restricted_area_entry_time,
+           CAST(min(frame_number) AS DOUBLE) AS first_detection,
+           CAST(max(frame_number) AS DOUBLE) AS last_detection,
+           CAST(max(frame_number) - min(frame_number) AS DOUBLE) AS duration_seconds,
+           count(*) AS frame_count
+           FROM f GROUP BY 1),
+        ${modeCte("age_m", "age", Seq.empty).replace("age IS NOT NULL", "age IS NOT NULL AND age != 0")},
+        ${modeCte("gender_m", "gender", Seq("", "Unknown"))},
+        ${modeCte("carrying_m", "carrying", Seq("", "Unknown"))}
+        SELECT b.tracker_id AS people_id, coalesce(a.age_m, 0) AS age,
+               coalesce(g.gender_m, 'Unknown') AS gender,
+               coalesce(c.carrying_m, 'Unknown') AS carrying,
+               b.entered_restricted_area,
+               b.restricted_area_entry_time,
+               b.first_detection AS entry_time,
+               b.last_detection AS exit_time,
+               b.duration_seconds, b.frame_count
+        FROM base b
+        LEFT JOIN mode_age_m a USING (tracker_id)
+        LEFT JOIN mode_gender_m g USING (tracker_id)
+        LEFT JOIN mode_carrying_m c USING (tracker_id)
+        ORDER BY b.tracker_id"""
+
+  private val safetyEsOracle: String =
+    """SELECT user_id AS tracker_id, event_id AS frame_number,
+              (value > 100.0) AS wearing_hardhat,
+              (value > 200.0) AS wearing_mask,
+              (value > 300.0) AS wearing_safety_vest,
+              CASE WHEN value > 250.0 THEN 'Safe' ELSE 'Unsafe' END
+                AS safety_status,
+              event_type AS missing_items,
+              CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || ',' ||
+              CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || ',' ||
+              CAST(CAST(round((value + 10.0) * 100) AS BIGINT) AS VARCHAR) || ',' ||
+              CAST(CAST(round((value + 10.0) * 100) AS BIGINT) AS VARCHAR)
+                AS bbox_cents
+       FROM events ORDER BY tracker_id, frame_number"""
+
+  private val vehicleLegacyOracle: String =
+    s"""WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
+           event_id % 3 AS class_id,
+           'vt_' || CAST(event_id % 4 AS VARCHAR) AS vehicle_type,
+           'c_' || CAST(event_id % 5 AS VARCHAR) AS vehicle_color,
+           CASE WHEN value > 250.0 THEN 'north' ELSE 'south' END
+             AS vehicle_direction,
+           'lane_' || CAST(event_id % 3 AS VARCHAR) AS vehicle_lane,
+           CAST(user_id % 8 AS DOUBLE) * 0.125 AS confidence,
+           CAST(event_id % 50 AS DOUBLE) AS vehicle_speed
+           FROM events),
+        avgs AS (SELECT tracker_id,
+           coalesce(avg(confidence), 0.0) AS average_confidence,
+           coalesce(avg(vehicle_speed), 0.0) AS average_speed
+           FROM f GROUP BY 1),
+        ${modeCte("class_id_m", "class_id", Seq.empty)},
+        ${modeCte("vehicle_type_m", "vehicle_type", Seq.empty)},
+        ${modeCte("vehicle_color_m", "vehicle_color", Seq.empty)},
+        ${modeCte("vehicle_direction_m", "vehicle_direction", Seq.empty)},
+        ${modeCte("vehicle_lane_m", "vehicle_lane", Seq.empty)}
+        SELECT a.tracker_id, c1.class_id_m AS class_id,
+               t.vehicle_type_m AS vehicle_type,
+               c2.vehicle_color_m AS vehicle_color,
+               d.vehicle_direction_m AS vehicle_direction,
+               l.vehicle_lane_m AS vehicle_lane,
+               a.average_confidence, a.average_speed
+        FROM avgs a
+        LEFT JOIN mode_class_id_m c1 USING (tracker_id)
+        LEFT JOIN mode_vehicle_type_m t USING (tracker_id)
+        LEFT JOIN mode_vehicle_color_m c2 USING (tracker_id)
+        LEFT JOIN mode_vehicle_direction_m d USING (tracker_id)
+        LEFT JOIN mode_vehicle_lane_m l USING (tracker_id)
+        ORDER BY a.tracker_id"""
 
   private val embCosineOracle: String =
     """WITH e AS (SELECT vec_id, label,
@@ -758,6 +843,9 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY 1""",
     "domain_people_enrich" -> peopleEnrichOracle,
     "domain_safety_enrich" -> safetyEnrichOracle,
+    "view_people_es" -> peopleEsOracle,
+    "view_safety_es" -> safetyEsOracle,
+    "view_vehicle_legacy" -> vehicleLegacyOracle,
     "domain_school_enrich" ->
       """WITH f AS (SELECT user_id AS eid, event_id AS frame_number,
              'type_' || CAST(user_id % 4 AS VARCHAR) AS event_type,

@@ -103,6 +103,64 @@ object DomainBridge2 {
       col("event_type").as("alert_level"),
       (col("value") > 250.0).as("multiple_persons_involved"))
 
+  /** S8/D12 people ES-record reshaping (`processing_people.py:57-64`)
+    * through the oracle: the enriched people rollup with the key
+    * flattened to people_id and first/last detection renamed to
+    * entry/exit time. */
+  def peopleEs(spark: SparkSession, dir: String): DataFrame =
+    graft.views.Views.peopleEsRecords(
+        Enrich.people(peopleShaped(Tables(spark, dir))))
+      .select(col("people_id"), col("age"), col("gender"), col("carrying"),
+        col("entered_restricted_area"), col("restricted_area_entry_time"),
+        col("entry_time"), col("exit_time"),
+        col("duration_seconds"), col("frame_count"))
+      .orderBy(col("people_id"))
+
+  /** S8/D12 frame-grained safety ES records
+    * (`processing_safety.py:122-137`) over the safety-shaped
+    * detections; arrays serialized for the checker (bbox as exact
+    * integer cents). */
+  def safetyEs(spark: SparkSession, dir: String): DataFrame =
+    graft.views.Views.safetyEsRecords(
+        // mask becomes nullable here so the reference's `mask is not
+        // None` PRESENCE semantics is actually exercised (true/null,
+        // not a constant true)
+        safetyShaped(Tables(spark, dir)) // center_x carries the raw value
+          .withColumn("mask", when(col("center_x") > 200.0, lit(true))))
+      .select(col("tracker_id"), col("frame_number"),
+        col("wearing_hardhat"), col("wearing_mask"),
+        col("wearing_safety_vest"), col("safety_status"),
+        array_join(col("missing_items"), ",").as("missing_items"),
+        array_join(transform(col("bbox"),
+          x => round(x * 100).cast("long").cast("string")), ",")
+          .as("bbox_cents"))
+      .orderBy(col("tracker_id"), col("frame_number"))
+
+  /** events → legacy vehicle-detection shape
+    * (`processing_vehicle.py:31-46`): the categorical attributes VARY
+    * within a tracker so the majority vote is actually exercised;
+    * confidence/speed are exact binary fractions / small integers so
+    * double averages are summation-order independent. */
+  private def vehicleLegacyShaped(t: Tables): DataFrame =
+    t.events.select(
+      col("user_id").as("tracker_id"),
+      col("event_id").as("frame_number"),
+      pmod(col("event_id"), lit(3)).as("class_id"),
+      concat(lit("vt_"), pmod(col("event_id"), lit(4))).as("vehicle_type"),
+      concat(lit("c_"), pmod(col("event_id"), lit(5))).as("vehicle_color"),
+      when(col("value") > 250.0, "north").otherwise("south")
+        .as("vehicle_direction"),
+      concat(lit("lane_"), pmod(col("event_id"), lit(3))).as("vehicle_lane"),
+      (pmod(col("user_id"), lit(8)).cast("double") * 0.125).as("confidence"),
+      pmod(col("event_id"), lit(50)).cast("double").as("vehicle_speed"))
+
+  /** D12 legacy vehicle majority-vote flattening
+    * (`processing_vehicle.py:31-77`) through the oracle. */
+  def vehicleLegacy(spark: SparkSession, dir: String): DataFrame =
+    graft.views.Views.vehicleLegacyRecords(
+        vehicleLegacyShaped(Tables(spark, dir)))
+      .orderBy(col("tracker_id"))
+
   def schoolEnrich(spark: SparkSession, dir: String): DataFrame =
     Enrich.school(schoolShaped(Tables(spark, dir)))
       .select(col("event_id"), col("event_type"), col("location"),

@@ -1,6 +1,7 @@
 package graft.views
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature-split views + statistics rollups (SURVEY.md §2.6 D11,
@@ -35,6 +36,139 @@ object Views {
     "Violations" -> refined.select(col("tracker_id"),
       col("red_light_violation_count"), col("line_crossing_count")),
     "Confidence" -> refined.select(col("tracker_id"), col("confidence_avg")))
+
+  /** Safety feature splits (`spilt_safety_data/split_safety.py:73-108`):
+    * SafetyInfo / Violations / GearStatus / Summary projections of the
+    * refined per-entity safety table ([[graft.enrich.Enrich.safety]]). */
+  def safetySplits(refined: DataFrame): Map[String, DataFrame] = Map(
+    "SafetyInfo" -> refined.select(col("tracker_id"), col("total_frames"),
+      col("duration_frames"), col("bbox_count"), col("bbox_movement_estimate")),
+    "Violations" -> refined.select(col("tracker_id"), col("hardhat_violations"),
+      col("mask_violations"), col("safety_vest_violations"),
+      col("total_unsafe_frames")),
+    "GearStatus" -> refined.select(col("tracker_id"), col("hardhat"),
+      col("mask"), col("safety_vest")),
+    "Summary" -> refined.select(col("tracker_id"),
+      col("initial_safety_status"), col("safety_status"),
+      col("most_common_missing_item")))
+
+  /** Safety split statistics blocks (`split_safety.py:128-150`), each a
+    * one-row (or small distribution) aggregate with the reference's
+    * zero defaults for empty inputs. */
+  def safetyStats(refined: DataFrame): Map[String, DataFrame] = Map(
+    "SafetyInfo" -> refined.agg(
+      count(lit(1)).as("total_objects"),
+      coalesce(avg(col("total_frames")), lit(0.0)).as("avg_total_frames"),
+      coalesce(avg(col("bbox_movement_estimate")), lit(0.0))
+        .as("avg_bbox_movement")),
+    "Violations" -> refined.agg(
+      coalesce(avg(col("hardhat_violations")), lit(0.0))
+        .as("avg_hardhat_violations"),
+      coalesce(avg(col("mask_violations")), lit(0.0)).as("avg_mask_violations"),
+      coalesce(avg(col("safety_vest_violations")), lit(0.0))
+        .as("avg_safety_vest_violations")),
+    "GearStatus" -> refined.agg(
+      sum(when(col("hardhat"), 1L).otherwise(0L)).as("hardhat_presence_count"),
+      sum(when(col("mask"), 1L).otherwise(0L)).as("mask_presence_count"),
+      sum(when(col("safety_vest"), 1L).otherwise(0L))
+        .as("safety_vest_presence_count")),
+    // the reference's Summary block holds two nested distributions
+    "Summary/safety_status_distribution" ->
+      distribution(refined, "safety_status"),
+    "Summary/most_common_missing_item_distribution" ->
+      distribution(refined, "most_common_missing_item"))
+
+  /** Animal feature splits (`split_animal_data/split_animal.py:120-136`)
+    * over the generic per-entity rollup
+    * ([[graft.enrich.Enrich.genericEntity]]). */
+  def animalSplits(refined: DataFrame, key: String = "animal_id")
+      : Map[String, DataFrame] = Map(
+    "AnimalInfo" -> refined.select(col(key), col("class_name")),
+    "DetectionActivity" -> refined.select(col(key), col("first_detection"),
+      col("last_detection"), col("duration_seconds"), col("frame_count")),
+    "Confidence" -> refined.select(col(key), col("confidence_avg")))
+
+  /** Animal split statistics (`split_animal.py:143-157`). The reference's
+    * class_distribution is literally `{animal_id: 1}` per entity — a
+    * singleton marker, reproduced faithfully. Its confidence stats run
+    * over the per-entity averages it just computed. */
+  def animalStats(refined: DataFrame, key: String = "animal_id")
+      : Map[String, DataFrame] = Map(
+    "AnimalInfo/class_distribution" ->
+      refined.select(col(key)).withColumn("n", lit(1L)),
+    "DetectionActivity" -> refined.agg(
+      coalesce(sum(col("frame_count")), lit(0L)).as("total_frame_count"),
+      coalesce(sum(col("duration_seconds")), lit(0.0))
+        .as("total_duration_seconds"),
+      coalesce(avg(col("duration_seconds")), lit(0.0))
+        .as("avg_duration_seconds"),
+      coalesce(avg(col("frame_count")), lit(0.0)).as("avg_frame_count")),
+    "Confidence" -> confidenceSummary(refined, "confidence_avg"))
+
+  /** avg/min/max summary with the reference splitters' zero defaults. */
+  def confidenceSummary(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      coalesce(avg(col(c)), lit(0.0)).as("avg_confidence"),
+      coalesce(min(col(c)), lit(0.0)).as("min_confidence"),
+      coalesce(max(col(c)), lit(0.0)).as("max_confidence"))
+
+  /** Pose feature splits (`split_pose_data/split_pose.py:62-96`) over the
+    * frame-grained pose table (frame_number, action, confidence). The
+    * reference marks duration 0.033 s (~1/30 fps) on frames that START a
+    * contiguous frame run — previous frame number absent — and 0
+    * elsewhere, iterating rows in frame order; `videoCols` partitions
+    * the run detection per video so it scales past one file. */
+  def poseSplits(frames: DataFrame, videoCols: Seq[String] = Seq.empty)
+      : Map[String, DataFrame] = {
+    val keyCols: Seq[Column] = videoCols.map(col) :+ col("frame_number")
+    val w =
+      if (videoCols.isEmpty) Window.orderBy(col("frame_number"))
+      else Window.partitionBy(videoCols.map(col): _*).orderBy(col("frame_number"))
+    val runStart = col("frame_number") > 0 &&
+      (lag(col("frame_number"), 1).over(w).isNull ||
+        lag(col("frame_number"), 1).over(w) =!= col("frame_number") - 1)
+    Map(
+      "PoseInfo" -> frames.select(keyCols :+
+        when(runStart, lit(0.033)).otherwise(lit(0.0)).as("duration_seconds"): _*),
+      "Movement" -> frames.select(keyCols :+
+        coalesce(col("action"), lit("Unknown")).as("action"): _*),
+      "Confidence" -> frames.select(keyCols :+
+        coalesce(col("confidence"), lit(0.0)).as("confidence"): _*))
+  }
+
+  /** Pose split statistics (`split_pose.py:103-117`). */
+  def poseStats(frames: DataFrame, videoCols: Seq[String] = Seq.empty)
+      : Map[String, DataFrame] = {
+    val splits = poseSplits(frames, videoCols)
+    Map(
+      "PoseInfo" -> splits("PoseInfo").agg(
+        count(lit(1)).as("total_frames"),
+        coalesce(avg(col("duration_seconds")), lit(0.0))
+          .as("avg_duration_seconds")),
+      "Movement/action_distribution" ->
+        distribution(splits("Movement"), "action"),
+      "Confidence" -> confidenceSummary(splits("Confidence"), "confidence"))
+  }
+
+  /** Geolocation feature splits
+    * (`split_geolocation_data/split_geolocation.py:73-99`) over the
+    * frame-grained table (frame_number, latitude, longitude, bbox,
+    * confidence, class_name). */
+  def geolocationSplits(frames: DataFrame): Map[String, DataFrame] = Map(
+    "Geolocation" -> frames.select(col("frame_number"), col("latitude"),
+      col("longitude")),
+    "BoundingBox" -> frames.select(col("frame_number"),
+      try_element_at(col("bbox"), lit(1)).as("x1"),
+      try_element_at(col("bbox"), lit(2)).as("y1"),
+      try_element_at(col("bbox"), lit(3)).as("x2"),
+      try_element_at(col("bbox"), lit(4)).as("y2")),
+    "Confidence" -> frames.select(col("frame_number"), col("confidence")))
+
+  /** Geolocation split statistics (`split_geolocation.py:105-117`). */
+  def geolocationStats(frames: DataFrame): Map[String, DataFrame] = Map(
+    "Geolocation" -> frames.agg(count(lit(1)).as("total_frames")),
+    "BoundingBox/class_distribution" -> distribution(frames, "class_name"),
+    "Confidence" -> confidenceSummary(frames, "confidence"))
 
   /** D11 statistics rollup: distribution of a categorical column. */
   def distribution(refined: DataFrame, column: String): DataFrame =
@@ -107,4 +241,65 @@ object Views {
       (col("red_light_violation_count") > 0).as("red_light_violation"),
       (col("line_crossing_count") > 0).as("line_crossing_violation"),
       col("confidence_avg"))
+
+  /** S8/D12 people ES records (`processing_people.py:57-64`): the
+    * per-person map flattened with the key as `people_id`,
+    * first/last detection renamed to entry/exit time; every other
+    * refined field passes through untouched. */
+  def peopleEsRecords(refined: DataFrame): DataFrame =
+    refined
+      .withColumnRenamed("tracker_id", "people_id")
+      .withColumnRenamed("first_detection", "entry_time")
+      .withColumnRenamed("last_detection", "exit_time")
+
+  /** S8/D12 safety ES records (`processing_safety.py:122-137`):
+    * frame-grained — one record per (frame, person), NOT the per-entity
+    * rollup — with the reference's defaults: hardhat/safety_vest default
+    * false, `wearing_mask` is PRESENCE (`mask is not None`), missing
+    * arrays default empty. A pure projection: no shuffle at any scale. */
+  def safetyEsRecords(detections: DataFrame): DataFrame = {
+    def emptyLike(c: String): Column =
+      array().cast(detections.schema(c).dataType)
+    detections.select(
+      col("frame_number"),
+      col("tracker_id"),
+      coalesce(col("hardhat"), lit(false)).as("wearing_hardhat"),
+      col("mask").isNotNull.as("wearing_mask"),
+      coalesce(col("safety_vest"), lit(false)).as("wearing_safety_vest"),
+      col("safety_status"),
+      coalesce(col("missing_items"), emptyLike("missing_items"))
+        .as("missing_items"),
+      coalesce(col("bbox"), emptyLike("bbox")).as("bbox"))
+  }
+
+  /** D12 legacy vehicle majority-vote flattening
+    * (`processing_vehicle.py:31-77`): per-tracker mode of each
+    * categorical attribute with Python's Counter/`max` first-seen
+    * tie-break, plus zero-defaulted average confidence/speed;
+    * detections without a tracker_id are skipped (lines 44-46).
+    *
+    * Plan shape: each attribute's mode is a map-side-combined count on
+    * (tracker, value) + one rank window — the shuffled volume is the
+    * DISTINCT pairs, not the detections — and the join chain stays on
+    * the tracker_id partitioning established by the first aggregate. */
+  def vehicleLegacyRecords(detections: DataFrame): DataFrame = {
+    import graft.enrich.Enrich
+    val valid = detections.filter(col("tracker_id").isNotNull)
+    val attrs = Seq("class_id", "vehicle_type", "vehicle_color",
+      "vehicle_direction", "vehicle_lane")
+    val avgs = valid.groupBy(col("tracker_id")).agg(
+      coalesce(avg(col("confidence")), lit(0.0)).as("average_confidence"),
+      coalesce(avg(col("vehicle_speed")), lit(0.0)).as("average_speed"))
+    val withModes = attrs.foldLeft(avgs) { (acc, a) =>
+      acc.join(
+        Enrich.mode(
+          valid.select(col("tracker_id"), col("frame_number"), col(a)),
+          "tracker_id", a),
+        Seq("tracker_id"), "left")
+    }
+    withModes.select(
+      col("tracker_id") +:
+        attrs.map(a => col(s"mode_$a").as(a)) :+
+        col("average_confidence") :+ col("average_speed"): _*)
+  }
 }
