@@ -52,6 +52,15 @@ object Enrich {
       .select(col(key), col(valueCol).as(s"mode_$valueCol"))
   }
 
+  /** Frame-order-pinned first non-null attribute per entity: unlike a
+    * bare `first(_, ignoreNulls)` over an unordered groupBy (whatever
+    * partition finishes first wins), this is deterministic under ANY
+    * repartitioning — the same pinning `vehicle` uses. The window
+    * columns share one partitioning with the subsequent groupBy on the
+    * same key, so pinning adds no extra shuffle. */
+  private def pinnedFirst(key: String, c: String): Column =
+    first(col(c), ignoreNulls = true).over(wFull(key))
+
   /** D2: sequential change count of `c` per entity in frame order. */
   private def changes(key: String, c: String): Column =
     sum(when(lag(col(c), 1).over(w(key)).isNotNull &&
@@ -201,8 +210,9 @@ object Enrich {
     * SURVEY §7.4 item 3). */
   def genericEntity(key: String)(flat: DataFrame): DataFrame = {
     val df = flat.filter(col(key).isNotNull).withColumn("_ts", tsSec(flat))
+      .withColumn("_class_name", pinnedFirst(key, "class_name"))
     df.groupBy(col(key)).agg(
-      first(col("class_name"), ignoreNulls = true).as("class_name"),
+      first(col("_class_name"), ignoreNulls = true).as("class_name"),
       avg(col("confidence")).as("confidence_avg"),
       min(col("_ts")).as("first_detection"),
       max(col("_ts")).as("last_detection"),
@@ -223,10 +233,13 @@ object Enrich {
       // the output's entity-level duration_seconds
       .withColumnRenamed("duration_seconds", "duration_seconds_det")
       .withColumn("_ts", tsSec(flat))
+      .withColumn("_event_type", pinnedFirst(key, "event_type"))
+      .withColumn("_location", pinnedFirst(key, "location"))
+      .withColumn("_notes", pinnedFirst(key, "notes"))
     val base = df.groupBy(col(key)).agg(
-      first(col("event_type"), ignoreNulls = true).as("event_type"),
-      first(col("location"), ignoreNulls = true).as("location"),
-      first(col("notes"), ignoreNulls = true).as("notes"),
+      first(col("_event_type"), ignoreNulls = true).as("event_type"),
+      first(col("_location"), ignoreNulls = true).as("location"),
+      first(col("_notes"), ignoreNulls = true).as("notes"),
       min(col("_ts")).as("start_time"),
       max(col("_ts")).as("end_time"),
       (max(col("_ts")) - min(col("_ts"))).as("duration_seconds"),
@@ -277,10 +290,13 @@ object Enrich {
   def retail(flat: DataFrame): DataFrame = {
     val key = "product_id"
     flat.filter(col(key).isNotNull)
+      .withColumn("_product_name", pinnedFirst(key, "product_name"))
+      .withColumn("_category", pinnedFirst(key, "category"))
+      .withColumn("_location", pinnedFirst(key, "location"))
       .groupBy(col(key)).agg(
-        first(col("product_name"), ignoreNulls = true).as("product_name"),
-        first(col("category"), ignoreNulls = true).as("category"),
-        first(col("location"), ignoreNulls = true).as("location"),
+        first(col("_product_name"), ignoreNulls = true).as("product_name"),
+        first(col("_category"), ignoreNulls = true).as("category"),
+        first(col("_location"), ignoreNulls = true).as("location"),
         avg(col("price")).as("average_price"),
         avg(col("stock_level")).as("average_stock_level"),
         (max(when(col("picked_by_customer"), 1).otherwise(0)) === 1).as("picked_by_customer"),

@@ -2,6 +2,7 @@ package graft.lake
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Three-zone object lake (`raw` → `processed` → `refine`) over a
@@ -23,10 +24,24 @@ final case class Lake(spark: SparkSession, root: String) {
   def zonePath(zone: String, domain: String): String =
     s"$root/$zone/${domain}_detection"
 
-  /** S1: multiLine PERMISSIVE JSON scan (schema inferred; pass an
-    * explicit schema via reader options upstream when known). */
-  def readJsonArray(path: String): DataFrame =
-    spark.read.option("multiLine", true).option("mode", "PERMISSIVE").json(path)
+  /** S1: multiLine PERMISSIVE JSON scan. With a known per-domain schema
+    * ([[graft.schema.DomainSchemas]]) the inference pre-pass is skipped —
+    * inference reads EVERY object once before the real scan, a 2× I/O
+    * tax at lake scale (SURVEY §4.2 "skip inference") — and malformed
+    * documents land whole in `_corrupt_record` instead of poisoning
+    * the inferred shape. */
+  def readJsonArray(path: String, schema: Option[StructType] = None): DataFrame = {
+    val reader =
+      spark.read.option("multiLine", true).option("mode", "PERMISSIVE")
+    schema match {
+      case Some(s) =>
+        val withCorrupt =
+          if (s.fieldNames.contains("_corrupt_record")) s
+          else s.add("_corrupt_record", StringType)
+        reader.schema(withCorrupt).json(path)
+      case None => reader.json(path)
+    }
+  }
 
   /** S2: write a DataFrame as a single pretty JSON array object —
     * parity with `minio_connector.py:45-80` (small per-video documents
@@ -68,9 +83,10 @@ final case class Lake(spark: SparkSession, root: String) {
     * the small-file pathology that kills scan throughput at scale;
     * periodic compaction is the standard cure. The rewrite lands in a
     * staging directory first and swaps in atomically-enough for a
-    * single-writer lake (real multi-writer tables graduate to a table
-    * format with a transaction log). Collapses the per-source partition
-    * layout; `_source_file` lineage survives as a column. */
+    * single-writer lake; multi-writer zones use [[txTable]], whose
+    * manifest log makes compaction transactional against concurrent
+    * ingest. Collapses the per-source partition layout; `_source_file`
+    * lineage survives as a column. */
   def compact(zone: String, domain: String, targetFiles: Int): Unit = {
     val path = zonePath(zone, domain)
     val staging = path + "__compacting"
@@ -93,6 +109,13 @@ final case class Lake(spark: SparkSession, root: String) {
     Files.move(Paths.get(staging), Paths.get(path))
     rmTree(Paths.get(retired))
   }
+
+  /** Transactional zone table (versioned-manifest log): the
+    * multi-writer form of a zone — atomic append, snapshot reads, and
+    * compaction that cannot lose concurrent ingest. See [[TxTable]] for
+    * the protocol and the documented relationship to Delta/Iceberg. */
+  def txTable(zone: String, domain: String): TxTable =
+    TxTable(spark, zonePath(zone, domain))
 
   /** S6: catalog listing of a zone prefix. */
   def list(zone: String, domain: String): Seq[String] = {

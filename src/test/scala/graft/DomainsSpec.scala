@@ -119,4 +119,35 @@ class DomainsSpec extends SparkSpec {
     // struct columns survive the pipeline
     assert(flat.schema("geolocation").dataType.typeName == "struct")
   }
+
+  test("first() attributes are frame-pinned: deterministic across repartitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // attributes VARY within an entity — exactly the case where an
+    // unordered first() is partition-order dependent
+    val retailRows = Seq(
+      ("p1", 2L, "late-name", "late-cat", "aisle-9", 4.0, 10.0, false, "2025-01-02"),
+      ("p1", 0L, "first-name", "first-cat", "aisle-1", 2.0, 20.0, true, "2025-01-01"),
+      ("p1", 1L, "mid-name", "mid-cat", "aisle-5", 3.0, 30.0, false, "2025-01-03"))
+      .toDF("product_id", "frame_number", "product_name", "category",
+        "location", "price", "stock_level", "picked_by_customer", "expiry_date")
+    val variants = Seq(
+      retailRows.repartition(7),
+      retailRows.repartition(1),
+      retailRows.orderBy(desc("frame_number")).repartition(3, col("frame_number")))
+    val results = variants.map(v =>
+      Enrich.retail(v).collect().map(_.toSeq).toSeq)
+    assert(results.distinct.size == 1, "retail first() varies with partitioning")
+    assert(results.head.head(1) == "first-name") // frame 0's value, always
+    val genericRows = Seq(
+      (5L, 3L, "dog", 0.5, Seq(0.0, 0.0, 1.0, 1.0)),
+      (5L, 0L, "cat", 0.7, Seq(0.0, 0.0, 1.0, 1.0)),
+      (5L, 1L, null, 0.9, Seq(2.0, 2.0, 3.0, 3.0)))
+      .toDF("animal_id", "frame_number", "class_name", "confidence", "bbox")
+    val gResults = Seq(genericRows.repartition(5),
+      genericRows.orderBy(desc("frame_number")).repartition(2, col("class_name")))
+      .map(v => Enrich.genericEntity("animal_id")(v).collect().map(_.toSeq).toSeq)
+    assert(gResults.distinct.size == 1)
+    assert(gResults.head.head(1) == "cat") // earliest frame's non-null value
+  }
 }

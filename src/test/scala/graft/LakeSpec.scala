@@ -41,6 +41,50 @@ class LakeSpec extends SparkSpec {
     assert(lake.list("processed", "vehicle").nonEmpty)
   }
 
+  test("schema-given read skips inference and keeps _corrupt_record (S1 §4.2)") {
+    val root = Files.createTempDirectory("graft-lake").toString
+    val lake = Lake(spark, root)
+    val dir = s"$root/raw/vehicle_detection"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(java.nio.file.Paths.get(s"$dir/good.json"),
+      """[{"frame_number": 0, "detections": [
+           {"tracker_id": 7, "confidence": 0.9, "vehicle_type": "car",
+            "bbox": [0.0, 0.0, 1.0, 1.0]}]}]""".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.json"),
+      """{"frame_number": not-json!""".getBytes("UTF-8"))
+    val schema = graft.schema.DomainSchemas.vehicleFrames
+    val df = lake.readJsonArray(s"$dir/*.json", Some(schema))
+    // the read plan carries the GIVEN schema (+ corrupt column): no
+    // inference pass ran, or these fields would reflect file contents
+    assert(df.schema.fieldNames.toSet ==
+      schema.fieldNames.toSet + "_corrupt_record")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    val corrupt = rows.filter(r =>
+      r.getAs[String]("_corrupt_record") != null)
+    assert(corrupt.length == 1)
+    assert(corrupt.head.getAs[String]("_corrupt_record").contains("not-json!"))
+    val good = rows.filter(_.getAs[String]("_corrupt_record") == null).head
+    assert(good.getAs[Long]("frame_number") == 0L)
+  }
+
+  test("object-store config seam lands the s3a options only when configured") {
+    import graft.core.Sessions
+    assert(Sessions.objectStoreConfigs(Map.empty).isEmpty)
+    val cfg = Sessions.objectStoreConfigs(Map(
+      "GRAFT_S3_ENDPOINT" -> "http://localhost:9000",
+      "GRAFT_S3_ACCESS_KEY" -> "ak",
+      "GRAFT_S3_SECRET_KEY" -> "sk"))
+    assert(cfg("spark.hadoop.fs.s3a.endpoint") == "http://localhost:9000")
+    assert(cfg("spark.hadoop.fs.s3a.path.style.access") == "true")
+    assert(cfg("spark.hadoop.fs.s3a.access.key") == "ak")
+    assert(cfg("mapreduce.fileoutputcommitter.algorithm.version") == "2")
+    // endpoint without creds: default provider chain, no key configs
+    val noCreds = Sessions.objectStoreConfigs(
+      Map("GRAFT_S3_ENDPOINT" -> "http://localhost:9000"))
+    assert(!noCreds.contains("spark.hadoop.fs.s3a.access.key"))
+  }
+
   test("ingest stamp is injectable for determinism (S9)") {
     import spark.implicits._
     val lake = Lake(spark, "/tmp/unused")

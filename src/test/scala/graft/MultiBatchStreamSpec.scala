@@ -66,13 +66,25 @@ class MultiBatchStreamSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
-  test("stream-stream interval join survives micro-batch boundaries") {
+  test("stream-stream interval join survives micro-batch boundaries at both watermark bounds") {
     val dir = splitEventsDir()
-    val stream = StreamSource.eventsStream(
-      spark, s"$dir/*", glob = "part-*.parquet", maxFilesPerTrigger = 1)
-    val joined = graft.streaming.StreamStreamJoin.streamStreamJoinOn(stream)
-    val streamed = StreamSource.runToMemory(spark, joined, "append", "mb_ssj")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def drained(delay: String, sink: String): Set[(Long, Long, Long)] = {
+      val stream = StreamSource.eventsStream(
+        spark, s"$dir/*", glob = "part-*.parquet", maxFilesPerTrigger = 1)
+      val joined = graft.streaming.StreamStreamJoin
+        .streamStreamJoinOn(stream, watermarkDelay = delay)
+      StreamSource.runToMemory(spark, joined, "append", sink)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // tight production default: the halves are event-time ordered, so a
+    // 10 min delay covers the cross-batch out-of-orderness — state for
+    // clicks near the batch boundary must survive until their 1 h
+    // interval closes, which delay+interval guarantees
+    val tight = drained(
+      graft.streaming.StreamStreamJoin.defaultWatermarkDelay, "mb_ssj")
+    // loose harness bound: retains everything, trivially complete
+    val loose = drained("31 days", "mb_ssj_loose")
+    val streamed = tight
     val ev = graft.core.Tables(spark, "/root/testdata/sf0.001").events
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
@@ -83,6 +95,7 @@ class MultiBatchStreamSpec extends SparkSpec {
       .select(col("user_id"), col("c_us"), col("p_us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === expected)
+    assert(loose === expected)
   }
 
   test("complete-mode stream aggregation has no duplicate keys across batches") {
