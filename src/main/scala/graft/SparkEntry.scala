@@ -99,6 +99,9 @@ object SparkEntry {
       Sampling.sampleBalanced(s, dir)),
     "text_tfidf" -> TextAnalysis.tfidf _,
     "dedup_incremental" -> Dedup.incremental _,
+    "dedup_srp_bands" -> Dedup.srpBands _,
+    "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
+      Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
     "f_string_suite" -> FunctionSuites.fStringSuite _,
     "f_cond_bitwise" -> FunctionSuites.fCondBitwise _,
@@ -387,6 +390,60 @@ object SparkEntry {
         LEFT JOIN mode_vehicle_direction_m d USING (tracker_id)
         LEFT JOIN mode_vehicle_lane_m l USING (tracker_id)
         ORDER BY a.tracker_id"""
+
+  /** Shared SRP front-end CTEs: portable hyperplane signs → quantized
+    * projections → 16-bit signatures (must mirror `Dedup.srpSignatures`
+    * bit-for-bit). */
+  private val srpSigCtes: String =
+    s"""hp AS (SELECT j, d,
+           CASE WHEN ${phashSql("CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)", 7)} % 2 = 0
+                THEN 1 ELSE -1 END AS s
+         FROM (SELECT unnest(range(16)) AS j) jj
+         CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+       qp AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+         FROM (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       bits AS (SELECT qp.vec_id, hp.j,
+           CASE WHEN sum(qp.q * hp.s) >= 0 THEN 1 ELSE 0 END AS bit
+         FROM qp JOIN hp ON qp.d = hp.d GROUP BY 1, 2),
+       sig AS (SELECT vec_id,
+           CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT)
+             AS srp16
+         FROM bits GROUP BY 1)"""
+
+  private val srpBandsOracle: String =
+    s"""WITH $srpSigCtes
+        SELECT s.vec_id, e.label, s.srp16,
+               s.srp16 % 256 AS band1, s.srp16 // 256 AS band2
+        FROM sig s JOIN (SELECT vec_id, label FROM embeddings) e
+          USING (vec_id)
+        ORDER BY s.vec_id"""
+
+  private val embSrpOracle: String =
+    s"""WITH $srpSigCtes,
+        bands AS (SELECT vec_id, '1_' || CAST(srp16 % 256 AS VARCHAR) AS bk
+                  FROM sig
+                  UNION ALL
+                  SELECT vec_id, '2_' || CAST(srp16 // 256 AS VARCHAR) FROM sig),
+        cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                 FROM bands l JOIN bands r
+                   ON l.bk = r.bk AND l.vec_id < r.vec_id),
+        qvs AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+                FROM embeddings),
+        nn AS (SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
+               FROM qvs),
+        v AS (SELECT cand.a, cand.b,
+                CAST(floor(CAST(list_dot_product(CAST(la.qv AS DOUBLE[]),
+                                                 CAST(rb.qv AS DOUBLE[])) AS DOUBLE)
+                  / (sqrt(la.nrm) * sqrt(rb.nrm)) * 1000000) AS BIGINT) AS cos_e6
+              FROM cand
+              JOIN nn la ON cand.a = la.vec_id
+              JOIN nn rb ON cand.b = rb.vec_id)
+        SELECT a, b, cos_e6 FROM v WHERE cos_e6 >= 350000 ORDER BY a, b"""
 
   private val embCosineOracle: String =
     """WITH e AS (SELECT vec_id, label,
@@ -836,6 +893,8 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_embedding_cosine" -> embCosineOracle,
+    "dedup_srp_bands" -> srpBandsOracle,
+    "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->
       """SELECT event_type,
                 count(DISTINCT user_id) AS n_distinct,

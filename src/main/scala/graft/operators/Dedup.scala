@@ -151,6 +151,78 @@ object Dedup {
       .orderBy(col("label"), col("a"), col("b"))
   }
 
+  /** Signed-random-projection (SRP) LSH signatures over the embedding
+    * column — the SUB-QUADRATIC near-dup path [[embeddingCosine]] lacks:
+    * label-blocked exact compare is quadratic within each bucket (the
+    * measured 10×-data → ~57× cost blowup), while SRP banding makes
+    * candidate generation an equi-join again, at the price of recall
+    * (high-similarity pairs agree on whole bit-bands with high
+    * probability; dissimilar pairs collide rarely).
+    *
+    * Deterministic cross-engine construction: hyperplane signs come
+    * from the portable hash of (j, d) — a CONSTANT 16×64 table, built
+    * once and broadcast — and projections are integer dot products over
+    * the e4-quantized vectors, so both engines compute bit-identical
+    * signatures. bit_j = [Σ_d sign(j,d)·q_d ≥ 0]; two 8-bit bands. */
+  def srpSignatures(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val hp = spark.range(16).select(col("id").as("j"))
+      .crossJoin(spark.range(64).select(col("id").as("d")))
+      .withColumn("s",
+        when(pmod(phash(
+          concat(col("j").cast("string"), lit("_"), col("d").cast("string")),
+          7), lit(2)) === 0, 1L).otherwise(-1L))
+    val qv = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("q", floor(col("x").cast("double") * 10000 + lit(0.5))
+        .cast("long"))
+    val bits = qv.join(broadcast(hp), Seq("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("q") * col("s")).as("proj"))
+      .withColumn("bitval",
+        when(col("proj") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+          .otherwise(lit(0L)))
+    val labels = e.select(col("vec_id"), col("label"))
+    bits.groupBy(col("vec_id")).agg(sum(col("bitval")).as("srp16"))
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("srp16"),
+        (col("srp16") % 256).as("band1"),
+        expr("srp16 div 256").as("band2"))
+  }
+
+  /** Oracle-gated SRP signature table (dense per-vector check of the
+    * hyperplane/projection/banding front-end). */
+  def srpBands(spark: SparkSession, dir: String): DataFrame =
+    srpSignatures(Tables(spark, dir).embeddings)
+      .orderBy(col("vec_id"))
+
+  /** Full SRP-banded near-dup: band equi-join → distinct candidate
+    * pairs → EXACT cosine verification (codegen'd CosineSimQ) — the
+    * same candidates-then-verify shape as [[minhashLsh]], so the
+    * quadratic term never materializes; candidates shuffle-join back to
+    * their vectors (never broadcast — data-dependent size). */
+  def embeddingSrp(spark: SparkSession, dir: String,
+      thresholdE6: Long = 350000L): DataFrame = {
+    val t = Tables(spark, dir)
+    val sig = srpSignatures(t.embeddings)
+    val bands = sig.select(col("vec_id"), explode(array(
+      concat(lit("1_"), col("band1")),
+      concat(lit("2_"), col("band2")))).as("bk"))
+    val cands = bands.select(col("bk"), col("vec_id").as("a"))
+      .join(bands.select(col("bk"), col("vec_id").as("b")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val ea = t.embeddings.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = t.embeddings.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    cands.join(ea, Seq("a")).join(eb, Seq("b"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("ea"), col("eb")))
+      .filter(col("cos_e6") >= thresholdE6)
+      .select(col("a"), col("b"), col("cos_e6"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** 16-bit SimHash per document over the (frequency-weighted) token
     * stream: bit b is set when Σ_tokens ±1 (sign of hash bit b) > 0.
     * Single explode + one hash aggregation — no joins. */

@@ -57,6 +57,31 @@ class DedupPlantedSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("SRP banding finds planted embedding near-dups, skips the rest") {
+    import spark.implicits._
+    // base vector, an exact copy, a tiny perturbation (near-dup), and
+    // an unrelated vector — SRP must band the first three together
+    val v0 = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val v1 = v0.clone()
+    val v2 = v0.map(x => x + 0.01f)
+    val v3 = Array.tabulate(64)(i => math.cos(i * 3.1 + 1.0).toFloat)
+    val d = Files.createTempDirectory("graft-srp").toString
+    Seq((0L, 0, v0.toSeq), (1L, 0, v1.toSeq), (2L, 1, v2.toSeq), (3L, 2, v3.toSeq))
+      .toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val sig = rowsByKey[Long](Dedup.srpBands(spark, d), "vec_id")
+      .map { case (k, r) => k -> r.getAs[Long]("srp16") }
+    assert(sig(0L) == sig(1L)) // identical vectors: identical signatures
+    // near-dup: signatures agree on at least one full 8-bit band
+    assert(sig(0L) % 256 == sig(2L) % 256 || sig(0L) / 256 == sig(2L) / 256)
+    val pairs = Dedup.embeddingSrp(spark, d, thresholdE6 = 900000L).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L))
+      && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("simhash: identical docs collide, near-dups are close, distinct docs far") {
     def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
     val sh = rowsByKey[Long](Dedup.simhash(spark, dir), "doc_id")

@@ -74,8 +74,14 @@ class PlanSpec extends SparkSpec {
   test("no query plans an unexpected cartesian or nested-loop join") {
     // intentional exceptions: brute-force similarity broadcasts the tiny
     // query/aggregate side through a BroadcastNestedLoopJoin by design
+    // SRP queries build their 16×64 hyperplane table as a constant
+    // cross join of two tiny ranges — 1024 rows BY CONSTRUCTION,
+    // broadcast, never data-dependent — which plans as a broadcast
+    // nested-loop/cartesian by nature
     val allowNlj = Set("sim_cosine_topk", "sim_ann_ivf", "sim_knn_classify",
-      "text_tfidf", "u_intersect_except", "dedup_incremental")
+      "text_tfidf", "u_intersect_except", "dedup_incremental",
+      "dedup_srp_bands", "dedup_embedding_srp")
+    val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
     val skip = Set("stream_sessionize", "stream_state_sessionize",
@@ -83,7 +89,8 @@ class PlanSpec extends SparkSpec {
       "s3_partitioned_prune", "dedup_cc", "graph_pagerank", "view_kmeans")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = executedPlan(name)
-      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!allowCartesian(name))
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       if (!allowNlj(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
