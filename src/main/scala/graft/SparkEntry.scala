@@ -100,6 +100,9 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.tfidf _,
     "dedup_incremental" -> Dedup.incremental _,
     "dedup_srp_bands" -> Dedup.srpBands _,
+    "sim_ivf_assign" -> Similarity.ivfAssign _,
+    "sim_ann_ivf_true" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfTrue(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -444,6 +447,53 @@ object SparkEntry {
               JOIN nn la ON cand.a = la.vec_id
               JOIN nn rb ON cand.b = rb.vec_id)
         SELECT a, b, cos_e6 FROM v WHERE cos_e6 >= 350000 ORDER BY a, b"""
+
+  /** Shared IVF-assignment CTEs (mirror `Similarity.ivfAssign`):
+    * quantized dims → half-up integer centroids → exact squared
+    * distances → argmin cell. */
+  private val ivfAssignCtes: String =
+    """qe AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+         FROM (SELECT vec_id, label, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       cents AS (SELECT label AS cell, dim,
+           CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+         FROM qe GROUP BY 1, 2),
+       dists AS (SELECT qe.vec_id, cents.cell,
+           CAST(sum((qe.q - cents.c) * (qe.q - cents.c)) AS BIGINT) AS dist2
+         FROM qe JOIN cents ON qe.dim = cents.dim GROUP BY 1, 2),
+       asg AS (SELECT vec_id, cell, dist2, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist2, cell) AS arn
+               FROM dists)"""
+
+  private val ivfAssignOracle: String =
+    s"""WITH $ivfAssignCtes
+        SELECT vec_id, cell, dist2 FROM asg WHERE arn = 1 ORDER BY vec_id"""
+
+  private val annIvfTrueOracle: String =
+    s"""WITH $ivfAssignCtes,
+        cellof AS (SELECT vec_id, cell FROM asg WHERE arn = 1),
+        qvs AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+                FROM embeddings),
+        nn AS (SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
+               FROM qvs),
+        qs AS (SELECT vec_id AS qid, cell FROM cellof WHERE vec_id < 5),
+        scored AS (SELECT qs.qid, m.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                             CAST(b.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM qs
+          JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
+          JOIN nn a ON a.vec_id = qs.qid
+          JOIN nn b ON b.vec_id = m.vec_id),
+        ranked AS (SELECT qid, nid, cos_e6, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
+                   FROM scored)
+        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
 
   private val embCosineOracle: String =
     """WITH e AS (SELECT vec_id, label,
@@ -894,6 +944,8 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_embedding_cosine" -> embCosineOracle,
     "dedup_srp_bands" -> srpBandsOracle,
+    "sim_ivf_assign" -> ivfAssignOracle,
+    "sim_ann_ivf_true" -> annIvfTrueOracle,
     "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->
       """SELECT event_type,

@@ -109,22 +109,38 @@ object Cluster {
   }
 
   /** Triangle count over the near-dup candidate graph — the clustering-
-    * coefficient ingredient. Edges are canonical (a < b), so each
-    * triangle a<b<c is found exactly once by the two-join wedge close:
-    * (a,b)⋈(b,c)⋈(a,c). At scale the standard refinement orients edges
-    * by degree before joining to bound wedge fanout on hubs; the
-    * candidate graph here is near-regular (band collisions), so the
-    * canonical orientation suffices. */
+    * coefficient ingredient — with DEGREE ORIENTATION, the standard
+    * hub-proof form: every edge is directed from its (degree, id)-
+    * smaller endpoint to the larger, so out-degrees are O(√m) on ANY
+    * graph and the wedge join's fanout is bounded even when a celebrity
+    * node has 10⁸ neighbors (ID-canonical orientation bounds nothing —
+    * a high-ID hub keeps its whole in-degree). Each triangle is found
+    * exactly once, at its orientation-minimal vertex: wedges
+    * (u→x, u→y) close iff the edge {x, y} exists in either direction.
+    */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val t = graft.core.Tables(spark, dir)
     val e = Dedup.minhashCandidates(Dedup.shingles(t))
       .select(col("a"), col("b"))
-    val ab = e
-    val bc = e.select(col("a").as("b"), col("b").as("c"))
-    val ac = e.select(col("a"), col("b").as("c"))
-    ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dv"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("dv").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dv").as("db")), Seq("b"))
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("w"))
+    val wedges = oriented.select(col("u"), col("w").as("x"))
+      .join(oriented.select(col("u"), col("w").as("y")), Seq("u"))
+      .filter(col("x") < col("y"))
+    // the closing edge {x,y} re-canonicalized by id to match wedge keys
+    val closing = oriented.select(
+      least(col("u"), col("w")).as("x"), greatest(col("u"), col("w")).as("y"))
+    wedges.join(closing, Seq("x", "y"))
       .agg(count(lit(1)).as("n_triangles"),
-        coalesce(sum(col("a") + col("b") + col("c")), lit(0L))
+        coalesce(sum(col("u") + col("x") + col("y")), lit(0L))
           .as("node_checksum"))
   }
 

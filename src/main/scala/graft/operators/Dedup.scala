@@ -55,13 +55,27 @@ object Dedup {
     * a band become candidate pairs (equi-join on the band key — the
     * 100 TB-safe plan), then each pair's true Jaccard is computed from
     * the shingle sets. */
+  /** Shingles reduced to their 16-byte binary md5 digest — ONE md5 per
+    * shingle row feeds both the minhash signatures (via the hex form)
+    * and the intersection join key, which then shuffles fixed-width
+    * 16-byte binaries instead of variable-length shingle strings. */
+  private[operators] def shingleDigests(t: Tables): DataFrame =
+    shingles(t).select(col("doc_id"), unhex(md5(col("shingle"))).as("sd"))
+
   /** LSH band-join candidate pairs only (with per-doc shingle counts) —
     * the shared front half of [[minhashLsh]] and [[Cluster.dedupCc]]:
     * shingle → 4-way minhash signature → 2 band keys → band equi-join. */
-  def minhashCandidates(sh: DataFrame): DataFrame = {
+  def minhashCandidates(sh: DataFrame): DataFrame =
+    minhashCandidatesFromDigests(
+      sh.select(col("doc_id"), unhex(md5(col("shingle"))).as("sd")))
+
+  /** Same, over pre-computed shingle digests ([[shingleDigests]]).
+    * `lower(hex(sd))` reconstructs the md5 hex string bit-for-bit, so
+    * the minhash family (and the oracle) is unchanged. */
+  def minhashCandidatesFromDigests(shd: DataFrame): DataFrame = {
     // 4 minhash functions from ONE md5, projected once before the agg
     // (digest windows — see PortableHash)
-    val sigs = sh.withColumn("m", md5(col("shingle")))
+    val sigs = shd.withColumn("m", lower(hex(col("sd"))))
       .groupBy(col("doc_id")).agg(
         min(graft.functions.PortableHash.phashFromDigest(col("m"), 0)).as("mh1"),
         min(graft.functions.PortableHash.phashFromDigest(col("m"), 1)).as("mh2"),
@@ -84,21 +98,25 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val sh = shingles(t).cache()
-    val cands = minhashCandidates(sh)
+    val sh = shingleDigests(t).cache()
+    // the candidate subtree feeds BOTH the expansion and the final left
+    // join — cache it (bounded by LSH construction) so the signature
+    // aggregation + band join run once
+    val cands = minhashCandidatesFromDigests(sh).cache()
     // intersection sizes ONLY for candidate pairs (semi-join pushdown):
     // a bare shingle self-join would compute |∩| for every pair sharing
     // any shingle — quadratic fanout on common shingles at scale. Only
     // the bare pair list (a,b) is broadcast — bounded BY CONSTRUCTION
     // (LSH bands emit few pairs). Its expansion against the shingle
     // table (candSh) is corpus-proportional, so that join must NOT be
-    // broadcast: it shuffle-joins on (b, shingle) and AQE may still
+    // broadcast: it shuffle-joins on (b, sd) — fixed 16-byte binary
+    // keys, not variable-length shingle strings — and AQE may still
     // downgrade to broadcast at runtime when the actual size allows.
-    val shA = sh.select(col("doc_id").as("a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("b"), col("shingle"))
+    val shA = sh.select(col("doc_id").as("a"), col("sd"))
+    val shB = sh.select(col("doc_id").as("b"), col("sd"))
     val candSh = broadcast(cands.select(col("a"), col("b")))
       .join(shA, Seq("a"))
-    val inter = shB.join(candSh, Seq("b", "shingle"))
+    val inter = shB.join(candSh, Seq("b", "sd"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     cands.join(inter, Seq("a", "b"), "left")
       .select(col("a"), col("b"),

@@ -101,4 +101,63 @@ object Similarity {
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     topk(spark, dir, 5, sameLabelOnly = true)
+
+  /** TRUE IVF cell assignment: every vector goes to its nearest
+    * centroid by exact integer squared distance (argmin; cell-asc
+    * tie-break). The centroid is the half-up-rounded e4 integer mean —
+    * `floor(s/n + 0.5)` over exact integers is bit-identical IEEE on
+    * every engine — so distances are small exact longs at ANY corpus
+    * size and the argmin can never flip on a ulp.
+    *
+    * Plan: the k×64 centroid table is constant-size → broadcast; the
+    * (vector-dim × centroid) expansion aggregates map-side into one
+    * (vec_id, cell) shuffle — the canonical N·d·k IVF assignment cost,
+    * sharded by vector. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val q4 = "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+    val qe = t.embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
+        expr(q4).as("q"))
+    val cents = qe
+      .groupBy(col("label").as("cell"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), col("dim"),
+        expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+          .as("c"))
+    val dists = qe.select(col("vec_id"), col("dim"), col("q"))
+      .join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ANN over the TRUE IVF cells: the query probes the cell its vector
+    * is assigned to and ranks the cell's members by exact cosine —
+    * [[annIvf]]'s shape with the label stand-in replaced by the real
+    * trained quantizer ([[ivfAssign]]). */
+  def annIvfTrue(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val assign = ivfAssign(spark, dir).select(col("vec_id"), col("cell"))
+    val base = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding")).join(assign, Seq("vec_id"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val scored = base.join(broadcast(queries), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_e6"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
 }
