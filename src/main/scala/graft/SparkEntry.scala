@@ -108,6 +108,7 @@ object SparkEntry {
     "f_date_suite" -> FunctionSuites.fDateSuite _,
     "f_string_suite" -> FunctionSuites.fStringSuite _,
     "f_cond_bitwise" -> FunctionSuites.fCondBitwise _,
+    "f_array_suite" -> FunctionSuites.fArraySuite _,
     "stream_static_join" -> graft.streaming.StreamStaticJoin.streamStaticJoin _,
     "stream_stream_join" -> graft.streaming.StreamStreamJoin.streamStreamJoin _,
     "sim_centroids" -> Similarity.centroids _,
@@ -1253,6 +1254,31 @@ object SparkEntry {
                 CAST(sum(xor(event_id, user_id)) AS BIGINT) AS sum_xor,
                 CAST(sum(user_id << 3) AS BIGINT) AS sum_shl
          FROM b GROUP BY 1 ORDER BY 1""",
+    "f_array_suite" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+         a AS (SELECT event_type, n,
+                 range(1, CAST(3 + n % 5 AS INTEGER) + 1) AS la,
+                 range(CAST(2 + n % 3 AS INTEGER), 9) AS lb FROM g)
+         SELECT event_type, n,
+                array_to_string(la, ',') AS la_s,
+                array_to_string(lb, ',') AS lb_s,
+                array_to_string(list_sort(list_filter(la,
+                  x -> list_contains(lb, x))), ',') AS inter_s,
+                array_to_string(list_sort(list_filter(la,
+                  x -> NOT list_contains(lb, x))), ',') AS except_s,
+                array_to_string(list_sort(list_distinct(la || lb)), ',')
+                  AS union_s,
+                CAST(len(la) AS BIGINT) AS la_len,
+                CAST(la[2] AS BIGINT) AS la_2,
+                CAST(coalesce(list_position(lb, 5), 0) AS BIGINT) AS pos5,
+                list_contains(lb, 4) AS has4,
+                array_to_string(list_reverse(la), ',') AS rev_s,
+                CAST(list_max(lb) AS BIGINT) AS mx,
+                CAST(list_min(lb) AS BIGINT) AS mn,
+                array_to_string(lb[2:4], ',') AS slice_s,
+                array_to_string(la || lb, ',') AS flat_s,
+                CAST(list_sum(la) AS BIGINT) AS sum_la
+         FROM a ORDER BY event_type""",
     "stream_stream_join" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
                     WHERE event_type = 'click'),

@@ -31,6 +31,42 @@ object FunctionSuites {
       .orderBy(col("month_us"))
   }
 
+  /** Array-function surface: build deterministic integer sequences per
+    * event_type, then drive intersect/except/union, position/contains,
+    * reverse/slice/flatten, min/max and the HOF fold — each pinned to a
+    * sorted string encoding (element order of Spark's set ops is
+    * first-occurrence; sorting before joining removes the cross-engine
+    * order sensitivity). DuckDB 1.0 lacks list_intersect/except, so the
+    * oracle re-expresses them as list_filter + list_contains. */
+  def fArraySuite(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        expr("sequence(1, CAST(3 + n % 5 AS INT))").as("la"),
+        expr("sequence(CAST(2 + n % 3 AS INT), 8)").as("lb"))
+      .select(col("event_type"), col("n"),
+        array_join(col("la"), ",").as("la_s"),
+        array_join(col("lb"), ",").as("lb_s"),
+        array_join(sort_array(array_intersect(col("la"), col("lb"))), ",")
+          .as("inter_s"),
+        array_join(sort_array(array_except(col("la"), col("lb"))), ",")
+          .as("except_s"),
+        array_join(sort_array(array_union(col("la"), col("lb"))), ",")
+          .as("union_s"),
+        size(col("la")).cast("long").as("la_len"),
+        try_element_at(col("la"), lit(2)).cast("long").as("la_2"),
+        expr("array_position(lb, 5)").as("pos5"),
+        array_contains(col("lb"), 4).as("has4"),
+        array_join(reverse(col("la")), ",").as("rev_s"),
+        array_max(col("lb")).cast("long").as("mx"),
+        array_min(col("lb")).cast("long").as("mn"),
+        array_join(slice(col("lb"), 2, 3), ",").as("slice_s"),
+        array_join(flatten(array(col("la"), col("lb"))), ",").as("flat_s"),
+        expr("aggregate(la, CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+          .as("sum_la"))
+      .orderBy(col("event_type"))
+  }
+
   /** Conditional + bitwise functions: nullif / least / greatest and
     * AND/OR/XOR/shift over event ids, rolled up per event_type. */
   def fCondBitwise(spark: SparkSession, dir: String): DataFrame = {
