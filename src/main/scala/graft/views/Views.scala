@@ -227,9 +227,16 @@ object Views {
          FROM datalake_vehicle_data GROUP BY tracker_id
          ORDER BY max_avg_speed DESC""")
 
-  /** D12 ES-record reshaping (`processing_vehicle.py:108-141`): count
-    * columns to booleans, first/last detection to entry/exit names. */
-  def vehicleEsRecords(refined: DataFrame): DataFrame =
+  /** D12 ES-record reshaping (`processing_vehicle.py:108-141`): the
+    * three count/duration columns become booleans (counts DROPPED, as
+    * the reference pops them), first/last detection become entry/exit
+    * names, and the per-direction time map flattens into the scalar
+    * `time_spent_per_direction_{Up,Down,Unknown}` fields of the ES
+    * mapping (`Documentations/Vehicle_Dev_Tool.txt`). */
+  def vehicleEsRecords(refined: DataFrame): DataFrame = {
+    def dirSecs(k: String): Column =
+      coalesce(try_element_at(col("time_spent_per_direction"), lit(k)),
+        lit(0.0)).as(s"time_spent_per_direction_$k")
     refined.select(
       col("tracker_id").as("vehicle_id"),
       col("vehicle_type"),
@@ -238,9 +245,12 @@ object Views {
       col("last_detection").as("exit_time"),
       col("duration_seconds"),
       col("avg_speed"), col("max_speed"), col("min_speed"),
+      (col("stopped_duration") > 0).as("stopped"),
       (col("red_light_violation_count") > 0).as("red_light_violation"),
       (col("line_crossing_count") > 0).as("line_crossing_violation"),
+      dirSecs("Up"), dirSecs("Down"), dirSecs("Unknown"),
       col("confidence_avg"))
+  }
 
   /** S8/D12 people ES records (`processing_people.py:57-64`): the
     * per-person map flattened with the key as `people_id`,

@@ -73,4 +73,34 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(sqlGot == got)
   }
+
+  test("per-term document frequencies agree with spark.ml's IDF model") {
+    // our TF-IDF computes df with a plain groupBy; spark.ml's IDF model
+    // encodes it as idf_j = ln((m+1)/(df_j+1)). Inverting the model's
+    // vector must recover exactly the same integers — a library
+    // cross-check of the df computation without adopting ml's
+    // non-oracle-able float weighting.
+    import spark.implicits._
+    import org.apache.spark.ml.feature.{CountVectorizer, IDF}
+    val docs = Seq(
+      (0L, "spark shuffles data across executors"),
+      (1L, "spark caches data in memory"),
+      (2L, "executors run tasks"),
+      (3L, "memory pressure spills data to disk"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", org.apache.spark.sql.functions.split(col("text"), " "))
+    val m = docs.count()
+    val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
+      .fit(docs)
+    val idfModel = new IDF().setInputCol("tf").setOutputCol("w")
+      .fit(cv.transform(docs))
+    val mlDf = cv.vocabulary.zip(idfModel.idf.toArray).map { case (term, idf) =>
+      term -> (math.round((m + 1).toDouble / math.exp(idf)) - 1)
+    }.toMap
+    val ourDf = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mlDf === ourDf)
+  }
 }

@@ -205,6 +205,11 @@ class ViewsSpec extends SparkSpec {
     val r1 = es.filter(col("vehicle_id") === 1).collect().head
     assert(r1.getAs[Boolean]("red_light_violation"))
     assert(!r1.getAs[Boolean]("line_crossing_violation"))
+    assert(!r1.getAs[Boolean]("stopped")) // duration 0 → false, count dropped
     assert(es.columns.contains("entry_time"))
+    assert(!es.columns.contains("stopped_duration"))
+    // the Down-direction seconds flatten out of the map; absent keys → 0
+    assert(r1.getAs[Double]("time_spent_per_direction_Down") > 0.0)
+    assert(r1.getAs[Double]("time_spent_per_direction_Unknown") == 0.0)
   }
 }
