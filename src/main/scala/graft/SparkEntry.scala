@@ -98,6 +98,8 @@ object SparkEntry {
     "sample_balanced" -> ((s: SparkSession, dir: String) =>
       Sampling.sampleBalanced(s, dir)),
     "text_tfidf" -> TextAnalysis.tfidf _,
+    "text_redact_pii" -> TextAnalysis.textRedactPii _,
+    "text_contamination" -> TextAnalysis.textContamination _,
     "dedup_incremental" -> Dedup.incremental _,
     "dedup_srp_bands" -> Dedup.srpBands _,
     "sim_ivf_assign" -> Similarity.ivfAssign _,
@@ -1219,6 +1221,32 @@ object SparkEntry {
          SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, CAST(tf AS BIGINT) AS tf,
                 CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
          FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "text_redact_pii" ->
+      """WITH r AS (SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or ref 90210' || CAST(doc_id % 100 AS VARCHAR)
+               AS raw
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                md5(regexp_replace(regexp_replace(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
+         FROM r ORDER BY doc_id""",
+    "text_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+         sh0 AS (SELECT doc_id, t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS shingle
+                 FROM (SELECT doc_id, t,
+                         unnest(range(1, greatest(len(t)-1, 1))) AS pos FROM tk)),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         corpus AS (SELECT * FROM sh WHERE doc_id % 97 != 0)
+         SELECT c.doc_id, count(*) AS n_contaminated_shingles
+         FROM corpus c JOIN bench b ON c.shingle = b.shingle
+         GROUP BY 1 ORDER BY 1""",
     "f_date_suite" ->
       """WITH o AS (SELECT o_orderdate, date_trunc('month', o_orderdate) AS m
                     FROM orders)

@@ -95,6 +95,21 @@ object Sessionization {
       .orderBy(col("slot_id"))
   }
 
+  /** The reference's NESTED slot-document shape (SURVEY §2.8 Parking:
+    * `advanced_preprocessing_parkingLot.py:104-122`) — transition
+    * counts and time totals regrouped under `state_transitions` /
+    * `time_metrics` structs around the session list. A pure projection
+    * over [[slotRollup]]. */
+  def slotDocuments(rollup: DataFrame): DataFrame =
+    rollup.select(
+      col("slot_id"),
+      col("slot_status"),
+      struct(col("became_free"), col("became_occupied"))
+        .as("state_transitions"),
+      struct(col("total_occupied_seconds"), col("total_free_seconds"),
+        col("free_percentage")).as("time_metrics"),
+      col("parking_sessions"))
+
   /** Top-level parking_config summary (SURVEY §2.8 Parking:
     * `advanced_preprocessing.py:299-316`): slot totals plus the final
     * frame's occupancy state. */

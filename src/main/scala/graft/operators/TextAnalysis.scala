@@ -127,4 +127,49 @@ object TextAnalysis {
         col("score"))
       .orderBy(col("doc_id"), col("rn"))
   }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII redaction (the scrubbing pass of a training-data pipeline):
+    * emails → &lt;EMAIL&gt;, 7+-digit runs → &lt;NUM&gt;. A narrow
+    * regexp_replace chain — scan-speed at any corpus size. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, emailRe, "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
+  /** Oracle-gated redaction drive: deterministic synthetic PII appended
+    * per doc (the id makes some digit runs cross the 7-digit redaction
+    * threshold and others not, exercising both branches); output pinned
+    * to counts + an md5 of the redacted text. */
+  def textRedactPii(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val raw = concat(col("text"), lit(" contact u"),
+      col("doc_id").cast("string"), lit("@example.com or ref 90210"),
+      pmod(col("doc_id"), lit(100)).cast("string"))
+    t.documents.select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        md5(redactPii(col("raw"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination scan (the decontamination step): corpus
+    * documents sharing any 3-token shingle with the benchmark set,
+    * with overlap counts. The benchmark side is SMALL BY DEFINITION
+    * (eval sets are thousands of docs against a corpus of billions) →
+    * its distinct shingles broadcast; the corpus is touched once and
+    * never self-joins. Here docs with id ≡ 0 (mod 97) stand in for the
+    * benchmark. */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sh = Dedup.shingles(t)
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val bench = sh.filter(isBench).select(col("shingle")).distinct()
+    val corpus = sh.filter(!isBench)
+    corpus.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+      .orderBy(col("doc_id"))
+  }
 }

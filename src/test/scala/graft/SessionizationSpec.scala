@@ -58,5 +58,18 @@ class SessionizationSpec extends SparkSpec {
     assert(s2.getAs[Double]("free_percentage") == 100.0)
     assert(s2.getAs[String]("slot_status") == "free")
     assert(s2.getAs[collection.Seq[Row]]("parking_sessions").isEmpty)
+
+    // nested document shape (§2.8): structs wrap the same values
+    val doc = graft.enrich.Sessionization
+      .slotDocuments(rollup)
+      .filter(org.apache.spark.sql.functions.col("slot_id") === "2")
+      .collect().head
+    val st = doc.getAs[Row]("state_transitions")
+    assert(st.getAs[Long]("became_free") == 0 && st.getAs[Long]("became_occupied") == 0)
+    val tm = doc.getAs[Row]("time_metrics")
+    assert(tm.getAs[Double]("free_percentage") == 100.0)
+    assert(doc.schema.fieldNames.toSeq ==
+      Seq("slot_id", "slot_status", "state_transitions", "time_metrics",
+        "parking_sessions"))
   }
 }
