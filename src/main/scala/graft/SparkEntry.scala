@@ -398,8 +398,8 @@ object SparkEntry {
         ORDER BY a.tracker_id"""
 
   /** Shared SRP front-end CTEs: portable hyperplane signs → quantized
-    * projections → 16-bit signatures (must mirror `Dedup.srpSignatures`
-    * bit-for-bit). */
+    * projections → mean-centered 16-bit signatures (must mirror
+    * `Dedup.srpSignatures` bit-for-bit). */
   private val srpSigCtes: String =
     s"""hp AS (SELECT j, d,
            CASE WHEN ${phashSql("CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)", 7)} % 2 = 0
@@ -410,9 +410,18 @@ object SparkEntry {
            CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
          FROM (SELECT vec_id, embedding,
                  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-       bits AS (SELECT qp.vec_id, hp.j,
-           CASE WHEN sum(qp.q * hp.s) >= 0 THEN 1 ELSE 0 END AS bit
+       dimsums AS (SELECT d, CAST(sum(q) AS BIGINT) AS sd, count(*) AS n
+                   FROM qp GROUP BY 1),
+       mu AS (SELECT hp.j,
+           CAST(floor(CAST(CAST(sum(hp.s * ds.sd) AS BIGINT) AS DOUBLE)
+                / CAST(min(ds.n) AS DOUBLE) + 0.5) AS BIGINT) AS cmu
+         FROM hp JOIN dimsums ds ON hp.d = ds.d GROUP BY 1),
+       projs AS (SELECT qp.vec_id, hp.j,
+           CAST(sum(qp.q * hp.s) AS BIGINT) AS proj
          FROM qp JOIN hp ON qp.d = hp.d GROUP BY 1, 2),
+       bits AS (SELECT p.vec_id, p.j,
+           CASE WHEN p.proj >= mu.cmu THEN 1 ELSE 0 END AS bit
+         FROM projs p JOIN mu ON p.j = mu.j),
        sig AS (SELECT vec_id,
            CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT)
              AS srp16
@@ -428,10 +437,14 @@ object SparkEntry {
 
   private val embSrpOracle: String =
     s"""WITH $srpSigCtes,
-        bands AS (SELECT vec_id, '1_' || CAST(srp16 % 256 AS VARCHAR) AS bk
-                  FROM sig
-                  UNION ALL
-                  SELECT vec_id, '2_' || CAST(srp16 // 256 AS VARCHAR) FROM sig),
+        bands0 AS (SELECT vec_id, '1_' || CAST(srp16 % 256 AS VARCHAR) AS bk
+                   FROM sig
+                   UNION ALL
+                   SELECT vec_id, '2_' || CAST(srp16 // 256 AS VARCHAR) FROM sig),
+        bands AS (SELECT vec_id, bk FROM (
+                    SELECT vec_id, bk,
+                           count(*) OVER (PARTITION BY bk) AS bn
+                    FROM bands0) WHERE bn <= 1000),
         cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
                  FROM bands l JOIN bands r
                    ON l.bk = r.bk AND l.vec_id < r.vec_id),

@@ -181,7 +181,16 @@ object Dedup {
     * from the portable hash of (j, d) — a CONSTANT 16×64 table, built
     * once and broadcast — and projections are integer dot products over
     * the e4-quantized vectors, so both engines compute bit-identical
-    * signatures. bit_j = [Σ_d sign(j,d)·q_d ≥ 0]; two 8-bit bands. */
+    * signatures.
+    *
+    * Bits are MEAN-CENTERED: bit_j = [proj_j(x) ≥ cμ_j] where cμ_j is
+    * the integer half-up-rounded mean projection over the corpus.
+    * Against the hyperplane's raw zero, any dominant direction in the
+    * embedding space (anisotropy is the norm in real embedding models)
+    * pushes most vectors to the SAME side of most hyperplanes and band
+    * buckets collapse into a few giant ones — measured as a 100×
+    * candidate blowup on shifted-replica data. Centering re-balances
+    * each bit to ~50/50 by construction. Two 8-bit bands. */
   def srpSignatures(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     val hp = spark.range(16).select(col("id").as("j"))
@@ -194,11 +203,22 @@ object Dedup {
         posexplode(col("embedding")).as(Seq("d", "x")))
       .withColumn("q", floor(col("x").cast("double") * 10000 + lit(0.5))
         .cast("long"))
+    // per-dim corpus sums (64 rows) → per-hyperplane mean projection,
+    // rounded half-up over the exact-integer IEEE division
+    val dimSums = qv.groupBy(col("d"))
+      .agg(sum(col("q")).as("sd"), count(lit(1)).as("n"))
+    val mu = dimSums.join(broadcast(hp), Seq("d"))
+      .groupBy(col("j"))
+      .agg(sum(col("s") * col("sd")).as("num"), min(col("n")).as("n"))
+      .select(col("j"),
+        expr("CAST(floor(CAST(num AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+          .as("cmu"))
     val bits = qv.join(broadcast(hp), Seq("d"))
       .groupBy(col("vec_id"), col("j"))
       .agg(sum(col("q") * col("s")).as("proj"))
+      .join(broadcast(mu), Seq("j"))
       .withColumn("bitval",
-        when(col("proj") >= 0,
+        when(col("proj") >= col("cmu"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
           .otherwise(lit(0L)))
     val labels = e.select(col("vec_id"), col("label"))
@@ -219,14 +239,24 @@ object Dedup {
     * pairs → EXACT cosine verification (codegen'd CosineSimQ) — the
     * same candidates-then-verify shape as [[minhashLsh]], so the
     * quadratic term never materializes; candidates shuffle-join back to
-    * their vectors (never broadcast — data-dependent size). */
+    * their vectors (never broadcast — data-dependent size). Band
+    * buckets larger than `bandCap` are DROPPED before pairing (the
+    * df-cap move from [[ngramJaccard]]): an over-full bucket means the
+    * band carries no discriminative signal there, and its quadratic
+    * pair term would dominate the whole job — the standard LSH
+    * recall-for-survival trade, applied deterministically so the
+    * oracle sees the same drop. */
   def embeddingSrp(spark: SparkSession, dir: String,
-      thresholdE6: Long = 350000L): DataFrame = {
+      thresholdE6: Long = 350000L, bandCap: Int = 1000): DataFrame = {
     val t = Tables(spark, dir)
     val sig = srpSignatures(t.embeddings)
-    val bands = sig.select(col("vec_id"), explode(array(
+    val bands0 = sig.select(col("vec_id"), explode(array(
       concat(lit("1_"), col("band1")),
       concat(lit("2_"), col("band2")))).as("bk"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))
+    val bands = bands0
+      .withColumn("bn", count(lit(1)).over(wb))
+      .filter(col("bn") <= bandCap).drop("bn")
     val cands = bands.select(col("bk"), col("vec_id").as("a"))
       .join(bands.select(col("bk"), col("vec_id").as("b")), Seq("bk"))
       .filter(col("a") < col("b"))
