@@ -46,30 +46,32 @@ final case class TxTable(spark: SparkSession, root: String) {
   private def manifestPath(v: Long): Path =
     logDir.resolve(f"v$v%020d.txt")
 
-  /** Latest committed snapshot, or None for an empty/new table. */
-  def latest(): Option[Snapshot] = {
-    if (!Files.exists(logDir)) return None
+  // manifest lines starting with '#' are annotations (e.g. the
+  // streaming batch marker), not data files
+  private def manifestFiles(v: Long): Seq[String] =
+    Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  private def manifestVersions(): Seq[Long] = {
+    if (!Files.exists(logDir)) return Seq.empty
     val s = Files.list(logDir)
-    val versions =
+    val names =
       try s.iterator().asScala.map(_.getFileName.toString).toSeq
       finally s.close()
-    val parsed = versions.collect {
+    names.collect {
       case n if n.startsWith("v") && n.endsWith(".txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toLong
     }
-    parsed.maxOption.map { v =>
-      val files = Files.readAllLines(manifestPath(v)).asScala.toSeq
-        .filter(_.nonEmpty)
-      Snapshot(v, files)
-    }
   }
+
+  /** Latest committed snapshot, or None for an empty/new table. */
+  def latest(): Option[Snapshot] =
+    manifestVersions().maxOption.map(v => Snapshot(v, manifestFiles(v)))
 
   /** Snapshot read: the committed file list, as of `version` if given. */
   def read(version: Option[Long] = None): DataFrame = {
     val snap = version match {
-      case Some(v) =>
-        Snapshot(v, Files.readAllLines(manifestPath(v)).asScala.toSeq
-          .filter(_.nonEmpty))
+      case Some(v) => Snapshot(v, manifestFiles(v))
       case None => latest().getOrElse(
         throw new IllegalStateException(s"empty tx table at $root"))
     }
@@ -97,16 +99,19 @@ final case class TxTable(spark: SparkSession, root: String) {
   }
 
   /** Publish `files` as the successor of whatever version is current,
-    * transforming the current list through `next`. Retries on committer
-    * races (bounded — a loss means someone else progressed). */
-  private def commit(next: Seq[String] => Seq[String]): Long = {
+    * transforming the current list through `next`; `annotations` are
+    * '#'-prefixed metadata lines carried in the same atomic manifest.
+    * Retries on committer races (bounded — a loss means someone else
+    * progressed). */
+  private def commit(next: Seq[String] => Seq[String],
+      annotations: Seq[String] = Seq.empty): Long = {
     Files.createDirectories(logDir)
     var attempts = 0
     while (attempts < 64) {
       val cur = latest()
       val v = cur.map(_.version + 1).getOrElse(0L)
       val files = next(cur.map(_.files).getOrElse(Seq.empty))
-      val body = files.mkString("\n").getBytes("UTF-8")
+      val body = (annotations ++ files).mkString("\n").getBytes("UTF-8")
       try {
         Files.write(manifestPath(v), body, StandardOpenOption.CREATE_NEW)
         return v
@@ -116,6 +121,28 @@ final case class TxTable(spark: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"tx commit lost ${64} races at $root — livelocked writers?")
+  }
+
+  /** Streaming-batch ids already committed (from manifest annotations). */
+  def committedBatches(): Set[Long] =
+    manifestVersions().flatMap { v =>
+      Files.readAllLines(manifestPath(v)).asScala
+        .filter(_.startsWith("#batch="))
+        .map(_.stripPrefix("#batch=").toLong)
+    }.toSet
+
+  /** Idempotent streaming commit: `foreachBatch` delivers each batch
+    * at-least-once, so the batch id is recorded as an annotation INSIDE
+    * the same atomic manifest as its files — a redelivered batch finds
+    * its marker and commits nothing (the exactly-once trick Delta's
+    * txnAppId/txnVersion provides). The marker scan walks the small
+    * per-version manifests; a production table keeps a side index.
+    * Returns the committed version, or None when the batch was already
+    * in the log. */
+  def appendBatchIdempotent(df: DataFrame, batchId: Long): Option[Long] = {
+    if (committedBatches().contains(batchId)) return None
+    val staged = stage(df)
+    Some(commit(cur => cur ++ staged, Seq(s"#batch=$batchId")))
   }
 
   /** Atomic append: stages the rows, then commits current ∪ new. */
@@ -143,8 +170,10 @@ final case class TxTable(spark: SparkSession, root: String) {
 
   /** Delete data files no version references... once old-version
     * readers are done (caller's contract, as with Delta's VACUUM
-    * retention). Also drops superseded manifests. Returns the number of
-    * files reclaimed. */
+    * retention). Superseded MANIFESTS are kept: they are tiny and they
+    * carry the streaming batch markers idempotency depends on (old
+    * versions merely stop being readable once their files are gone).
+    * Returns the number of data files reclaimed. */
   def vacuum(): Int = {
     val snap = latest().getOrElse(return 0)
     val live = snap.files.toSet
@@ -154,12 +183,6 @@ final case class TxTable(spark: SparkSession, root: String) {
       finally s.close()
     val dead = all.filterNot(p => live(p.getFileName.toString))
     dead.foreach(Files.delete)
-    val m = Files.list(logDir)
-    val oldManifests =
-      try m.iterator().asScala.toSeq.filterNot(
-        _.getFileName.toString == manifestPath(snap.version).getFileName.toString)
-      finally m.close()
-    oldManifests.foreach(Files.delete)
     dead.size
   }
 }

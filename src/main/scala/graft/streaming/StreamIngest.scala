@@ -48,4 +48,23 @@ object StreamIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Stream → transactional zone table: every micro-batch commits
+    * atomically through the [[graft.lake.TxTable]] manifest log, and
+    * the batch-id marker inside each manifest makes redelivered batches
+    * no-ops — exactly-once into a table that concurrent compaction can
+    * safely rewrite (the Delta-style streaming-sink contract, on the
+    * plain-parquet log). */
+  def runToTxTable(stream: DataFrame, table: graft.lake.TxTable,
+      checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.appendBatchIdempotent(batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -110,6 +110,14 @@ class PlanSpec extends SparkSpec {
       s"minhash pipeline carries $hints broadcast hints; only the bounded pair list may be hinted")
   }
 
+  test("contamination broadcast-hints only the benchmark shingle side") {
+    // the corpus is billions of docs; only the benchmark's distinct
+    // shingles (small by definition) may carry a broadcast hint
+    val analyzed = SparkEntry.queries("text_contamination")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).length == 1)
+  }
+
   test("hash-mod sampling needs no shuffle before the aggregation") {
     val p = executedPlan("sample_split")
     // the sample membership filter must sit in the scan stage, not

@@ -37,4 +37,43 @@ class StreamZoneSpec extends SparkSpec {
     drain()
     assert(spark.read.parquet(out).count() == 3)
   }
+
+  test("stream commits through the tx log: exactly-once + batch markers") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-txsrc").toString
+    val chk = Files.createTempDirectory("graft-txchk").toString
+    val table = graft.lake.Lake(spark,
+      Files.createTempDirectory("graft-txlake").toString).txTable("refine", "events")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "frame_number LONG, event_type STRING, value DOUBLE")
+
+    def drain(): Unit = StreamIngest.runToTxTable(
+      StreamIngest.rawStream(spark, src, schema, maxFilesPerTrigger = 1),
+      table, chk)
+
+    Files.writeString(Paths.get(s"$src/f1.json"),
+      """[{"frame_number": 0, "event_type": "a", "value": 1.0}]""")
+    Files.writeString(Paths.get(s"$src/f2.json"),
+      """[{"frame_number": 1, "event_type": "b", "value": 2.0}]""")
+    drain()
+    assert(table.read().count() == 2)
+    assert(table.committedBatches().size == 2) // one commit per micro-batch
+
+    // checkpointed re-drain: nothing reprocessed
+    drain()
+    assert(table.read().count() == 2)
+
+    // simulated foreachBatch REDELIVERY of an already-committed batch:
+    // the marker inside the manifest makes it a no-op
+    assert(table.appendBatchIdempotent(
+      Seq((9L, "dup", 9.9)).toDF("frame_number", "event_type", "value"),
+      batchId = 0L).isEmpty)
+    assert(table.read().count() == 2)
+
+    // compaction + vacuum do not disturb the streamed rows or markers
+    table.compact(targetFiles = 1)
+    table.vacuum()
+    assert(table.read().count() == 2)
+    assert(table.committedBatches().size == 2)
+  }
 }
