@@ -32,12 +32,31 @@ object Process {
 
   def main(args: Array[String]): Unit = {
     val Array(domain, rawFile, root) = args.take(3)
-    val cfg = DomainConfig.byName(domain)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    run(spark, domain, rawFile, root)
+    spark.stop()
+  }
+
+  /** The whole per-upload lifecycle, session provided by the caller
+    * (so tests can drive it on the shared session). */
+  def run(spark: org.apache.spark.sql.SparkSession, domain: String,
+      rawFile: String, root: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cfg = DomainConfig.byName(domain)
     val lake = Lake(spark, root)
     val fileName = new java.io.File(rawFile).getName
 
-    val raw = lake.readJsonArray(rawFile)
+    // domains with a registered explicit schema skip the JSON
+    // inference pre-pass (2× I/O); malformed documents land whole in
+    // _corrupt_record and are quarantined here rather than flowing
+    // into the zone tables (a production pipeline would sink them to
+    // a quarantine prefix for replay)
+    val raw0 = lake.readJsonArray(rawFile,
+      graft.schema.DomainSchemas.byName.get(domain))
+    val raw =
+      if (raw0.columns.contains("_corrupt_record"))
+        raw0.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      else raw0
     val frames = Normalize.unwrap(raw)
     // parking's dynamic-key slots struct flattens via the map coercion,
     // not the generic detection explode
@@ -68,6 +87,5 @@ object Process {
       println(s"[graft] $domain: ${refined.count()} refined entities")
     }
     println(s"[graft] $domain: ${grouped.count()} frames processed")
-    spark.stop()
   }
 }
