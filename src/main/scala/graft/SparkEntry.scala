@@ -69,6 +69,13 @@ object SparkEntry {
     "domain_slot_sessionize" -> DomainBridge.slotSessionize _,
     "a12_time_window" -> Coverage.a12TimeWindow _,
     "mm_byte_metrics" -> Coverage.mmByteMetrics _,
+    "mm_segments" -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.Multimodal.segments(
+        graft.core.Tables(s, dir).documents.select(
+          org.apache.spark.sql.functions.col("doc_id").as("asset_id"),
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8")
+            .as("content")))),
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     "skew_salted_agg" -> Skew.skewSaltedAgg _,
     "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
@@ -1049,6 +1056,16 @@ object SparkEntry {
                   AS unique_expiry_dates,
                 count(*) AS frame_appearances
          FROM f GROUP BY 1 ORDER BY 1""",
+    "mm_segments" ->
+      """WITH a AS (SELECT doc_id AS asset_id, text AS txt,
+                    len(text) AS l FROM documents),
+         s AS (SELECT asset_id, txt, (l - 100) // 60 + 1 AS n
+               FROM a WHERE l >= 100),
+         e AS (SELECT asset_id, txt, unnest(range(0, n)) AS i FROM s)
+         SELECT asset_id, CAST(i AS BIGINT) AS seg_id,
+                CAST(i * 60 AS BIGINT) AS seg_start,
+                md5(substring(txt, CAST(i * 60 + 1 AS INTEGER), 100)) AS seg_md5
+         FROM e ORDER BY asset_id, seg_id""",
     "mm_byte_metrics" ->
       """SELECT doc_id AS asset_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

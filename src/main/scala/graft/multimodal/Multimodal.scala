@@ -69,4 +69,23 @@ object Multimodal {
       length(col("content")).as("n_bytes"),
       (floor((length(col("content")) - 1) / 256) + 1).as("n_chunks"),
       md5(col("content")).as("content_md5"))
+
+  /** Fixed window/hop segmentation — the audio-framing primitive
+    * (window and hop in samples; here character units of the decoded
+    * payload): every asset explodes into its fully-contained segments,
+    * each pinned by an md5. Pure narrow SQL (explode + substring), so
+    * segmentation of a 100 TB asset zone runs at scan speed with no
+    * shuffle; a real pipeline feeds the segment spans to the
+    * [[DecodeStub]] seam for per-segment feature extraction. */
+  def segments(assets: DataFrame, window: Int = 100, hop: Int = 60): DataFrame =
+    assets
+      .select(col("asset_id"), decode(col("content"), "UTF-8").as("txt"))
+      .withColumn("len", length(col("txt")))
+      .filter(col("len") >= window)
+      .withColumn("n", expr(s"(len - $window) div $hop + 1"))
+      .withColumn("i", explode(expr("sequence(0, CAST(n - 1 AS INT))")))
+      .select(col("asset_id"), col("i").cast("long").as("seg_id"),
+        (col("i") * hop).cast("long").as("seg_start"),
+        md5(expr(s"substring(txt, i * $hop + 1, $window)")).as("seg_md5"))
+      .orderBy(col("asset_id"), col("seg_id"))
 }
