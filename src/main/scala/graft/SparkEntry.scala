@@ -118,6 +118,7 @@ object SparkEntry {
     "f_string_suite" -> FunctionSuites.fStringSuite _,
     "f_cond_bitwise" -> FunctionSuites.fCondBitwise _,
     "f_array_suite" -> FunctionSuites.fArraySuite _,
+    "f_map_suite" -> FunctionSuites.fMapSuite _,
     "stream_static_join" -> graft.streaming.StreamStaticJoin.streamStaticJoin _,
     "stream_stream_join" -> graft.streaming.StreamStreamJoin.streamStreamJoin _,
     "sim_centroids" -> Similarity.centroids _,
@@ -1337,6 +1338,25 @@ object SparkEntry {
                 array_to_string(la || lb, ',') AS flat_s,
                 CAST(list_sum(la) AS BIGINT) AS sum_la
          FROM a ORDER BY event_type""",
+    "f_map_suite" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+                    count(DISTINCT user_id) AS u,
+                    max(CAST(round(value * 100) AS BIGINT)) AS mx
+                    FROM events GROUP BY 1),
+         m AS (SELECT event_type, n, u, mx,
+                 MAP {'n': n, 'u': u} AS m1, MAP {'x': mx} AS m2,
+                 map_concat(MAP {'n': n, 'u': u}, MAP {'x': mx}) AS cm
+               FROM g)
+         SELECT event_type,
+                array_to_string(list_sort(map_keys(m1)), ',') AS keys1,
+                CAST(n AS BIGINT) AS m1_n,
+                CAST(u AS BIGINT) AS m1_u,
+                CAST(cardinality(m1) + cardinality(m2) AS BIGINT) AS card_sum,
+                CAST(cardinality(cm) AS BIGINT) AS card_cm,
+                CAST(mx AS BIGINT) AS cm_x,
+                array_to_string(list_sort(list_filter(map_keys(cm),
+                  k -> map_extract(cm, k)[1] >= 1000)), ',') AS big_keys
+         FROM m ORDER BY event_type""",
     "stream_stream_join" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
                     WHERE event_type = 'click'),

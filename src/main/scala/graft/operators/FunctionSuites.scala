@@ -67,6 +67,34 @@ object FunctionSuites {
       .orderBy(col("event_type"))
   }
 
+  /** Map-function surface: construct typed maps from aggregates, then
+    * drive keys/lookup/cardinality/concat and the map_filter HOF —
+    * outputs pinned to sorted joined strings and scalar lookups. The
+    * DuckDB oracle re-expresses map_filter (absent in 1.0) as
+    * list_filter over map_keys + map_extract. */
+  def fMapSuite(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("u"),
+        max(round(col("value") * 100).cast("long")).as("mx"))
+      .select(col("event_type"),
+        map(lit("n"), col("n"), lit("u"), col("u")).as("m1"),
+        map(lit("x"), col("mx")).as("m2"))
+      .withColumn("cm", map_concat(col("m1"), col("m2")))
+      .select(col("event_type"),
+        array_join(sort_array(map_keys(col("m1"))), ",").as("keys1"),
+        try_element_at(col("m1"), lit("n")).as("m1_n"),
+        try_element_at(col("m1"), lit("u")).as("m1_u"),
+        (size(col("m1")) + size(col("m2"))).cast("long").as("card_sum"),
+        size(col("cm")).cast("long").as("card_cm"),
+        try_element_at(col("cm"), lit("x")).as("cm_x"),
+        array_join(sort_array(map_keys(
+          map_filter(col("cm"), (_, v) => v >= lit(1000L)))), ",")
+          .as("big_keys"))
+      .orderBy(col("event_type"))
+  }
+
   /** Conditional + bitwise functions: nullif / least / greatest and
     * AND/OR/XOR/shift over event ids, rolled up per event_type. */
   def fCondBitwise(spark: SparkSession, dir: String): DataFrame = {
