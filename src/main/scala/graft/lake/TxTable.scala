@@ -98,23 +98,29 @@ final case class TxTable(spark: SparkSession, root: String) {
     }
   }
 
-  /** Publish `files` as the successor of whatever version is current,
-    * transforming the current list through `next`; `annotations` are
-    * '#'-prefixed metadata lines carried in the same atomic manifest.
-    * Retries on committer races (bounded — a loss means someone else
-    * progressed). */
-  private def commit(next: Seq[String] => Seq[String],
-      annotations: Seq[String] = Seq.empty): Long = {
+  /** Publish a successor of whatever version is current, transforming
+    * the current list through `next`; `annotations` are '#'-prefixed
+    * metadata lines carried in the same atomic manifest. Retries on
+    * committer races (bounded — a loss means someone else progressed).
+    * `next` runs once per attempt against the FRESH current list, so it
+    * is where semantic-conflict checks belong: returning None aborts
+    * the whole commit (the caller's staged files are its to clean up).
+    */
+  private def commit(next: Seq[String] => Option[Seq[String]],
+      annotations: Seq[String] = Seq.empty): Option[Long] = {
     Files.createDirectories(logDir)
     var attempts = 0
     while (attempts < 64) {
       val cur = latest()
       val v = cur.map(_.version + 1).getOrElse(0L)
-      val files = next(cur.map(_.files).getOrElse(Seq.empty))
+      val files = next(cur.map(_.files).getOrElse(Seq.empty)) match {
+        case Some(f) => f
+        case None => return None
+      }
       val body = (annotations ++ files).mkString("\n").getBytes("UTF-8")
       try {
         Files.write(manifestPath(v), body, StandardOpenOption.CREATE_NEW)
-        return v
+        return Some(v)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => attempts += 1
       }
@@ -122,6 +128,10 @@ final case class TxTable(spark: SparkSession, root: String) {
     throw new IllegalStateException(
       s"tx commit lost ${64} races at $root — livelocked writers?")
   }
+
+  /** Remove staged-but-never-committed files (an aborted commit's). */
+  private def unstage(staged: Seq[String]): Unit =
+    staged.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
 
   /** Streaming-batch ids already committed (from manifest annotations). */
   def committedBatches(): Set[Long] =
@@ -138,23 +148,47 @@ final case class TxTable(spark: SparkSession, root: String) {
     * txnAppId/txnVersion provides). The marker scan walks the small
     * per-version manifests; a production table keeps a side index.
     * Returns the committed version, or None when the batch was already
-    * in the log. */
-  def appendBatchIdempotent(df: DataFrame, batchId: Long): Option[Long] = {
-    if (committedBatches().contains(batchId)) return None
+    * in the log.
+    *
+    * The marker is validated INSIDE the commit retry loop, not just
+    * up front: two writers replaying the same batch (driver failover
+    * with a zombie executor still running) can both pass a single
+    * check-then-act test, but here the loser of the manifest race
+    * re-reads the log, finds the winner's marker, and aborts — its
+    * staged files are unstaged, nothing duplicates. `beforeCommit` is
+    * a test seam for injecting that interleaving. */
+  def appendBatchIdempotent(df: DataFrame, batchId: Long,
+      beforeCommit: () => Unit = () => ()): Option[Long] = {
+    if (committedBatches().contains(batchId)) return None // cheap fast-path
     val staged = stage(df)
-    Some(commit(cur => cur ++ staged, Seq(s"#batch=$batchId")))
+    beforeCommit()
+    val v = commit(
+      cur =>
+        if (committedBatches().contains(batchId)) None
+        else Some(cur ++ staged),
+      Seq(s"#batch=$batchId"))
+    if (v.isEmpty) unstage(staged)
+    v
   }
 
   /** Atomic append: stages the rows, then commits current ∪ new. */
   def append(df: DataFrame): Long = {
     val staged = stage(df)
-    commit(cur => cur ++ staged)
+    commit(cur => Some(cur ++ staged)).get // unconditional — never aborts
   }
 
   /** Transactional compaction: rewrites the snapshot it read into
     * `targetFiles`, committing (current − inputs) ∪ rewritten — so
     * files appended since the read survive verbatim. `beforeCommit` is
     * a test seam for injecting a concurrent writer at the worst moment.
+    *
+    * Concurrent-compaction conflict is detected, not re-based through:
+    * if a racing compactor already replaced this one's inputs, blindly
+    * committing `cur.filterNot(inputs) ++ rewritten` would append a
+    * second full copy of every row (filterNot is a no-op once the
+    * inputs are gone). When any input file has left the current
+    * snapshot, the loser unstages its rewrite and throws — the caller
+    * re-runs against the new snapshot if it still wants a compaction.
     */
   def compact(targetFiles: Int, beforeCommit: () => Unit = () => ()): Long = {
     val snap = latest().getOrElse(
@@ -165,23 +199,51 @@ final case class TxTable(spark: SparkSession, root: String) {
         .parquet(snap.files.map(f => dataDir.resolve(f).toString): _*)
         .repartition(targetFiles))
     beforeCommit()
-    commit(cur => cur.filterNot(inputs) ++ rewritten)
+    val v = commit { cur =>
+      if (!inputs.subsetOf(cur.toSet)) None // inputs replaced under us
+      else Some(cur.filterNot(inputs) ++ rewritten)
+    }
+    v.getOrElse {
+      unstage(rewritten)
+      throw new java.util.ConcurrentModificationException(
+        s"compaction inputs at $root were replaced by a concurrent " +
+          "rewrite; re-read the latest snapshot and retry")
+    }
   }
 
-  /** Delete data files no version references... once old-version
-    * readers are done (caller's contract, as with Delta's VACUUM
-    * retention). Superseded MANIFESTS are kept: they are tiny and they
-    * carry the streaming batch markers idempotency depends on (old
-    * versions merely stop being readable once their files are gone).
+  /** Delete data files the latest version does not reference — once
+    * old-version readers are done (caller's contract, as with Delta's
+    * VACUUM retention). Two classes are reclaimed:
+    *
+    *  - files some SUPERSEDED manifest lists: committed once, since
+    *    replaced — safe regardless of age (no in-flight writer will
+    *    ever commit them again);
+    *  - files NO manifest lists, but only once older than `retention`:
+    *    a young unreferenced file is most likely a concurrent writer's
+    *    staged-not-yet-committed data — deleting it would let that
+    *    writer publish a manifest pointing at nothing, bricking the
+    *    table. Old unreferenced files are aborted commits' orphans.
+    *
+    * Superseded MANIFESTS are kept: they are tiny, they carry the
+    * streaming batch markers idempotency depends on, and they are what
+    * lets the first rule distinguish "replaced" from "in flight".
     * Returns the number of data files reclaimed. */
-  def vacuum(): Int = {
+  def vacuum(retention: java.time.Duration =
+      java.time.Duration.ofMinutes(15)): Int = {
     val snap = latest().getOrElse(return 0)
     val live = snap.files.toSet
+    val everCommitted = manifestVersions().flatMap(manifestFiles).toSet
+    val cutoff = System.currentTimeMillis() - retention.toMillis
     val s = Files.list(dataDir)
     val all =
       try s.iterator().asScala.toSeq
       finally s.close()
-    val dead = all.filterNot(p => live(p.getFileName.toString))
+    val dead = all.filter { p =>
+      val name = p.getFileName.toString
+      !live(name) &&
+        (everCommitted(name) ||
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+    }
     dead.foreach(Files.delete)
     dead.size
   }

@@ -70,4 +70,55 @@ class TxTableSpec extends SparkSpec {
     assert(reclaimed >= 3, s"expected the 3 pre-compaction files gone, got $reclaimed")
     assert(t.read().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
+
+  test("vacuum spares a concurrent writer's staged-not-committed file") {
+    val t = freshTable()
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    // simulate an in-flight writer: a data file present but listed in
+    // NO manifest yet (stage() has run, commit() has not)
+    val dataDir = java.nio.file.Paths.get(t.root, "data")
+    val staged = dataDir.resolve("in-flight.parquet")
+    Files.write(staged, Array[Byte](1, 2, 3))
+    assert(t.vacuum() == 0, "young unreferenced file must survive vacuum")
+    assert(Files.exists(staged))
+    // once older than the retention horizon it is an aborted orphan
+    Files.setLastModifiedTime(staged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000L))
+    assert(t.vacuum() == 1)
+    assert(!Files.exists(staged))
+    assert(t.read().count() == 1)
+  }
+
+  test("replayed batch id loses the commit race and aborts, no duplicates") {
+    val t = freshTable()
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    // zombie-writer interleaving: writer 1 passes the up-front marker
+    // check and stages, then writer 2 commits the SAME batch id before
+    // writer 1's commit runs — the in-loop re-check must catch it
+    val v1 = t.appendBatchIdempotent(batch, batchId = 7L,
+      beforeCommit = () =>
+        assert(t.appendBatchIdempotent(batch, batchId = 7L).isDefined))
+    assert(v1.isEmpty, "loser must abort, not double-commit the batch")
+    assert(t.read().count() == 2, "batch rows must appear exactly once")
+    // the loser's staged files were unstaged — nothing orphaned
+    assert(t.vacuum(java.time.Duration.ZERO) == 0)
+  }
+
+  test("concurrent compaction is a detected conflict, not a silent dup") {
+    val t = freshTable()
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"f$i")).toDF("id", "s")))
+    // the winner compacts while the loser is between read and commit;
+    // the loser's inputs are gone from the snapshot, so re-basing with
+    // filterNot would append a second full copy of all rows
+    intercept[java.util.ConcurrentModificationException] {
+      t.compact(targetFiles = 1, beforeCommit = () =>
+        t.compact(targetFiles = 2))
+    }
+    assert(t.read().count() == 4, "loser must not duplicate rows")
+    assert(t.read().collect().map(_.getLong(0)).toSet == (1L to 4L).toSet)
+    // the loser's staged rewrite was unstaged
+    assert(t.vacuum(java.time.Duration.ZERO) >= 4) // winner's replaced inputs only
+    assert(t.read().count() == 4)
+  }
 }

@@ -32,14 +32,23 @@ def main() -> None:
     for name, sql in sorted(oracles.items()):
         best = None
         for _ in range(reps):
-            timer = threading.Timer(timeout_s, con.interrupt)
+            # The timer only interrupts while THIS query is still
+            # running: without the flag, a timer firing in the gap
+            # between query completion and cancel() would land its
+            # interrupt on the NEXT query sharing the connection,
+            # recording a spurious DNF.
+            done = threading.Event()
+            timer = threading.Timer(
+                timeout_s, lambda: None if done.is_set() else con.interrupt())
             timer.start()
             t0 = time.monotonic()
             try:
                 con.sql(sql).fetchall()
+                done.set()
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
             except Exception as e:
+                done.set()
                 print(f"[oracle-bench] {name} DNF after "
                       f"{time.monotonic() - t0:.0f}s: "
                       f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
@@ -47,6 +56,7 @@ def main() -> None:
                 timer.cancel()
                 break
             finally:
+                done.set()
                 timer.cancel()
         times[name] = round(best, 3)
     finished = {k: v for k, v in times.items() if v >= 0}
