@@ -130,6 +130,15 @@ object SparkEntry {
     "graph_pagerank" -> Cluster.graphPagerank _,
     "graph_triangles" -> Cluster.graphTriangles _,
     "sim_knn_classify" -> Similarity.knnClassify _,
+    "sim_pq_adc" -> ((s: SparkSession, dir: String) =>
+      Similarity.pqAdc(s, dir)),
+    "dedup_semantic" -> ((s: SparkSession, dir: String) =>
+      Dedup.semantic(s, dir)),
+    "text_chunk" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.chunk(s, dir)),
+    "text_lm_score" -> TextAnalysis.lmScore _,
+    "stream_dedup" -> graft.streaming.StreamDedup.streamDedup _,
+    "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
     // synthetic 2-D points from the embeddings table (D11)
     "view_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -518,6 +527,63 @@ object SparkEntry {
                    FROM scored)
         SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Mirror of `Similarity.pqAdc`: per-subspace codebooks → nearest-
+    * code encoding → query lookup tables → summed ADC distances. All
+    * integer-exact (quantized dims, half-up centroid means). */
+  private val pqAdcOracle: String =
+    """WITH qe AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+           CAST((i - 1) // 8 AS BIGINT) AS sub,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+         FROM (SELECT vec_id, label, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       cb AS (SELECT sub, label AS code, dim,
+           CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+         FROM qe GROUP BY 1, 2, 3),
+       sd AS (SELECT qe.vec_id, qe.sub, cb.code,
+           CAST(sum((qe.q - cb.c) * (qe.q - cb.c)) AS BIGINT) AS d2
+         FROM qe JOIN cb ON qe.sub = cb.sub AND qe.dim = cb.dim
+         GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code, row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY d2, code) AS ern FROM sd)
+         WHERE ern = 1),
+       qd AS (SELECT vec_id AS qid, sub, code, d2 FROM sd WHERE vec_id < 5),
+       adc AS (SELECT qd.qid, codes.vec_id AS nid,
+           CAST(sum(qd.d2) AS BIGINT) AS adc_dist2
+         FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.code
+         WHERE codes.vec_id != qd.qid GROUP BY 1, 2),
+       r AS (SELECT qid, nid, adc_dist2, row_number() OVER (
+               PARTITION BY qid ORDER BY adc_dist2, nid) AS rn FROM adc)
+       SELECT qid, nid, adc_dist2, CAST(rn AS BIGINT) AS rn
+       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Mirror of `Dedup.semantic`: IVF cells from the shared assignment
+    * CTEs, within-cell quantized cosine, remove b of every (a<b) pair
+    * over the threshold. */
+  private val semanticOracle: String =
+    s"""WITH $ivfAssignCtes,
+        cellof AS (SELECT vec_id, cell FROM asg WHERE arn = 1),
+        qvs AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+                FROM embeddings),
+        nn AS (SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
+               FROM qvs),
+        pr AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                 CAST(floor(CAST(list_dot_product(CAST(la.qv AS DOUBLE[]),
+                                                  CAST(rb.qv AS DOUBLE[])) AS DOUBLE)
+                   / (sqrt(la.nrm) * sqrt(rb.nrm)) * 1000000) AS BIGINT) AS cos_e6
+               FROM cellof l JOIN cellof r
+                 ON l.cell = r.cell AND l.vec_id < r.vec_id
+               JOIN nn la ON la.vec_id = l.vec_id
+               JOIN nn rb ON rb.vec_id = r.vec_id),
+        removed AS (SELECT DISTINCT b AS vec_id FROM pr WHERE cos_e6 >= 350000)
+        SELECT c.vec_id, c.cell,
+               (removed.vec_id IS NOT NULL) AS removed
+        FROM cellof c LEFT JOIN removed ON c.vec_id = removed.vec_id
+        ORDER BY c.vec_id"""
 
   private val embCosineOracle: String =
     """WITH e AS (SELECT vec_id, label,
@@ -1483,5 +1549,48 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE coalesce(lang, 'unknown') = 'en'
          GROUP BY 1 ORDER BY 1""",
+    "s4_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                  AS qty_cents
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "sim_pq_adc" -> pqAdcOracle,
+    "dedup_semantic" -> semanticOracle,
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+         c AS (SELECT doc_id, toks,
+                 unnest(range(0, CASE WHEN n <= 20 THEN 1
+                                      ELSE 1 + (n - 20 + 14) // 15 END))
+                   AS chunk_id
+               FROM d),
+         s AS (SELECT doc_id, chunk_id,
+                 toks[chunk_id * 15 + 1 : chunk_id * 15 + 20] AS chunk
+               FROM c)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_id""",
+    "text_lm_score" ->
+      """WITH ch AS (SELECT doc_id, substr(lt, CAST(i AS INTEGER), 2) AS bg
+              FROM (SELECT doc_id, lower(text) AS lt,
+                      unnest(range(1, length(lower(text)))) AS i
+                    FROM documents WHERE length(lower(text)) >= 2)),
+         bt2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM ch GROUP BY 1),
+         bt AS (SELECT bg, c2,
+                  CAST(sum(c2) OVER (PARTITION BY substr(bg, 1, 1)) AS BIGINT)
+                    AS c1
+                FROM bt2),
+         dc AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS m
+                FROM ch GROUP BY 1, 2),
+         sc AS (SELECT dc.doc_id, CAST(sum(dc.m) AS BIGINT) AS n_bigrams,
+                  CAST(sum(dc.m * ((1000000 * bt.c2) // bt.c1)) AS BIGINT) AS s
+                FROM dc JOIN bt USING (bg) GROUP BY 1)
+         SELECT doc_id, n_bigrams, s // n_bigrams AS lm_score_e6
+         FROM sc ORDER BY doc_id""",
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
   )
 }

@@ -169,6 +169,44 @@ object Dedup {
       .orderBy(col("label"), col("a"), col("b"))
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the embedding space with the TRUE trained coarse quantizer
+    * ([[Similarity.ivfAssign]] — not the label shortcut), compare pairs
+    * ONLY within a cluster, and drop every vector that has a LOWER-id
+    * cluster-mate above the cosine threshold — so exactly one
+    * representative (the minimum id, a deterministic stand-in for
+    * SemDeDup's keep-farthest-from-centroid rule) survives each
+    * near-dup chain. Output is a per-vector keep/remove verdict, the
+    * shape a curation pipeline consumes as a filter.
+    *
+    * Scale: the quadratic term is per-cluster, and IVF k grows with the
+    * corpus (k ∝ √N keeps E[|cell|²] linear in N); the cluster join is
+    * an equi-join on cell — never all-pairs, never broadcast (cells are
+    * corpus-proportional in aggregate). This is the published shape
+    * that deduplicated LAION/DataComp-scale corpora. */
+  def semantic(spark: SparkSession, dir: String,
+      thresholdE6: Long = 350000L): DataFrame = {
+    val t = Tables(spark, dir)
+    val cellOf = Similarity.ivfAssign(spark, dir)
+      .select(col("vec_id"), col("cell"))
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+      .join(cellOf, Seq("vec_id"))
+    val l = e.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = e.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val removed = l.join(r, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("ea"), col("eb")))
+      .filter(col("cos_e6") >= thresholdE6)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    e.select(col("vec_id"), col("cell"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("removed"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Signed-random-projection (SRP) LSH signatures over the embedding
     * column — the SUB-QUADRATIC near-dup path [[embeddingCosine]] lacks:
     * label-blocked exact compare is quadratic within each bucket (the

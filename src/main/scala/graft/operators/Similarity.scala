@@ -137,6 +137,64 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Product-quantization ANN (ADC — asymmetric distance computation,
+    * Jégou et al., the standard 100 TB memory-compression path): the
+    * 64-dim space splits into 8 subspaces of 8 dims; each subspace gets
+    * its own codebook (here: per-label subspace centroids — half-up e4
+    * integer means, the deterministic stand-in for a per-subspace
+    * kmeans); every vector is ENCODED as its 8 nearest sub-centroids
+    * (argmin of exact integer squared distance, code-asc tie-break).
+    * A query never touches raw corpus vectors again: its exact distance
+    * to every (subspace, code) centroid forms a constant-size lookup
+    * table, and the approximate distance to a corpus vector is the sum
+    * of 8 table lookups over that vector's codes.
+    *
+    * Plan shape at scale: the codebook (8×k×8 values) and the query
+    * distance tables (|Q|×8×k rows) are constant-size → broadcast; the
+    * corpus contributes only its (vec, sub, code) triples — 8 small
+    * ints per vector, the 32× compression PQ exists for — and the ADC
+    * "lookup" is a broadcast equi-join on (sub, code) followed by one
+    * map-side-combined sum per (query, vector). No shuffle ever carries
+    * an embedding. */
+  def pqAdc(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val t = Tables(spark, dir)
+    val q4 = "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+    val qe = t.embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
+        expr(q4).as("q"))
+      .withColumn("sub", expr("dim div 8"))
+    val cb = qe
+      .groupBy(col("sub"), col("label").as("code"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("sub"), col("code"), col("dim"),
+        expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+          .as("c"))
+    // exact squared distance of every vector to every sub-centroid:
+    // feeds BOTH the encoding argmin and the query lookup tables
+    val subDist = qe.join(broadcast(cb), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    val codes = subDist.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val qdist = subDist.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("code"), col("d2"))
+    val adc = codes.join(broadcast(qdist), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("adc_dist2"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** ANN over the TRUE IVF cells: the query probes the cell its vector
     * is assigned to and ranks the cell's members by exact cosine —
     * [[annIvf]]'s shape with the label stand-in replaced by the real

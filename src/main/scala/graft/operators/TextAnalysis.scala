@@ -154,6 +154,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window token chunking — the context-window packing
+    * precursor: every document becomes ⌈(n−size)/stride⌉+1 chunks of up
+    * to `chunkSize` tokens, consecutive chunks overlapping by
+    * size−stride tokens (the overlap LLM pretraining uses so no
+    * boundary context is lost). Pure narrow work: one `sequence`
+    * explode per doc (bounded by n/stride) and an array slice — no
+    * shuffle at all, scan-speed at 100 TB. Chunks are pinned by md5 so
+    * the oracle compares content, not array plumbing. */
+  def chunk(spark: SparkSession, dir: String,
+      chunkSize: Int = 20, stride: Int = 15): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // guard the CASE: Spark's sequence(1, 0) steps DOWNWARD, it is
+      // not empty like a half-open range — n_chunks must stay >= 1
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n <= $chunkSize THEN 1L " +
+          s"ELSE 1 + ((n - $chunkSize + $stride - 1) div $stride) END"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk", expr(s"slice(toks, chunk_id * $stride + 1, $chunkSize)"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Character-bigram language-model quality score — the CCNet-style
+    * "how corpus-like is this document" filter, with the corpus itself
+    * as the training set. Training: one pass explodes each position into
+    * its bigram and hash-aggregates counts c(ab) and prefix totals
+    * c(a·) (alphabet² states — CONSTANT size by construction, the
+    * legitimate broadcast). Scoring: a second pass aggregates per-doc
+    * bigram counts and joins the broadcast model.
+    *
+    * No floating log anywhere: per-bigram conditional probability is
+    * the exact rational (10⁶·c(ab)) div c(a·), and the doc score is the
+    * integer mean over its bigrams — bit-identical on every engine and
+    * every partitioning, where a Σlog(p) fold would drift by summation
+    * order. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val chars = t.documents
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .filter(length(col("lt")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(lt) - 1)")).as("i"), col("lt"))
+      .select(col("doc_id"), expr("substring(lt, CAST(i AS INT), 2)").as("bg"))
+    val model = chars.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(
+        Window.partitionBy(substring(col("bg"), 1, 1))))
+      .withColumn("p_e6", expr("(1000000 * c2) div c1"))
+      .select(col("bg"), col("p_e6"))
+    chars.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .join(broadcast(model), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("p_e6")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("lm_score_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark-contamination scan (the decontamination step): corpus
     * documents sharing any 3-token shingle with the benchmark set,
     * with overlap counts. The benchmark side is SMALL BY DEFINITION

@@ -66,6 +66,24 @@ object Roundtrip {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** ORC sink + source round-trip (the second columnar format Spark
+    * ships natively — zero extra dependencies, same pushdown/pruning
+    * machinery as parquet). Doubles survive losslessly, so the cents
+    * conversion happens after the re-read and must equal computing on
+    * the original parquet directly. */
+  def s4OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val out = tmpDir("orc_lineitem")
+    t.lineitem
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Hive-partitioned parquet write + partition-pruned read-back. */
   def s3PartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

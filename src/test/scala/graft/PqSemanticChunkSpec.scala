@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Roundtrip
+import graft.streaming.StreamDedup
+
+/** Round-4 operator properties: product-quantization ANN, semantic
+  * dedup, token chunking, char-bigram LM scoring, streaming dedup, ORC
+  * round-trip. The oracle gate proves exact values; these pin the
+  * SEMANTIC invariants that should survive any refactor. */
+class PqSemanticChunkSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pq_adc: complete ranked lists, and ADC agrees with exact " +
+      "search on at least part of every query's neighborhood") {
+    val adc = Similarity.pqAdc(spark, sf).collect()
+    val byQ = adc.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        s"query $q: ranks not dense")
+      assert(rows.forall(_.getLong(2) >= 0L), s"query $q: negative ADC distance")
+    }
+    // recall sanity against the MATCHING metric: ADC approximates
+    // squared L2, so compare to exact integer squared-L2 top-5
+    val vecs = graft.core.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[collection.Seq[Float]](1)
+          .map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    byQ.foreach { case (q, rows) =>
+      val exact = (vecs - q).toSeq
+        .map { case (id, v) => (d2(vecs(q), v), id) }.sorted.take(5)
+        .map(_._2).toSet
+      val hits = rows.map(_.getLong(1)).toSet intersect exact
+      assert(hits.nonEmpty, s"query $q: ADC top-5 misses ALL exact-L2 top-5")
+    }
+  }
+
+  test("dedup_semantic: one row per vector, keeps are cluster minima, " +
+      "and the removed set shrinks as the threshold tightens") {
+    val n = graft.core.Tables(spark, sf).embeddings.count()
+    val loose = Dedup.semantic(spark, sf, thresholdE6 = 350000L).collect()
+    val tight = Dedup.semantic(spark, sf, thresholdE6 = 990000L).collect()
+    assert(loose.length == n && tight.length == n)
+    def removedSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(removedSet(tight).subsetOf(removedSet(loose)),
+      "tightening the threshold must only UN-remove vectors")
+    // impossible threshold (> max cos_e6) removes nothing
+    val none = Dedup.semantic(spark, sf, thresholdE6 = 1000001L).collect()
+    assert(removedSet(none).isEmpty)
+    // the lowest id in every cell always survives (it has no lower-id mate)
+    loose.groupBy(_.getInt(1)).foreach { case (cell, rows) =>
+      val min = rows.map(_.getLong(0)).min
+      val minRow = rows.find(_.getLong(0) == min).get
+      assert(!minRow.getBoolean(2), s"cell $cell: minimum id $min was removed")
+    }
+  }
+
+  test("text_chunk: zero-overlap chunks partition the token stream " +
+      "exactly; overlapping chunks cover it with the configured stride") {
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stride == size → chunks are a partition: token counts add up
+    val exactCover = TextAnalysis.chunk(spark, sf, chunkSize = 20, stride = 20)
+      .groupBy(col("doc_id")).agg(sum(col("n_chunk_tokens")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, n) =>
+      assert(exactCover(id) == n, s"doc $id: partition covers ${exactCover(id)} of $n")
+    }
+    // default overlap: every chunk except possibly the last is full,
+    // and chunk starts advance by the stride
+    val rows = TextAnalysis.chunk(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.init.foreach(r =>
+        assert(r.getLong(2) == 20L, s"doc $id chunk ${r.getLong(1)} not full"))
+      assert(sorted.last.getLong(2) >= 1L)
+      val nChunks = sorted.length.toLong
+      val n = docs(id)
+      assert(15L * (nChunks - 1) < n, s"doc $id: ${nChunks} chunks overshoot $n tokens")
+    }
+  }
+
+  test("text_lm_score: scores are valid probabilities in e6 fixed point " +
+      "and bigram counts equal text length - 1") {
+    val lens = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), length(lower(col("text"))).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scored = TextAnalysis.lmScore(spark, sf).collect()
+    assert(scored.length == lens.count(_._2 >= 2))
+    scored.foreach { r =>
+      val (id, nb, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nb == lens(id) - 1, s"doc $id: $nb bigrams for length ${lens(id)}")
+      assert(s >= 0L && s <= 1000000L, s"doc $id: score $s outside [0, 1e6]")
+    }
+  }
+
+  test("stream_dedup equals batch DISTINCT, also under watermarked " +
+      "multi-batch arrival") {
+    val expected = graft.core.Tables(spark, sf).events
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = StreamDedup.streamDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == expected)
+    val bounded = StreamDedup.streamDedupBounded(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bounded == expected)
+  }
+
+  test("s4_orc_roundtrip equals the same aggregate computed on parquet") {
+    val viaOrc = Roundtrip.s4OrcRoundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.core.Tables(spark, sf).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaOrc == direct)
+  }
+}
