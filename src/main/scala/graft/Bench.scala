@@ -10,7 +10,16 @@ object Bench {
     // so the first timed query doesn't absorb startup cost
     val t = graft.core.Tables(spark, sfDir)
     t.lineitem.count(); t.events.count(); t.documents.count(); t.embeddings.count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev knob: comma-separated query names (unset = full suite, what
+    // the driver runs); lets a perf investigation time one query in
+    // the same warmed-session conditions as the real bench
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset match {
+      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let
       // Catalyst prune computed expressions and understate the work)

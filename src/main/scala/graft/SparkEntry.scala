@@ -139,6 +139,12 @@ object SparkEntry {
     "text_lm_score" -> TextAnalysis.lmScore _,
     "stream_dedup" -> graft.streaming.StreamDedup.streamDedup _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
+    "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
+    "lake_cdc_diff" -> graft.lake.LakeOps.lakeCdcDiff _,
+    "lake_skip_read" -> graft.lake.LakeOps.lakeSkipRead _,
+    "f_zorder" -> FunctionSuites.fZorder _,
+    "dq_profile" -> DataQuality.dqProfile _,
+    "dq_expectations" -> DataQuality.dqExpectations _,
     // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
     // synthetic 2-D points from the embeddings table (D11)
     "view_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -1592,5 +1598,96 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // the tx-table machinery cancels out of the oracle: MERGE == the
+    // upsert FULL OUTER JOIN over the same inputs
+    "lake_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey AS k,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS val_cents,
+                c_mktsegment AS seg FROM customer),
+         upd AS (SELECT o_custkey AS k,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS val_cents,
+                'updated' AS seg FROM orders GROUP BY 1),
+         ins AS (SELECT 20000000 + s_suppkey AS k,
+                CAST(round(s_acctbal * 100) AS BIGINT) AS val_cents,
+                'inserted' AS seg FROM supplier),
+         src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         SELECT coalesce(s.k, b.k) AS k,
+                coalesce(s.val_cents, b.val_cents) AS val_cents,
+                coalesce(s.seg, b.seg) AS seg
+         FROM base b FULL OUTER JOIN src s ON b.k = s.k
+         ORDER BY k""",
+    // net row changes of an update-only merge: each updated key's old
+    // row (delete) + new row (insert); untouched/rewritten rows cancel
+    "lake_cdc_diff" ->
+      """WITH base AS (SELECT c_custkey AS k,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS val_cents,
+                c_mktsegment AS seg FROM customer),
+         upd AS (SELECT o_custkey AS k,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS val_cents,
+                'updated' AS seg FROM orders
+                WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+         SELECT b.k, b.val_cents, b.seg, 'delete' AS _change
+         FROM base b WHERE b.k IN (SELECT k FROM upd)
+         UNION ALL
+         SELECT k, val_cents, seg, 'insert' AS _change FROM upd
+         ORDER BY _change, k""",
+    // file skipping is an optimization, never a semantic: the pruned
+    // read must equal the plain range filter
+    "lake_skip_read" ->
+      """WITH b AS (SELECT min(o_orderkey) AS mn,
+                min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 8
+                  AS hi
+           FROM orders)
+         SELECT o_orderpriority AS prio, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM orders, b WHERE o_orderkey BETWEEN b.mn AND b.hi
+         GROUP BY 1 ORDER BY 1""",
+    // identical magic-mask bit-spreading pipeline as ZOrder.spread16
+    "f_zorder" ->
+      """WITH t AS (SELECT o_custkey % 1024 AS a, o_orderkey % 1024 AS b
+              FROM orders),
+         s0 AS (SELECT a & 65535 AS xa, b & 65535 AS xb FROM t),
+         s1 AS (SELECT (xa | (xa << 8)) & 16711935 AS xa,
+                       (xb | (xb << 8)) & 16711935 AS xb FROM s0),
+         s2 AS (SELECT (xa | (xa << 4)) & 252645135 AS xa,
+                       (xb | (xb << 4)) & 252645135 AS xb FROM s1),
+         s3 AS (SELECT (xa | (xa << 2)) & 858993459 AS xa,
+                       (xb | (xb << 2)) & 858993459 AS xb FROM s2),
+         s4 AS (SELECT (xa | (xa << 1)) & 1431655765 AS xa,
+                       (xb | (xb << 1)) & 1431655765 AS xb FROM s3),
+         z AS (SELECT xa | (xb << 1) AS z FROM s4)
+         SELECT z // 65536 AS z_seg, count(*) AS n,
+                CAST(sum(z) AS BIGINT) AS sum_z
+         FROM z GROUP BY 1 ORDER BY 1""",
+    "dq_profile" ->
+      """SELECT coalesce(lang, 'unknown') AS lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(min(n_chars) AS BIGINT) AS min_chars,
+                CAST(max(n_chars) AS BIGINT) AS max_chars,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                (20000 * CAST(sum(n_chars) AS BIGINT) + count(*))
+                  // (2 * count(*)) / 10000.0 AS avg_chars_4dp
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "dq_expectations" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_ids,
+                CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_ids,
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_lang,
+                CAST(sum(CASE WHEN lang IS NOT NULL
+                              AND NOT regexp_matches(lang, '^[a-z]{2}$')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_text,
+                CAST(sum(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL
+                              AND n_chars <> length(text)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
+         FROM documents""",
   )
 }

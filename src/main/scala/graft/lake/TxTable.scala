@@ -2,7 +2,8 @@ package graft.lake
 
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.UUID
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 /** Transactional zone table: a minimal versioned-manifest log over
@@ -41,7 +42,35 @@ final case class TxTable(spark: SparkSession, root: String) {
   private val logDir: Path = Paths.get(root, "_log")
   private val dataDir: Path = Paths.get(root, "data")
 
+  /** `files` holds manifest ENTRIES: a relative file name, optionally
+    * followed by TAB and per-file column stats (`col=min..max;…`) —
+    * the data-skipping index, carried through every commit because
+    * entries travel verbatim from one manifest to the next. Bare names
+    * (pre-stats manifests) parse as stats-less entries. */
   final case class Snapshot(version: Long, files: Seq[String])
+
+  /** Relative data-file name of a manifest entry. */
+  def entryName(e: String): String = e.takeWhile(_ != '\t')
+
+  /** Per-column [min,max] (as longs) recorded for a manifest entry;
+    * empty for entries staged without stats. */
+  def entryStats(e: String): Map[String, (Long, Long)] =
+    e.split('\t') match {
+      case Array(_, s) =>
+        s.split(';').iterator.flatMap { kv =>
+          kv.split('=') match {
+            case Array(c, range) => range.split("\\.\\.") match {
+              case Array(lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+              case _ => None
+            }
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+
+  private def dataPath(entry: String): Path =
+    dataDir.resolve(entryName(entry))
 
   private def manifestPath(v: Long): Path =
     logDir.resolve(f"v$v%020d.txt")
@@ -77,12 +106,22 @@ final case class TxTable(spark: SparkSession, root: String) {
     }
     if (snap.files.isEmpty)
       throw new IllegalStateException(s"version ${snap.version} lists no files")
-    spark.read.parquet(snap.files.map(f => dataDir.resolve(f).toString): _*)
+    readEntries(snap.files)
   }
 
-  /** Stage `df` as new immutable data files; returns their relative
-    * names. Staged files are invisible until a manifest commits them. */
-  private def stage(df: DataFrame): Seq[String] = {
+  private def readEntries(entries: Seq[String]): DataFrame =
+    spark.read.parquet(entries.map(e => dataPath(e).toString): _*)
+
+  /** Stage `df` as new immutable data files; returns their manifest
+    * entries. Staged files are invisible until a manifest commits them.
+    *
+    * `statsCols` names integral columns whose per-file [min,max] is
+    * recorded in the entry — the file-skipping index Delta keeps in
+    * its checkpoint stats / Iceberg in manifest metrics. Stats for ALL
+    * staged files come from ONE aggregate keyed by `input_file_name()`
+    * (a metadata-sized job, like Delta's stats collection); at object-
+    * store scale the same numbers come straight from parquet footers. */
+  private def stage(df: DataFrame, statsCols: Seq[String] = Nil): Seq[String] = {
     Files.createDirectories(dataDir)
     val scratch =
       Files.createTempDirectory("graft-tx-stage").resolve("out").toString
@@ -91,10 +130,34 @@ final case class TxTable(spark: SparkSession, root: String) {
     val parts =
       try s.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
       finally s.close()
+    val statsByScratchName: Map[String, String] =
+      if (statsCols.isEmpty || parts.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"min_$c"),
+          max(col(c).cast("long")).as(s"max_$c")))
+        spark.read.parquet(scratch)
+          .groupBy(input_file_name().as("_file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // one row per staged file — metadata, not data
+          .map { r =>
+            val fname = r.getAs[String]("_file").split('/').last
+            val stat = statsCols.flatMap { c =>
+              (Option(r.getAs[Any](s"min_$c")), Option(r.getAs[Any](s"max_$c"))) match {
+                case (Some(lo), Some(hi)) => Some(s"$c=$lo..$hi")
+                case _ => None // all-null column in this file: no stat
+              }
+            }.mkString(";")
+            fname -> stat
+          }.toMap
+      }
     parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, dataDir.resolve(name))
-      name
+      statsByScratchName.get(p.getFileName.toString).filter(_.nonEmpty) match {
+        case Some(stat) => s"$name\t$stat"
+        case None => name
+      }
     }
   }
 
@@ -131,7 +194,7 @@ final case class TxTable(spark: SparkSession, root: String) {
 
   /** Remove staged-but-never-committed files (an aborted commit's). */
   private def unstage(staged: Seq[String]): Unit =
-    staged.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+    staged.foreach(e => Files.deleteIfExists(dataPath(e)))
 
   /** Streaming-batch ids already committed (from manifest annotations). */
   def committedBatches(): Set[Long] =
@@ -171,10 +234,142 @@ final case class TxTable(spark: SparkSession, root: String) {
     v
   }
 
-  /** Atomic append: stages the rows, then commits current ∪ new. */
-  def append(df: DataFrame): Long = {
-    val staged = stage(df)
+  /** Atomic append: stages the rows, then commits current ∪ new.
+    * `statsCols` (integral columns) get per-file [min,max] recorded
+    * for data-skipping reads. */
+  def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    val staged = stage(df, statsCols)
     commit(cur => Some(cur ++ staged)).get // unconditional — never aborts
+  }
+
+  /** Entries of `snap` that may hold rows with `column` ∈ [lo, hi]:
+    * stats-carrying entries whose range intersects, plus every
+    * stats-less entry (unknown ⇒ must be read — skipping is only ever
+    * an optimization, never a correctness filter). */
+  def liveEntriesFor(snap: Snapshot, column: String,
+      lo: Long, hi: Long): Seq[String] =
+    snap.files.filter { e =>
+      entryStats(e).get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+
+  /** Data-skipping range read: scans ONLY the files whose recorded
+    * [min,max] for `column` intersects [lo, hi] (Delta/Iceberg file
+    * skipping), then applies the residual predicate — on a range-
+    * clustered 100 TB table this turns a full scan into a handful of
+    * files before the query even starts. Equals
+    * `read().filter(column BETWEEN lo AND hi)` by construction. */
+  def readWhere(column: String, lo: Long, hi: Long): DataFrame = {
+    val snap = latest().getOrElse(
+      throw new IllegalStateException(s"empty tx table at $root"))
+    val hit = liveEntriesFor(snap, column, lo, hi)
+    val base =
+      if (hit.nonEmpty) readEntries(hit)
+      // no file can match: keep the schema, produce zero rows (Catalyst
+      // folds filter(false) to an empty LocalRelation — no scan runs)
+      else readEntries(snap.files).filter(lit(false))
+    base.filter(col(column).cast("long").between(lo, hi))
+  }
+
+  /** Copy-on-write MERGE (upsert): rows of `source` replace target
+    * rows with the same `key`; unmatched source rows are inserts.
+    * Only files whose key range intersects the source's key range are
+    * rewritten — with range-clustered data the rewrite touches a tiny
+    * fraction of a 100 TB table (Delta MERGE's file-pruning phase).
+    * The rest of the snapshot is carried over verbatim.
+    *
+    * `targetFiles > 0` range-partitions the rewrite on `key`, keeping
+    * the table's key-clustering (and thus future pruning) tight.
+    * Conflict rule as [[compact]]: if a racing rewrite replaced any
+    * affected file, abort rather than resurrect replaced rows. */
+  def merge(source: DataFrame, key: String,
+      statsCols: Seq[String] = Nil, targetFiles: Int = 0,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val snap = latest().getOrElse(
+      throw new IllegalStateException(s"cannot merge into empty table at $root"))
+    val Seq(srcLo, srcHi) = {
+      val r = source.agg(min(col(key).cast("long")), max(col(key).cast("long")))
+        .collect().head // two longs — metadata, not data
+      if (r.isNullAt(0)) return snap.version // empty source: no-op
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    val affected = liveEntriesFor(snap, key, srcLo, srcHi)
+    val affectedSet = affected.toSet
+    val merged = {
+      val kept =
+        if (affected.isEmpty) source.limit(0)
+        else readEntries(affected).join(source, Seq(key), "left_anti")
+      val all = kept.unionByName(source)
+      if (targetFiles > 0) all.repartitionByRange(targetFiles, col(key))
+      else all
+    }
+    val staged = stage(merged, statsCols)
+    beforeCommit()
+    val v = commit { cur =>
+      if (!affectedSet.subsetOf(cur.toSet)) None // inputs replaced under us
+      else Some(cur.filterNot(affectedSet) ++ staged)
+    }
+    v.getOrElse {
+      unstage(staged)
+      throw new java.util.ConcurrentModificationException(
+        s"merge inputs at $root were replaced by a concurrent rewrite; " +
+          "re-read the latest snapshot and retry")
+    }
+  }
+
+  /** Row-level change-data-capture between two committed versions,
+    * computed from the manifests alone: only files that ENTERED or
+    * LEFT the snapshot are read (on a copy-on-write table that is
+    * exactly the changed fraction), then a multiset difference each
+    * way yields the net row changes — `_change` = 'insert' | 'delete';
+    * an update appears as its delete + insert pair, rows merely
+    * rewritten by compaction cancel out. */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = manifestFiles(fromVersion)
+    val to = manifestFiles(toVersion)
+    val added = to.filterNot(from.toSet)
+    val removed = from.filterNot(to.toSet)
+    def rows(es: Seq[String], schemaOf: Seq[String]): DataFrame =
+      if (es.nonEmpty) readEntries(es)
+      else readEntries(schemaOf).filter(lit(false))
+    if (added.isEmpty && removed.isEmpty)
+      return rows(Nil, to).withColumn("_change", lit(""))
+    val a = rows(added, removed)
+    val r = rows(removed, added)
+    a.exceptAll(r).withColumn("_change", lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("_change", lit("delete")))
+  }
+
+  /** Z-order clustering rewrite: orders the table by the interleaved
+    * bits of two dimensions and range-partitions on that curve, so
+    * every file covers a small rectangle in (a, b) space — per-file
+    * [min,max] stats then prune scans on EITHER column, where plain
+    * sorting serves only its leading column (Delta OPTIMIZE ZORDER
+    * BY). Stats are recorded for both dimensions. */
+  def zorder(colA: String, colB: String, targetFiles: Int,
+      extraStatsCols: Seq[String] = Nil): Long = {
+    val snap = latest().getOrElse(
+      throw new IllegalStateException(s"nothing to zorder at $root"))
+    val inputs = snap.files.toSet
+    val z = graft.functions.ZOrder.interleave16(col(colA), col(colB))
+    val rewritten = stage(
+      readEntries(snap.files)
+        .withColumn("_z", z)
+        .repartitionByRange(targetFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z"),
+      statsCols = Seq(colA, colB) ++ extraStatsCols)
+    val v = commit { cur =>
+      if (!inputs.subsetOf(cur.toSet)) None
+      else Some(cur.filterNot(inputs) ++ rewritten)
+    }
+    v.getOrElse {
+      unstage(rewritten)
+      throw new java.util.ConcurrentModificationException(
+        s"zorder inputs at $root were replaced by a concurrent rewrite")
+    }
   }
 
   /** Transactional compaction: rewrites the snapshot it read into
@@ -194,10 +389,7 @@ final case class TxTable(spark: SparkSession, root: String) {
     val snap = latest().getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val inputs = snap.files.toSet
-    val rewritten = stage(
-      spark.read
-        .parquet(snap.files.map(f => dataDir.resolve(f).toString): _*)
-        .repartition(targetFiles))
+    val rewritten = stage(readEntries(snap.files).repartition(targetFiles))
     beforeCommit()
     val v = commit { cur =>
       if (!inputs.subsetOf(cur.toSet)) None // inputs replaced under us
@@ -231,8 +423,9 @@ final case class TxTable(spark: SparkSession, root: String) {
   def vacuum(retention: java.time.Duration =
       java.time.Duration.ofMinutes(15)): Int = {
     val snap = latest().getOrElse(return 0)
-    val live = snap.files.toSet
-    val everCommitted = manifestVersions().flatMap(manifestFiles).toSet
+    val live = snap.files.map(entryName).toSet
+    val everCommitted =
+      manifestVersions().flatMap(manifestFiles).map(entryName).toSet
     val cutoff = System.currentTimeMillis() - retention.toMillis
     val s = Files.list(dataDir)
     val all =

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Single-pass data-quality metrics over the document corpus — the
+  * Deequ/Great-Expectations shape a 100 TB ingest gate needs: every
+  * metric of a profile comes out of ONE shuffle (one groupBy, all
+  * aggregates as map-side partials), and every expectation of a suite
+  * out of ONE global aggregate. Rules are CASE-sums (codegen'd), never
+  * per-rule scans — N expectations cost the same scan as one.
+  */
+object DataQuality {
+
+  /** Per-language profile: volume, emptiness, source diversity, and
+    * length stats, plus a deterministic half-up mean (exact integer
+    * arithmetic — the cross-engine discipline every float-adjacent
+    * metric in this repo follows). */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("n_empty_text"),
+        countDistinct(col("source")).cast("long").as("n_sources"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .withColumn("avg_chars_4dp", // integer half-up at 4 decimals
+        expr("(20000 * sum_chars + n_docs) div (2 * n_docs)")
+          .cast("double") / 10000.0)
+      .orderBy(col("lang"))
+  }
+
+  /** Expectation suite as one global aggregate: row count, key
+    * uniqueness, null/format/consistency violation counts. A zero in
+    * every violation column is the passing gate; the counts (not
+    * booleans) are returned so a failing run says how bad. */
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).cast("long")
+        .as("n_dup_ids"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_null_ids"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+      sum(when(col("lang").isNotNull && !col("lang").rlike("^[a-z]{2}$"), 1L)
+        .otherwise(0L)).as("n_bad_lang"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(when(col("text").isNotNull && col("n_chars").isNotNull &&
+          col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L)).as("n_len_mismatch"))
+  }
+}

@@ -130,4 +130,21 @@ object FunctionSuites {
         lpad(col("lang"), 5, "_").as("padded"))
       .orderBy(col("doc_id"))
   }
+
+  /** Morton (Z-order) codes from pure integer bit arithmetic
+    * ([[graft.functions.ZOrder]]): interleaves two bucketed order
+    * dimensions and aggregates per curve segment — the exact same
+    * shift/mask pipeline runs in the oracle, proving the clustering
+    * key is engine-independent (what makes Z-order layouts portable
+    * across writers). */
+  def fZorder(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val z = graft.functions.ZOrder.interleave16(
+      col("o_custkey") % 1024, col("o_orderkey") % 1024)
+    t.orders
+      .select(z.as("z"))
+      .groupBy(expr("z div 65536").as("z_seg"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).cast("long").as("sum_z"))
+      .orderBy(col("z_seg"))
+  }
 }
