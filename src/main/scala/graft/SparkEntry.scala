@@ -142,6 +142,7 @@ object SparkEntry {
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
     "lake_cdc_diff" -> graft.lake.LakeOps.lakeCdcDiff _,
     "lake_skip_read" -> graft.lake.LakeOps.lakeSkipRead _,
+    "lake_delete" -> graft.lake.LakeOps.lakeDelete _,
     "f_zorder" -> FunctionSuites.fZorder _,
     "dq_profile" -> DataQuality.dqProfile _,
     "dq_expectations" -> DataQuality.dqExpectations _,
@@ -1644,6 +1645,17 @@ object SparkEntry {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                   AS sum_cents
          FROM orders, b WHERE o_orderkey BETWEEN b.mn AND b.hi
+         GROUP BY 1 ORDER BY 1""",
+    // copy-on-write DELETE == the plain NOT-BETWEEN filter
+    "lake_delete" ->
+      """WITH b AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 8 + 1 AS lo,
+                min(o_orderkey) + 2 * ((max(o_orderkey) - min(o_orderkey)) // 8)
+                  AS hi
+           FROM orders)
+         SELECT o_orderpriority AS prio, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM orders, b WHERE o_orderkey NOT BETWEEN b.lo AND b.hi
          GROUP BY 1 ORDER BY 1""",
     // identical magic-mask bit-spreading pipeline as ZOrder.spread16
     "f_zorder" ->

@@ -96,4 +96,29 @@ object LakeOps {
         .as("sum_cents"))
       .orderBy(col("prio"))
   }
+
+  /** Copy-on-write DELETE: drop the second eighth of the key space
+    * from a range-clustered orders table (stats-pruned rewrite — only
+    * the covering files are touched), then aggregate what remains.
+    * Must equal the plain NOT-BETWEEN filter. */
+  def lakeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tx = TxTable(spark, Scratch.fresh("tx_del"))
+    tx.append(
+      t.orders.select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderpriority").as("prio"))
+        .repartitionByRange(16, col("k")),
+      statsCols = Seq("k"))
+    val r = t.orders
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+      .selectExpr("mn + (mx - mn) div 8 + 1 AS lo",
+        "mn + 2 * ((mx - mn) div 8) AS hi").collect().head
+    tx.delete("k", r.getLong(0), r.getLong(1), statsCols = Seq("k"))
+    tx.read()
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).cast("long")
+        .as("sum_cents"))
+      .orderBy(col("prio"))
+  }
 }

@@ -319,6 +319,39 @@ final case class TxTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Copy-on-write DELETE of rows with `column` ∈ [lo, hi]: files
+    * whose stats range intersects are rewritten without the matching
+    * rows; files that cannot contain matches — and rewrites that come
+    * back empty — are simply carried over / dropped. The same
+    * stats-pruning that accelerates reads bounds the write cost here:
+    * deleting one key's range from a clustered 100 TB table rewrites
+    * only the files that cover it. Conflict rule as [[compact]]. */
+  def delete(column: String, lo: Long, hi: Long,
+      statsCols: Seq[String] = Nil,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val snap = latest().getOrElse(
+      throw new IllegalStateException(s"cannot delete from empty table at $root"))
+    val affected = liveEntriesFor(snap, column, lo, hi)
+    val affectedSet = affected.toSet
+    if (affected.isEmpty) return snap.version // nothing can match
+    // null-safe: a NULL key is never "in range" — it must SURVIVE the
+    // delete (bare `!between` is NULL for NULL input and would drop it)
+    val remaining = readEntries(affected)
+      .filter(col(column).isNull || !col(column).cast("long").between(lo, hi))
+    val staged = stage(remaining, statsCols)
+    beforeCommit()
+    val v = commit { cur =>
+      if (!affectedSet.subsetOf(cur.toSet)) None
+      else Some(cur.filterNot(affectedSet) ++ staged)
+    }
+    v.getOrElse {
+      unstage(staged)
+      throw new java.util.ConcurrentModificationException(
+        s"delete inputs at $root were replaced by a concurrent rewrite; " +
+          "re-read the latest snapshot and retry")
+    }
+  }
+
   /** Row-level change-data-capture between two committed versions,
     * computed from the manifests alone: only files that ENTERED or
     * LEFT the snapshot are read (on a copy-on-write table that is

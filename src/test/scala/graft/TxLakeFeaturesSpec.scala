@@ -123,6 +123,32 @@ class TxLakeFeaturesSpec extends SparkSpec {
       t.read().distinct().count() == 1024)
   }
 
+  test("delete rewrites only covering files; null keys and out-of-range " +
+      "rows survive") {
+    val t = freshTable()
+    val withNull = kv((1L to 100L).map(i => (i, s"r$i")): _*)
+      .union(Seq((null.asInstanceOf[java.lang.Long], "nullkey"))
+        .toDF("k", "s").select(col("k").cast("long"), col("s")))
+    t.append(withNull.repartitionByRange(4, col("k")), statsCols = Seq("k"))
+    val before = t.latest().get
+    t.delete("k", 10, 20, statsCols = Seq("k"))
+    val after = t.latest().get
+    // files that cannot cover [10,20] were carried over verbatim
+    val carried = before.files.toSet intersect after.files.toSet
+    assert(carried.nonEmpty, "disjoint files should not be rewritten")
+    val ks = t.read().select("s").as[String].collect().toSet
+    assert(!ks.exists(s => (10 to 20).map(i => s"r$i").contains(s)))
+    assert(ks.contains("nullkey"), "NULL key must survive a range delete")
+    assert(t.read().count() == 101 - 11)
+  }
+
+  test("delete outside every file's range is a no-op (zero rewrite)") {
+    val t = freshTable()
+    val v0 = t.append(kv((1L, "a")).repartition(1), statsCols = Seq("k"))
+    assert(t.delete("k", 500, 600, statsCols = Seq("k")) == v0)
+    assert(t.read().count() == 1)
+  }
+
   test("interleave16 matches hand-computed Morton codes") {
     val got = spark.range(1)
       .select(
