@@ -138,11 +138,15 @@ object SparkEntry {
       TextAnalysis.chunk(s, dir)),
     "text_lm_score" -> TextAnalysis.lmScore _,
     "stream_dedup" -> graft.streaming.StreamDedup.streamDedup _,
+    "dedup_chunk" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.chunkDedup(s, dir)),
+    "text_repetition" -> TextAnalysis.repetition _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
     "lake_cdc_diff" -> graft.lake.LakeOps.lakeCdcDiff _,
     "lake_skip_read" -> graft.lake.LakeOps.lakeSkipRead _,
     "lake_delete" -> graft.lake.LakeOps.lakeDelete _,
+    "lake_point_read" -> graft.lake.LakeOps.lakePointRead _,
     "f_zorder" -> FunctionSuites.fZorder _,
     "dq_profile" -> DataQuality.dqProfile _,
     "dq_expectations" -> DataQuality.dqExpectations _,
@@ -1646,6 +1650,61 @@ object SparkEntry {
                   AS sum_cents
          FROM orders, b WHERE o_orderkey BETWEEN b.mn AND b.hi
          GROUP BY 1 ORDER BY 1""",
+    // zero-overlap chunk hashes, first occurrence kept corpus-wide
+    "dedup_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+         c AS (SELECT doc_id, toks,
+                 unnest(range(0, CASE WHEN n <= 20 THEN 1
+                                      ELSE 1 + (n - 20 + 19) // 20 END))
+                   AS chunk_id
+               FROM d),
+         s AS (SELECT doc_id, chunk_id,
+                 md5(array_to_string(
+                   toks[chunk_id * 20 + 1 : chunk_id * 20 + 20], ' ')) AS h
+               FROM c),
+         r AS (SELECT doc_id, chunk_id,
+                 row_number() OVER (PARTITION BY h
+                   ORDER BY doc_id, chunk_id) AS rn
+               FROM s)
+         SELECT doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped
+         FROM r GROUP BY 1 ORDER BY 1""",
+    // word-trigram duplication ratio, exact e6 rational
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+         p AS (SELECT doc_id, tk, unnest(range(1, CAST(n - 1 AS INTEGER)))
+                 AS i
+               FROM d WHERE n >= 3),
+         t AS (SELECT doc_id,
+                 tk[CAST(i AS INTEGER)] || ' ' ||
+                 tk[CAST(i + 1 AS INTEGER)] || ' ' ||
+                 tk[CAST(i + 2 AS INTEGER)] AS tri
+               FROM p),
+         g AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS c
+               FROM t GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+                CAST(count(*) AS BIGINT) AS n_distinct_tri,
+                CAST(max(c) AS BIGINT) AS max_tri_count,
+                (1000000 * (CAST(sum(c) AS BIGINT) - count(*)))
+                  // CAST(sum(c) AS BIGINT) AS rep_e6
+         FROM g GROUP BY 1 ORDER BY 1""",
+    // bloom-indexed point lookup == the plain IN-list filter
+    "lake_point_read" ->
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+              FROM documents),
+         ids AS (SELECT mn AS id FROM b
+                 UNION ALL SELECT mn + (mx - mn) // 3 FROM b
+                 UNION ALL SELECT mn + 2 * ((mx - mn) // 3) FROM b)
+         SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id IN (SELECT id FROM ids)
+         ORDER BY doc_id""",
     // copy-on-write DELETE == the plain NOT-BETWEEN filter
     "lake_delete" ->
       """WITH b AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 8 + 1 AS lo,

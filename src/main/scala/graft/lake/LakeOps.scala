@@ -97,6 +97,29 @@ object LakeOps {
       .orderBy(col("prio"))
   }
 
+  /** Bloom-indexed point lookup: documents clustered by LANGUAGE (so
+    * doc_id ranges span every file and [min,max] stats prune nothing),
+    * Bloom bitmaps on doc_id, then three single-key lookups — the
+    * equality-predicate index for columns the table is not clustered
+    * by. Must equal the plain IN-list filter. */
+  def lakePointRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tx = TxTable(spark, Scratch.fresh("tx_pt"))
+    tx.append(
+      t.documents.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+        .repartitionByRange(8, col("lang"), col("doc_id")),
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val r = t.documents
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .selectExpr("mn", "mn + (mx - mn) div 3 AS mid",
+        "mn + 2 * ((mx - mn) div 3) AS hi").collect().head
+    Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      .map(id => tx.readWhereEq("doc_id", lit(id)))
+      .reduce(_.unionByName(_))
+      .orderBy(col("doc_id"))
+  }
+
   /** Copy-on-write DELETE: drop the second eighth of the key space
     * from a range-clustered orders table (stats-pruned rewrite — only
     * the covering files are touched), then aggregate what remains.

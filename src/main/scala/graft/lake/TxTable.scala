@@ -59,10 +59,26 @@ final case class TxTable(spark: SparkSession, root: String) {
       case Array(_, s) =>
         s.split(';').iterator.flatMap { kv =>
           kv.split('=') match {
-            case Array(c, range) => range.split("\\.\\.") match {
-              case Array(lo, hi) => Some(c -> (lo.toLong, hi.toLong))
-              case _ => None
-            }
+            case Array(c, range) if !c.contains('~') =>
+              range.split("\\.\\.") match {
+                case Array(lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+                case _ => None
+              }
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+
+  /** Per-column Bloom bitmap (`col~hexwords` tokens) of an entry. */
+  def entryBlooms(e: String): Map[String, Array[Long]] =
+    e.split('\t') match {
+      case Array(_, s) =>
+        s.split(';').iterator.flatMap { kv =>
+          kv.split('~') match {
+            case Array(c, hex) if hex.length % 16 == 0 && hex.nonEmpty =>
+              Some(c -> hex.grouped(16)
+                .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
             case _ => None
           }
         }.toMap
@@ -109,8 +125,15 @@ final case class TxTable(spark: SparkSession, root: String) {
     readEntries(snap.files)
   }
 
+  /** Schema evolution: snapshot reads union the per-file schemas
+    * (older files null-fill columns added later), so an append that
+    * widens the schema needs no table rewrite — Delta's additive
+    * evolution. Footer merging is distributed work; a production
+    * table would pin the authoritative schema in the log instead of
+    * re-deriving it per read. */
   private def readEntries(entries: Seq[String]): DataFrame =
-    spark.read.parquet(entries.map(e => dataPath(e).toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(e => dataPath(e).toString): _*)
 
   /** Stage `df` as new immutable data files; returns their manifest
     * entries. Staged files are invisible until a manifest commits them.
@@ -121,7 +144,8 @@ final case class TxTable(spark: SparkSession, root: String) {
     * staged files come from ONE aggregate keyed by `input_file_name()`
     * (a metadata-sized job, like Delta's stats collection); at object-
     * store scale the same numbers come straight from parquet footers. */
-  private def stage(df: DataFrame, statsCols: Seq[String] = Nil): Seq[String] = {
+  private def stage(df: DataFrame, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 8192): Seq[String] = {
     Files.createDirectories(dataDir)
     val scratch =
       Files.createTempDirectory("graft-tx-stage").resolve("out").toString
@@ -131,27 +155,49 @@ final case class TxTable(spark: SparkSession, root: String) {
       try s.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     val statsByScratchName: Map[String, String] =
-      if (statsCols.isEmpty || parts.isEmpty) Map.empty
+      if ((statsCols.isEmpty && bloomCols.isEmpty) || parts.isEmpty) Map.empty
       else {
         val aggs = statsCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"min_$c"),
-          max(col(c).cast("long")).as(s"max_$c")))
+          max(col(c).cast("long")).as(s"max_$c"))) ++
+          // set-bit POSITIONS per file (≤ bits, usually far fewer) —
+          // the bitmap assembles driver-side; a giant per-word CASE
+          // aggregate would bloat codegen for no gain at metadata size
+          bloomCols.flatMap(c => bloomSeeds.map(seed =>
+            collect_set(bloomPos(col(c), seed, bloomBits))
+              .as(s"bloom_${c}_$seed")))
         spark.read.parquet(scratch)
           .groupBy(input_file_name().as("_file"))
           .agg(aggs.head, aggs.tail: _*)
           .collect() // one row per staged file — metadata, not data
           .map { r =>
             val fname = r.getAs[String]("_file").split('/').last
-            val stat = statsCols.flatMap { c =>
+            val rangeToks = statsCols.flatMap { c =>
               (Option(r.getAs[Any](s"min_$c")), Option(r.getAs[Any](s"max_$c"))) match {
                 case (Some(lo), Some(hi)) => Some(s"$c=$lo..$hi")
                 case _ => None // all-null column in this file: no stat
               }
-            }.mkString(";")
-            fname -> stat
+            }
+            val bloomToks = bloomCols.map { c =>
+              val words = new Array[Long](bloomBits / 64)
+              bloomSeeds.foreach { seed =>
+                r.getAs[collection.Seq[Long]](s"bloom_${c}_$seed").foreach { p =>
+                  words(p.toInt / 64) |= 1L << (p.toInt % 64)
+                }
+              }
+              s"$c~" + words.map(w => f"$w%016x").mkString
+            }
+            fname -> (rangeToks ++ bloomToks).mkString(";")
           }.toMap
       }
-    parts.map { p =>
+    // when stats ran, a part file absent from the aggregate has ZERO
+    // rows (an empty partition's schema-only file) — committing it
+    // would add a stats-less entry that defeats skipping forever;
+    // an empty file adds nothing to the table, so drop it
+    val keep =
+      if (statsCols.isEmpty && bloomCols.isEmpty) parts
+      else parts.filter(p => statsByScratchName.contains(p.getFileName.toString))
+    keep.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, dataDir.resolve(name))
       statsByScratchName.get(p.getFileName.toString).filter(_.nonEmpty) match {
@@ -236,10 +282,64 @@ final case class TxTable(spark: SparkSession, root: String) {
 
   /** Atomic append: stages the rows, then commits current ∪ new.
     * `statsCols` (integral columns) get per-file [min,max] recorded
-    * for data-skipping reads. */
-  def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
-    val staged = stage(df, statsCols)
+    * for data-skipping range reads; `bloomCols` get a per-file Bloom
+    * bitmap for point-lookup skipping ([[readWhereEq]]). */
+  def append(df: DataFrame, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 8192): Long = {
+    val staged = stage(df, statsCols, bloomCols, bloomBits)
     commit(cur => Some(cur ++ staged)).get // unconditional — never aborts
+  }
+
+  // Bloom parameters: k=4 independent probes via seeded xxhash64 —
+  // the same expression computes write-side bits and query-side
+  // positions, so consistency is by construction, not convention.
+  // Default 8192 bits ≈ 1% false-positive rate at ~1000 distinct
+  // values per file (m/n ≈ 8, k=4); size `bloomBits` to the expected
+  // per-file cardinality like Delta's fpp-based bloom index does.
+  private val bloomSeeds = Seq(1, 2, 3, 4)
+
+  private def bloomPos(c: Column, seed: Int, bits: Int): Column =
+    pmod(xxhash64(c, lit(seed)), lit(bits.toLong))
+
+  /** Point-lookup read with Bloom file skipping: scans only files
+    * whose bitmap has ALL k probe bits set for `value` — the index
+    * for equality predicates on columns the table is NOT clustered
+    * by, where [min,max] ranges prune nothing (every file spans the
+    * whole domain) but membership still rules most files out. False
+    * positives cost a wasted scan, never a wrong answer; files
+    * without a bitmap are always read. `value` must be typed as the
+    * column was at write time (xxhash64 is type-sensitive). */
+  def readWhereEq(column: String, value: Column): DataFrame = {
+    val snap = latest().getOrElse(
+      throw new IllegalStateException(s"empty tx table at $root"))
+    val hit = bloomLiveEntries(snap, column, value)
+    val base =
+      if (hit.nonEmpty) readEntries(hit)
+      else readEntries(snap.files).filter(lit(false))
+    base.filter(col(column) === value)
+  }
+
+  /** Entries whose Bloom bitmap may contain `value` in `column` (or
+    * that carry no bitmap for it). Public for pruning assertions. */
+  def bloomLiveEntries(snap: Snapshot, column: String,
+      value: Column): Seq[String] = {
+    // probe positions per bitmap size present in the manifest (a
+    // table whose bloomBits changed across commits stays correct)
+    val lengths = snap.files
+      .flatMap(e => entryBlooms(e).get(column).map(_.length)).distinct
+    val posByLen: Map[Int, Seq[Long]] = lengths.map { words =>
+      val row = spark.range(1)
+        .select(bloomSeeds.map(s => bloomPos(value, s, words * 64)): _*)
+        .head() // k tiny hashes — metadata, not data
+      words -> bloomSeeds.indices.map(row.getLong(_))
+    }.toMap
+    snap.files.filter { e =>
+      entryBlooms(e).get(column) match {
+        case Some(w) => posByLen(w.length).forall(p =>
+          ((w(p.toInt / 64) >>> (p.toInt % 64)) & 1L) == 1L)
+        case None => true // no bitmap: must read
+      }
+    }
   }
 
   /** Entries of `snap` that may hold rows with `column` ∈ [lo, hi]:

@@ -236,4 +236,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_contaminated_shingles"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sub-document (chunk-level) deduplication: the corpus-wide dedup
+    * granularity below whole documents — repeated boilerplate chunks
+    * are kept at their FIRST occurrence (ordered by doc, then chunk
+    * position) and counted as dropped everywhere else. Zero-overlap
+    * chunks so the kept/dropped accounting partitions the token
+    * stream. One shuffle on the chunk hash (uniform by construction),
+    * one on doc_id for the rollup. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunk(spark, dir, chunkSize = 20, stride = 20)
+    val w = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    ch.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-trigram repetition ratio — the Gopher-style "fraction of
+    * duplicated n-grams" quality rule: highly repetitive documents
+    * (boilerplate, keyword stuffing, generation loops) score high and
+    * get filtered. Positions explode to trigrams (codegen'd — no
+    * higher-order lambdas), then two hash aggregates; the ratio is an
+    * exact e6 rational. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tri = t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 3) // shorter docs have no trigram signal
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, CAST(n - 2 AS INT))")).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("element_at(toks, i)"),
+          expr("element_at(toks, i + 1)"),
+          expr("element_at(toks, i + 2)")).as("tri"))
+    tri.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tri"),
+        count(lit(1)).as("n_distinct_tri"),
+        max(col("c")).cast("long").as("max_tri_count"))
+      .withColumn("rep_e6",
+        expr("(1000000 * (n_tri - n_distinct_tri)) div n_tri"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -149,6 +149,40 @@ class TxLakeFeaturesSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("bloom index skips files for point lookups where ranges cannot") {
+    val t = freshTable()
+    // keys striped across files: every file's [min,max] spans nearly
+    // the whole domain, so range stats are useless for equality
+    val striped = (0L until 400L).map(i => (i, s"g${i % 8}"))
+      .toDF("k", "g")
+    t.append(striped.repartition(8, col("g")),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    val snap = t.latest().get
+    assert(snap.files.forall(e => t.entryBlooms(e).contains("k")))
+    // range pruning: no help
+    assert(t.liveEntriesFor(snap, "k", 7, 7).size == snap.files.size)
+    // bloom pruning: key 7 lives in exactly one group's file
+    val hit = t.bloomLiveEntries(snap, "k", lit(7L))
+    assert(hit.size < snap.files.size,
+      s"bloom should prune: ${hit.size} of ${snap.files.size}")
+    assert(t.readWhereEq("k", lit(7L)).select("g").as[String].collect()
+      .toSeq == Seq("g7"))
+    // absent key: every file pruned (k=4, m=8192, n≈50 → fp ~1e-5)
+    assert(t.bloomLiveEntries(snap, "k", lit(-12345L)).isEmpty)
+    assert(t.readWhereEq("k", lit(-12345L)).count() == 0)
+  }
+
+  test("schema evolution: an append may add columns; old rows null-fill") {
+    val t = freshTable()
+    t.append(kv((1L, "a")))
+    t.append(Seq((2L, "b", 9.5)).toDF("k", "s", "score"))
+    val got = t.read().orderBy("k")
+    assert(got.columns.toSeq == Seq("k", "s", "score"))
+    val rows = got.collect()
+    assert(rows(0).isNullAt(2), "pre-evolution row must null-fill")
+    assert(rows(1).getDouble(2) == 9.5)
+  }
+
   test("interleave16 matches hand-computed Morton codes") {
     val got = spark.range(1)
       .select(
