@@ -76,7 +76,7 @@ object SparkEntry {
           org.apache.spark.sql.functions.encode(
             org.apache.spark.sql.functions.col("text"), "UTF-8")
             .as("content")))),
-    "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
     "skew_salted_agg" -> Skew.skewSaltedAgg _,
     "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
     "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
@@ -597,9 +597,14 @@ object SparkEntry {
         ORDER BY c.vec_id"""
 
   private val embCosineOracle: String =
-    """WITH e AS (SELECT vec_id, label,
+    """WITH b AS (SELECT label, vec_id, embedding FROM embeddings),
+       pl AS (SELECT label, vec_id + 1000000 AS vec_id,
+                     list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT)) AS embedding
+              FROM b WHERE vec_id % 100 = 0),
+       u AS (SELECT * FROM b UNION ALL SELECT * FROM pl),
+       e AS (SELECT vec_id, label,
            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-           FROM embeddings),
+           FROM u),
        n AS (SELECT vec_id, label, qv,
                     CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm FROM e),
        p AS (SELECT l.label, l.vec_id AS a, r.vec_id AS b,

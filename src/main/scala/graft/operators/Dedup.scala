@@ -105,16 +105,18 @@ object Dedup {
     val cands = minhashCandidatesFromDigests(sh).cache()
     // intersection sizes ONLY for candidate pairs (semi-join pushdown):
     // a bare shingle self-join would compute |∩| for every pair sharing
-    // any shingle — quadratic fanout on common shingles at scale. Only
-    // the bare pair list (a,b) is broadcast — bounded BY CONSTRUCTION
-    // (LSH bands emit few pairs). Its expansion against the shingle
-    // table (candSh) is corpus-proportional, so that join must NOT be
-    // broadcast: it shuffle-joins on (b, sd) — fixed 16-byte binary
-    // keys, not variable-length shingle strings — and AQE may still
-    // downgrade to broadcast at runtime when the actual size allows.
+    // any shingle — quadratic fanout on common shingles at scale. No
+    // side of these joins carries a broadcast HINT: the candidate pair
+    // list grows with corpus size and dup rate (O(N) pairs on a
+    // web-scale corpus with a high near-dup fraction), so forcing it
+    // into a driver broadcast is a scale hazard — AQE downgrades any
+    // side to broadcast at runtime when the ACTUAL size allows, which
+    // is the only safe time to make that call. The expansion joins
+    // shuffle on (b, sd) — fixed 16-byte binary keys, not
+    // variable-length shingle strings.
     val shA = sh.select(col("doc_id").as("a"), col("sd"))
     val shB = sh.select(col("doc_id").as("b"), col("sd"))
-    val candSh = broadcast(cands.select(col("a"), col("b")))
+    val candSh = cands.select(col("a"), col("b"))
       .join(shA, Seq("a"))
     val inter = shB.join(candSh, Seq("b", "sd"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
@@ -154,17 +156,32 @@ object Dedup {
 
   /** Embedding-cosine near-dup: pairs within the same coarse bucket
     * (label — the IVF blocking that survives 100 TB) whose quantized
-    * cosine ≥ 0.90. Uses the native codegen'd CosineSimQ expression. */
-  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    * cosine ≥ 0.90. Uses the native codegen'd CosineSimQ expression.
+    *
+    * The synthetic corpus has no natural pairs above 0.90 at small SF
+    * (max cosine ≈ 0.475 at sf0.01), which made the oracle gate
+    * hash-match two EMPTY results — vacuous. So the query PLANTS
+    * near-dups deterministically: every 100th vector gets a clone at
+    * vec_id + 10⁶ with every coordinate shifted by +0.01 (double add,
+    * cast back to float — bit-identical in both engines). For
+    * unit-scale random vectors cos(x, x + δ·1) ≈ 0.999, so the ≥0.90
+    * gate now verifies real rows at every SF. */
+  def embeddingCosine(spark: SparkSession, dir: String,
+      thresholdE6: Long = 900000L): DataFrame = {
     val t = Tables(spark, dir)
-    val e = t.embeddings
+    val base = t.embeddings.select(col("label"), col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 100 === 0)
+      .select(col("label"), (col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(double(x) + 0.01d as float))")
+          .as("embedding"))
+    val e = base.unionByName(planted)
     val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
     val r = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
     l.join(r, Seq("label"))
       .filter(col("a") < col("b"))
       .withColumn("cos_e6",
         graft.functions.CosineSimQ.cosineSimE6(col("ea"), col("eb")))
-      .filter(col("cos_e6") >= 900000L)
+      .filter(col("cos_e6") >= thresholdE6)
       .select(col("label"), col("a"), col("b"), col("cos_e6"))
       .orderBy(col("label"), col("a"), col("b"))
   }

@@ -97,17 +97,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("minhash verification never broadcast-HINTS a corpus-proportional side") {
-    // the only broadcast HINT allowed is the bare (a,b) candidate-pair
-    // list — bounded by LSH construction. The pair-list×shingle expansion
-    // is O(corpus) and must reach the intersection join unhinted (the
-    // planner may still broadcast from MEASURED statistics at tiny SF,
-    // which is safe; a static hint is not — it would OOM at 100 TB).
+  test("minhash verification never broadcast-HINTS any data-dependent side") {
+    // the candidate-pair list grows with corpus size and dup rate —
+    // O(N) pairs on a high-dup web corpus — so NOTHING in this pipeline
+    // may carry a static broadcast hint (the planner may still broadcast
+    // from MEASURED statistics at tiny SF, which is safe; a static hint
+    // is not — it would force a driver OOM at 100 TB).
     val analyzed = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
       .queryExecution.analyzed.toString
     val hints = "ResolvedHint".r.findAllIn(analyzed).length
-    assert(hints <= 1,
-      s"minhash pipeline carries $hints broadcast hints; only the bounded pair list may be hinted")
+    assert(hints == 0,
+      s"minhash pipeline carries $hints broadcast hints; every side is corpus-proportional")
   }
 
   test("contamination broadcast-hints only the benchmark shingle side") {
