@@ -2,8 +2,9 @@ package graft.lake
 
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.UUID
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Transactional zone table: a minimal versioned-manifest log over
@@ -113,27 +114,80 @@ final case class TxTable(spark: SparkSession, root: String) {
   def latest(): Option[Snapshot] =
     manifestVersions().maxOption.map(v => Snapshot(v, manifestFiles(v)))
 
-  /** Snapshot read: the committed file list, as of `version` if given. */
+  /** The authoritative schema pinned in the `#schema=` annotation of
+    * `version`'s manifest (every commit re-publishes it), or None for
+    * manifests written before schema pinning existed. */
+  def pinnedSchemaOf(version: Long): Option[StructType] =
+    Files.readAllLines(manifestPath(version)).asScala
+      .find(_.startsWith("#schema="))
+      .map(l => DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType])
+
+  /** Pinned schema of the latest snapshot, if any. */
+  def pinnedSchema(): Option[StructType] =
+    latest().flatMap(s => pinnedSchemaOf(s.version))
+
+  /** Additive schema evolution with a type gate: columns new to the
+    * table append (nullable — older files null-fill them); columns the
+    * table already has must arrive with the SAME type, or the append
+    * is rejected before anything commits (Delta's schema enforcement).
+    * Nullability is not enforced — files written at different versions
+    * legitimately differ. */
+  private def evolve(pinned: StructType, incoming: StructType): StructType = {
+    val have = pinned.fields.map(f => f.name -> f.dataType).toMap
+    incoming.fields.foreach { f =>
+      have.get(f.name).foreach { t =>
+        if (t != f.dataType)
+          throw new IllegalArgumentException(
+            s"incompatible append to $root: column ${f.name} is ${t.sql} " +
+              s"in the table schema but ${f.dataType.sql} in the incoming data")
+      }
+    }
+    asNullable(StructType(pinned.fields ++
+      incoming.fields.filterNot(f => have.contains(f.name))))
+  }
+
+  private def asNullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Empty DataFrame carrying the snapshot's schema — what a read of a
+    * legitimately empty table (e.g. after a delete-everything) yields. */
+  private def emptyLike(snap: Snapshot): DataFrame =
+    pinnedSchemaOf(snap.version) match {
+      case Some(s) =>
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+      case None if snap.files.nonEmpty =>
+        readEntries(snap.files, None).filter(lit(false))
+      case None => throw new IllegalStateException(
+        s"version ${snap.version} at $root lists no files and pins no schema")
+    }
+
+  /** Snapshot read: the committed file list, as of `version` if given.
+    * An empty snapshot (every row deleted) reads as an empty DataFrame
+    * with the pinned schema — the table stays readable. */
   def read(version: Option[Long] = None): DataFrame = {
     val snap = version match {
       case Some(v) => Snapshot(v, manifestFiles(v))
       case None => latest().getOrElse(
         throw new IllegalStateException(s"empty tx table at $root"))
     }
-    if (snap.files.isEmpty)
-      throw new IllegalStateException(s"version ${snap.version} lists no files")
-    readEntries(snap.files)
+    if (snap.files.isEmpty) emptyLike(snap)
+    else readEntries(snap.files, pinnedSchemaOf(snap.version))
   }
 
-  /** Schema evolution: snapshot reads union the per-file schemas
-    * (older files null-fill columns added later), so an append that
-    * widens the schema needs no table rewrite — Delta's additive
-    * evolution. Footer merging is distributed work; a production
-    * table would pin the authoritative schema in the log instead of
-    * re-deriving it per read. */
-  private def readEntries(entries: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(e => dataPath(e).toString): _*)
+  /** Schema evolution on read: with a pinned schema (any manifest
+    * written by current code) the read is schema-GIVEN — zero parquet
+    * footer merging, the fix for the "re-derive the union schema from
+    * every footer per read" scaling gap; older files null-fill columns
+    * added later. Pre-pinning manifests fall back to mergeSchema. */
+  private def readEntries(entries: Seq[String],
+      schema: Option[StructType]): DataFrame = {
+    val paths = entries.map(e => dataPath(e).toString)
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
 
   /** Stage `df` as new immutable data files; returns their manifest
     * entries. Staged files are invisible until a manifest commits them.
@@ -146,6 +200,12 @@ final case class TxTable(spark: SparkSession, root: String) {
     * store scale the same numbers come straight from parquet footers. */
   private def stage(df: DataFrame, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 8192): Seq[String] = {
+    // the bitmap is Long words: a non-multiple-of-64 size would truncate
+    // the allocation while positions are taken mod bloomBits — probe
+    // positions past words*64 would crash staging (and diverge from the
+    // query side's words*64 modulus)
+    require(bloomCols.isEmpty || (bloomBits > 0 && bloomBits % 64 == 0),
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
     Files.createDirectories(dataDir)
     val scratch =
       Files.createTempDirectory("graft-tx-stage").resolve("out").toString
@@ -214,9 +274,17 @@ final case class TxTable(spark: SparkSession, root: String) {
     * `next` runs once per attempt against the FRESH current list, so it
     * is where semantic-conflict checks belong: returning None aborts
     * the whole commit (the caller's staged files are its to clean up).
-    */
+    *
+    * `evolveSchema` maps the CURRENT pinned schema to the one this
+    * commit publishes (also re-evaluated per attempt — a schema gate
+    * that raced another widening append validates against the winner's
+    * schema, not a stale one); the default carries the pin forward
+    * unchanged. Every manifest re-publishes the pin, so the latest
+    * manifest alone is authoritative. */
   private def commit(next: Seq[String] => Option[Seq[String]],
-      annotations: Seq[String] = Seq.empty): Option[Long] = {
+      annotations: Seq[String] = Seq.empty,
+      evolveSchema: Option[StructType] => Option[StructType] = identity)
+      : Option[Long] = {
     Files.createDirectories(logDir)
     var attempts = 0
     while (attempts < 64) {
@@ -226,7 +294,9 @@ final case class TxTable(spark: SparkSession, root: String) {
         case Some(f) => f
         case None => return None
       }
-      val body = (annotations ++ files).mkString("\n").getBytes("UTF-8")
+      val pin = evolveSchema(cur.flatMap(c => pinnedSchemaOf(c.version)))
+      val schemaLine = pin.map(s => s"#schema=${s.json}").toSeq
+      val body = (schemaLine ++ annotations ++ files).mkString("\n").getBytes("UTF-8")
       try {
         Files.write(manifestPath(v), body, StandardOpenOption.CREATE_NEW)
         return Some(v)
@@ -271,11 +341,14 @@ final case class TxTable(spark: SparkSession, root: String) {
     if (committedBatches().contains(batchId)) return None // cheap fast-path
     val staged = stage(df)
     beforeCommit()
-    val v = commit(
-      cur =>
-        if (committedBatches().contains(batchId)) None
-        else Some(cur ++ staged),
-      Seq(s"#batch=$batchId"))
+    val v = guardStaged(staged) {
+      commit(
+        cur =>
+          if (committedBatches().contains(batchId)) None
+          else Some(cur ++ staged),
+        Seq(s"#batch=$batchId"),
+        evolveSchema = appendEvolution(df.schema))
+    }
     if (v.isEmpty) unstage(staged)
     v
   }
@@ -283,23 +356,47 @@ final case class TxTable(spark: SparkSession, root: String) {
   /** Atomic append: stages the rows, then commits current ∪ new.
     * `statsCols` (integral columns) get per-file [min,max] recorded
     * for data-skipping range reads; `bloomCols` get a per-file Bloom
-    * bitmap for point-lookup skipping ([[readWhereEq]]). */
+    * bitmap for point-lookup skipping ([[readWhereEq]]). An append
+    * whose schema conflicts with the pinned table schema (same column
+    * name, different type) throws before anything commits. */
   def append(df: DataFrame, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 8192): Long = {
     val staged = stage(df, statsCols, bloomCols, bloomBits)
-    commit(cur => Some(cur ++ staged)).get // unconditional — never aborts
+    guardStaged(staged) {
+      commit(cur => Some(cur ++ staged),
+        evolveSchema = appendEvolution(df.schema)).get // never aborts
+    }
   }
+
+  /** Schema transition of an append: first commit pins the incoming
+    * schema; later commits validate + additively widen the pin. */
+  private def appendEvolution(incoming: StructType)
+      : Option[StructType] => Option[StructType] = {
+    case Some(pinned) => Some(evolve(pinned, incoming))
+    case None => Some(asNullable(incoming))
+  }
+
+  /** Unstage `staged` if `body` throws (schema rejection, lost-race
+    * livelock): an aborted commit must not leak orphan data files. */
+  private def guardStaged[A](staged: Seq[String])(body: => A): A =
+    try body catch { case e: Throwable => unstage(staged); throw e }
 
   // Bloom parameters: k=4 independent probes via seeded xxhash64 —
   // the same expression computes write-side bits and query-side
   // positions, so consistency is by construction, not convention.
+  // Values hash through a CANONICAL string cast on BOTH sides: raw
+  // xxhash64 is type-sensitive, so a probe literal typed differently
+  // from the stored column (lit(7) int32 vs a long column, or a
+  // post-evolution int→long widening) would produce FALSE NEGATIVES —
+  // silently missing rows. Under the string canon, any two values
+  // that render the same SQL string hash identically.
   // Default 8192 bits ≈ 1% false-positive rate at ~1000 distinct
   // values per file (m/n ≈ 8, k=4); size `bloomBits` to the expected
   // per-file cardinality like Delta's fpp-based bloom index does.
   private val bloomSeeds = Seq(1, 2, 3, 4)
 
   private def bloomPos(c: Column, seed: Int, bits: Int): Column =
-    pmod(xxhash64(c, lit(seed)), lit(bits.toLong))
+    pmod(xxhash64(c.cast("string"), lit(seed)), lit(bits.toLong))
 
   /** Point-lookup read with Bloom file skipping: scans only files
     * whose bitmap has ALL k probe bits set for `value` — the index
@@ -307,15 +404,18 @@ final case class TxTable(spark: SparkSession, root: String) {
     * by, where [min,max] ranges prune nothing (every file spans the
     * whole domain) but membership still rules most files out. False
     * positives cost a wasted scan, never a wrong answer; files
-    * without a bitmap are always read. `value` must be typed as the
-    * column was at write time (xxhash64 is type-sensitive). */
+    * without a bitmap are always read. Probes hash a canonical string
+    * rendering, so integer-width mismatches are safe; a probe of a
+    * DIFFERENT kind (lit(7) against a double column rendering "7.0")
+    * still skips — render the probe as the column renders. */
   def readWhereEq(column: String, value: Column): DataFrame = {
     val snap = latest().getOrElse(
       throw new IllegalStateException(s"empty tx table at $root"))
+    val pin = pinnedSchemaOf(snap.version)
     val hit = bloomLiveEntries(snap, column, value)
     val base =
-      if (hit.nonEmpty) readEntries(hit)
-      else readEntries(snap.files).filter(lit(false))
+      if (hit.nonEmpty) readEntries(hit, pin)
+      else emptyLike(snap)
     base.filter(col(column) === value)
   }
 
@@ -366,11 +466,11 @@ final case class TxTable(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"empty tx table at $root"))
     val hit = liveEntriesFor(snap, column, lo, hi)
     val base =
-      if (hit.nonEmpty) readEntries(hit)
+      if (hit.nonEmpty) readEntries(hit, pinnedSchemaOf(snap.version))
       // no file can match: keep the schema, produce zero rows (Catalyst
       // folds filter(false) to an empty LocalRelation — no scan runs)
-      else readEntries(snap.files).filter(lit(false))
-    base.filter(col(column).cast("long").between(lo, hi))
+      else emptyLike(snap)
+    base.filter(col(column).try_cast("long").between(lo, hi))
   }
 
   /** Copy-on-write MERGE (upsert): rows of `source` replace target
@@ -382,8 +482,14 @@ final case class TxTable(spark: SparkSession, root: String) {
     *
     * `targetFiles > 0` range-partitions the rewrite on `key`, keeping
     * the table's key-clustering (and thus future pruning) tight.
-    * Conflict rule as [[compact]]: if a racing rewrite replaced any
-    * affected file, abort rather than resurrect replaced rows. */
+    *
+    * Conflict rules (Delta's WriteSerializable for MERGE): abort if a
+    * racing rewrite REPLACED any affected file (committing would
+    * resurrect replaced rows), and also if a racing APPEND added files
+    * whose key range may intersect the source's — those rows were not
+    * part of this rewrite, so carrying them over verbatim would leave
+    * duplicate keys after the upsert (Delta's
+    * ConcurrentAppendException). */
   def merge(source: DataFrame, key: String,
       statsCols: Seq[String] = Nil, targetFiles: Int = 0,
       beforeCommit: () => Unit = () => ()): Long = {
@@ -400,22 +506,44 @@ final case class TxTable(spark: SparkSession, root: String) {
     val merged = {
       val kept =
         if (affected.isEmpty) source.limit(0)
-        else readEntries(affected).join(source, Seq(key), "left_anti")
-      val all = kept.unionByName(source)
+        else readEntries(affected, pinnedSchemaOf(snap.version))
+          .join(source, Seq(key), "left_anti")
+      val all = kept.unionByName(source, allowMissingColumns = true)
       if (targetFiles > 0) all.repartitionByRange(targetFiles, col(key))
       else all
     }
     val staged = stage(merged, statsCols)
     beforeCommit()
-    val v = commit { cur =>
-      if (!affectedSet.subsetOf(cur.toSet)) None // inputs replaced under us
-      else Some(cur.filterNot(affectedSet) ++ staged)
+    val v = guardStaged(staged) {
+      commit(
+        cur =>
+          if (!affectedSet.subsetOf(cur.toSet)) None // inputs replaced
+          else if (rangeConflict(cur, snap.files, key, srcLo, srcHi)) None
+          else Some(cur.filterNot(affectedSet) ++ staged),
+        evolveSchema = appendEvolution(source.schema))
     }
     v.getOrElse {
       unstage(staged)
       throw new java.util.ConcurrentModificationException(
-        s"merge inputs at $root were replaced by a concurrent rewrite; " +
+        s"merge inputs at $root changed under us (concurrent rewrite, or " +
+          "a concurrent append whose keys may fall in the merge range); " +
           "re-read the latest snapshot and retry")
+    }
+  }
+
+  /** True when `cur` contains entries that were NOT in the snapshot
+    * this rewrite read (`base`) and whose recorded [min,max] for
+    * `column` may intersect [lo, hi] — a stats-less new entry counts
+    * (unknown ⇒ cannot be ruled out). Such rows would be carried over
+    * verbatim by a merge/delete commit, silently escaping it. */
+  private def rangeConflict(cur: Seq[String], base: Seq[String],
+      column: String, lo: Long, hi: Long): Boolean = {
+    val known = base.toSet
+    cur.exists { e =>
+      !known(e) && (entryStats(e).get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      })
     }
   }
 
@@ -425,7 +553,11 @@ final case class TxTable(spark: SparkSession, root: String) {
     * back empty — are simply carried over / dropped. The same
     * stats-pruning that accelerates reads bounds the write cost here:
     * deleting one key's range from a clustered 100 TB table rewrites
-    * only the files that cover it. Conflict rule as [[compact]]. */
+    * only the files that cover it. Conflict rules as [[merge]] (a
+    * concurrent append whose keys may fall in [lo, hi] aborts — its
+    * rows would survive a delete they match). A delete that empties
+    * the table commits an empty snapshot, which stays readable via
+    * the pinned schema. */
   def delete(column: String, lo: Long, hi: Long,
       statsCols: Seq[String] = Nil,
       beforeCommit: () => Unit = () => ()): Long = {
@@ -434,20 +566,31 @@ final case class TxTable(spark: SparkSession, root: String) {
     val affected = liveEntriesFor(snap, column, lo, hi)
     val affectedSet = affected.toSet
     if (affected.isEmpty) return snap.version // nothing can match
-    // null-safe: a NULL key is never "in range" — it must SURVIVE the
-    // delete (bare `!between` is NULL for NULL input and would drop it)
-    val remaining = readEntries(affected)
-      .filter(col(column).isNull || !col(column).cast("long").between(lo, hi))
+    // null-safe BOTH ways: a NULL key is never "in range" (bare
+    // `!between` is NULL for NULL input and would drop the row), and a
+    // non-null key whose long cast is NULL (a non-integral column) is
+    // not in an integer range either — keep on the CAST result, not
+    // the raw column, so neither is silently deleted
+    // try_cast, not cast: ANSI mode (Spark 4 default) makes cast THROW
+    // on a malformed string — a delete on a string column would crash
+    // instead of keeping the row
+    val k = col(column).try_cast("long")
+    val remaining = readEntries(affected, pinnedSchemaOf(snap.version))
+      .filter(k.isNull || !k.between(lo, hi))
     val staged = stage(remaining, statsCols)
     beforeCommit()
-    val v = commit { cur =>
-      if (!affectedSet.subsetOf(cur.toSet)) None
-      else Some(cur.filterNot(affectedSet) ++ staged)
+    val v = guardStaged(staged) {
+      commit { cur =>
+        if (!affectedSet.subsetOf(cur.toSet)) None
+        else if (rangeConflict(cur, snap.files, column, lo, hi)) None
+        else Some(cur.filterNot(affectedSet) ++ staged)
+      }
     }
     v.getOrElse {
       unstage(staged)
       throw new java.util.ConcurrentModificationException(
-        s"delete inputs at $root were replaced by a concurrent rewrite; " +
+        s"delete inputs at $root changed under us (concurrent rewrite, or " +
+          "a concurrent append whose keys may fall in the delete range); " +
           "re-read the latest snapshot and retry")
     }
   }
@@ -462,11 +605,16 @@ final case class TxTable(spark: SparkSession, root: String) {
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
     val from = manifestFiles(fromVersion)
     val to = manifestFiles(toVersion)
+    // both sides read under the TO version's pinned schema (additive
+    // evolution: older files null-fill), so the multiset difference
+    // compares congruent rows
+    val pin = pinnedSchemaOf(toVersion).orElse(pinnedSchemaOf(fromVersion))
     val added = to.filterNot(from.toSet)
     val removed = from.filterNot(to.toSet)
     def rows(es: Seq[String], schemaOf: Seq[String]): DataFrame =
-      if (es.nonEmpty) readEntries(es)
-      else readEntries(schemaOf).filter(lit(false))
+      if (es.nonEmpty) readEntries(es, pin)
+      else if (schemaOf.nonEmpty) readEntries(schemaOf, pin).filter(lit(false))
+      else emptyLike(Snapshot(toVersion, to))
     if (added.isEmpty && removed.isEmpty)
       return rows(Nil, to).withColumn("_change", lit(""))
     val a = rows(added, removed)
@@ -485,10 +633,11 @@ final case class TxTable(spark: SparkSession, root: String) {
       extraStatsCols: Seq[String] = Nil): Long = {
     val snap = latest().getOrElse(
       throw new IllegalStateException(s"nothing to zorder at $root"))
+    if (snap.files.isEmpty) return snap.version // empty snapshot: no-op
     val inputs = snap.files.toSet
     val z = graft.functions.ZOrder.interleave16(col(colA), col(colB))
     val rewritten = stage(
-      readEntries(snap.files)
+      readEntries(snap.files, pinnedSchemaOf(snap.version))
         .withColumn("_z", z)
         .repartitionByRange(targetFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
@@ -521,8 +670,11 @@ final case class TxTable(spark: SparkSession, root: String) {
   def compact(targetFiles: Int, beforeCommit: () => Unit = () => ()): Long = {
     val snap = latest().getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
+    if (snap.files.isEmpty) return snap.version // empty snapshot: no-op
     val inputs = snap.files.toSet
-    val rewritten = stage(readEntries(snap.files).repartition(targetFiles))
+    val rewritten = stage(
+      readEntries(snap.files, pinnedSchemaOf(snap.version))
+        .repartition(targetFiles))
     beforeCommit()
     val v = commit { cur =>
       if (!inputs.subsetOf(cur.toSet)) None // inputs replaced under us

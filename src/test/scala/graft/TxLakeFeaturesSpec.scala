@@ -83,10 +83,49 @@ class TxLakeFeaturesSpec extends SparkSpec {
   test("rows appended DURING a merge survive it (disjoint files untouched)") {
     val t = freshTable()
     t.append(kv((1L, "a")).repartition(1), statsCols = Seq("k"))
+    // the concurrent append carries stats proving its keys are DISJOINT
+    // from the merge range — the conflict check can rule it out
     t.merge(kv((1L, "A")), "k", statsCols = Seq("k"),
-      beforeCommit = () => t.append(kv((50L, "mid")).repartition(1)))
+      beforeCommit = () =>
+        t.append(kv((50L, "mid")).repartition(1), statsCols = Seq("k")))
     assert(t.read().as[(Long, String)].collect().toMap ==
       Map(1L -> "A", 50L -> "mid"))
+  }
+
+  test("concurrent append INTO the merge range is a detected conflict " +
+      "(WriteSerializable: carried-over rows would dodge the upsert)") {
+    val t = freshTable()
+    t.append(kv((1L, "a"), (2L, "b")).repartition(1), statsCols = Seq("k"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(kv((2L, "B!")), "k", statsCols = Seq("k"),
+        beforeCommit = () =>
+          t.append(kv((2L, "dup")).repartition(1), statsCols = Seq("k")))
+    }
+    // the append won and the merge refused: both k=2 rows are visible —
+    // the dangerous outcome was an upsert that "succeeded" while a
+    // carried-over duplicate silently escaped it
+    assert(t.read().filter(col("k") === 2L).count() == 2)
+  }
+
+  test("a STATS-LESS concurrent append cannot be ruled out and aborts the merge") {
+    val t = freshTable()
+    t.append(kv((1L, "a")).repartition(1), statsCols = Seq("k"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(kv((1L, "A")), "k", statsCols = Seq("k"),
+        beforeCommit = () => t.append(kv((999L, "far")).repartition(1)))
+    }
+  }
+
+  test("concurrent append into a delete's range aborts the delete") {
+    val t = freshTable()
+    t.append(kv((10L, "a"), (20L, "b")).repartition(1), statsCols = Seq("k"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.delete("k", 10, 30, statsCols = Seq("k"),
+        beforeCommit = () =>
+          t.append(kv((25L, "in-range")).repartition(1), statsCols = Seq("k")))
+    }
+    // the surviving table still holds the raced append's row
+    assert(t.read().filter(col("k") === 25L).count() == 1)
   }
 
   test("CDC: update merge yields delete+insert per key; compaction cancels out") {
