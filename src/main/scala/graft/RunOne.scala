@@ -19,6 +19,26 @@ object RunOne {
     val n = spark.read.parquet(s"$outDir/$name").count()
     System.err.println(s"[runone] $name rows=$n schema=${df.schema.simpleString}")
     df.show(20, truncate = false)
+    // this query's oracle SQL (if any) in check.py's expected layout,
+    // so `tools/check.py <outDir> <sfDir>` verifies the one query
+    SparkEntry.oracleSql.get(name).foreach { sql =>
+      val json = s"""{"$name": ${ujsonEscape(sql)}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "oracle_sql.json"),
+        json.getBytes("UTF-8"))
+    }
     spark.stop()
+  }
+
+  private def ujsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
   }
 }

@@ -110,6 +110,10 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incremental _,
     "dedup_srp_bands" -> Dedup.srpBands _,
     "sim_ivf_assign" -> Similarity.ivfAssign _,
+    "sim_ivf_kmeans" -> ((s: SparkSession, dir: String) =>
+      Similarity.kmeansAssign(s, dir, k = 8)),
+    "view_kmeans_det" -> ((s: SparkSession, dir: String) =>
+      Similarity.viewKmeansDet(s, dir)),
     "sim_ann_ivf_true" -> ((s: SparkSession, dir: String) =>
       Similarity.annIvfTrue(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
@@ -514,6 +518,61 @@ object SparkEntry {
     s"""WITH $ivfAssignCtes
         SELECT vec_id, cell, dist2 FROM asg WHERE arn = 1 ORDER BY vec_id"""
 
+  /** Mirror of `Similarity.lloydCentroids` + final `assignTo`: the
+    * hash-seeded fixed-iteration (2 rounds) Lloyd k-means, unrolled as
+    * per-iteration CTEs (aggregates are not allowed in recursive
+    * terms). `kSql` is the cell-count expression (a literal, or a
+    * scalar subquery for the ⌈√N⌉ rule); `dimFilter` restricts the
+    * coordinate space (the 2-D view twin). Ends in `asgk(vec_id, cell,
+    * dist2, arn)` — arn = 1 is the final assignment. */
+  private def lloydCtes(kSql: String, dimFilter: String = ""): String = {
+    def dist(cents: String, out: String) =
+      s"""$out AS (SELECT qe.vec_id, $cents.cell,
+            CAST(sum((qe.q - $cents.c) * (qe.q - $cents.c)) AS BIGINT) AS dist2
+          FROM qe JOIN $cents ON qe.dim = $cents.dim GROUP BY 1, 2)"""
+    def argmin(dists: String, out: String) =
+      s"""$out AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+          FROM $dists) WHERE rn = 1)"""
+    def means(asg: String, out: String) =
+      s"""$out AS (SELECT $asg.cell, qe.dim,
+            CAST(floor(CAST(sum(qe.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+          FROM qe JOIN $asg ON qe.vec_id = $asg.vec_id GROUP BY 1, 2)"""
+    s"""qe AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+         FROM (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+         $dimFilter),
+       seeds AS (SELECT vec_id, cell FROM (
+           SELECT vec_id, CAST(row_number() OVER (ORDER BY
+               ${phashSql("CAST(vec_id AS VARCHAR)", 11)}, vec_id) - 1 AS BIGINT)
+             AS cell
+           FROM embeddings) WHERE cell < ($kSql)),
+       c0 AS (SELECT seeds.cell, qe.dim, qe.q AS c
+              FROM qe JOIN seeds ON qe.vec_id = seeds.vec_id),
+       ${dist("c0", "kd1")}, ${argmin("kd1", "ka1")}, ${means("ka1", "kc1")},
+       ${dist("kc1", "kd2")}, ${argmin("kd2", "ka2")}, ${means("ka2", "kc2")},
+       ${dist("kc2", "kd3")},
+       asgk AS (SELECT vec_id, cell, dist2, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist2, cell) AS arn
+                FROM kd3)"""
+  }
+
+  private val simIvfKmeansOracle: String =
+    s"""WITH ${lloydCtes("8")}
+        SELECT vec_id, cell, dist2 FROM asgk WHERE arn = 1 ORDER BY vec_id"""
+
+  private val viewKmeansDetOracle: String =
+    s"""WITH ${lloydCtes("4", "WHERE i <= 2")},
+        fin AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
+        bydim AS (SELECT fin.cell, qe.dim, count(*) AS n,
+                    CAST(sum(qe.q) AS BIGINT) AS s
+                  FROM qe JOIN fin ON qe.vec_id = fin.vec_id GROUP BY 1, 2)
+        SELECT cell, max(n) AS n,
+               sum(CASE WHEN dim = 0 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END) AS cx_e4,
+               sum(CASE WHEN dim = 1 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END) AS cy_e4
+        FROM bydim GROUP BY cell ORDER BY cell"""
+
   private val annIvfTrueOracle: String =
     s"""WITH $ivfAssignCtes,
         cellof AS (SELECT vec_id, cell FROM asg WHERE arn = 1),
@@ -572,9 +631,12 @@ object SparkEntry {
   /** Mirror of `Dedup.semantic`: IVF cells from the shared assignment
     * CTEs, within-cell quantized cosine, remove b of every (a<b) pair
     * over the threshold. */
+  // dedup_semantic clusters with the TRAINED ⌈√N⌉-cell Lloyd quantizer
+  // (k grows with the corpus — the SemDeDup scaling rule), not the
+  // label column
   private val semanticOracle: String =
-    s"""WITH $ivfAssignCtes,
-        cellof AS (SELECT vec_id, cell FROM asg WHERE arn = 1),
+    s"""WITH ${lloydCtes("CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)")},
+        cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
         qvs AS (SELECT vec_id,
                   list_transform(embedding,
                     x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
@@ -1051,6 +1113,8 @@ object SparkEntry {
     "dedup_embedding_cosine" -> embCosineOracle,
     "dedup_srp_bands" -> srpBandsOracle,
     "sim_ivf_assign" -> ivfAssignOracle,
+    "sim_ivf_kmeans" -> simIvfKmeansOracle,
+    "view_kmeans_det" -> viewKmeansDetOracle,
     "sim_ann_ivf_true" -> annIvfTrueOracle,
     "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->

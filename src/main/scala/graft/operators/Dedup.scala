@@ -196,15 +196,17 @@ object Dedup {
     * near-dup chain. Output is a per-vector keep/remove verdict, the
     * shape a curation pipeline consumes as a filter.
     *
-    * Scale: the quadratic term is per-cluster, and IVF k grows with the
-    * corpus (k ∝ √N keeps E[|cell|²] linear in N); the cluster join is
-    * an equi-join on cell — never all-pairs, never broadcast (cells are
-    * corpus-proportional in aggregate). This is the published shape
-    * that deduplicated LAION/DataComp-scale corpora. */
+    * Scale: the quadratic term is per-cluster, and the quantizer's k is
+    * ⌈√N⌉ ([[Similarity.kmeansAssign]]'s default — k grows with the
+    * corpus, keeping E[|cell|²] linear in N; since round 6 this is the
+    * IMPLEMENTED behavior, not just the comment's claim). The cluster
+    * join is an equi-join on cell — never all-pairs, never broadcast
+    * (cells are corpus-proportional in aggregate). This is the
+    * published shape that deduplicated LAION/DataComp-scale corpora. */
   def semantic(spark: SparkSession, dir: String,
       thresholdE6: Long = 350000L): DataFrame = {
     val t = Tables(spark, dir)
-    val cellOf = Similarity.ivfAssign(spark, dir)
+    val cellOf = Similarity.kmeansAssign(spark, dir)
       .select(col("vec_id"), col("cell"))
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
       .join(cellOf, Seq("vec_id"))
