@@ -40,5 +40,4 @@ object RunOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, max}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -76,7 +77,8 @@ object SparkEntry {
           org.apache.spark.sql.functions.encode(
             org.apache.spark.sql.functions.col("text"), "UTF-8")
             .as("content")))),
-    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => Dedup.embeddingCosine(s, d)),
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingCosineOn(plantedEmbeddings(s, d))),
     "skew_salted_agg" -> Skew.skewSaltedAgg _,
     "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
     "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
@@ -85,6 +87,11 @@ object SparkEntry {
     "view_people_es" -> DomainBridge2.peopleEs _,
     "view_safety_es" -> DomainBridge2.safetyEs _,
     "view_vehicle_legacy" -> DomainBridge2.vehicleLegacy _,
+    "view_animal_es" -> DomainBridge3.animalEs _,
+    "view_geolocation_es" -> DomainBridge3.geoEs _,
+    "view_pose_es" -> DomainBridge3.poseEs _,
+    "view_parking_es" -> DomainBridge3.parkingEs _,
+    "view_common_es" -> DomainBridge3.commonEs _,
     "a_rollup" -> Analytics.aRollup _,
     "a_cube" -> Analytics.aCube _,
     "a_grouping_sets" -> Analytics.aGroupingSets _,
@@ -154,17 +161,10 @@ object SparkEntry {
     "f_zorder" -> FunctionSuites.fZorder _,
     "dq_profile" -> DataQuality.dqProfile _,
     "dq_expectations" -> DataQuality.dqExpectations _,
-    // rows-only (non-SQL-expressible): seeded spark.ml KMeans over
-    // synthetic 2-D points from the embeddings table (D11)
-    "view_kmeans" -> ((s: SparkSession, dir: String) => {
-      val t = graft.core.Tables(s, dir)
-      val pts = t.embeddings.select(
-        org.apache.spark.sql.functions.col("embedding").getItem(0)
-          .cast("double").as("center_x"),
-        org.apache.spark.sql.functions.col("embedding").getItem(1)
-          .cast("double").as("center_y"))
-      graft.views.Views.kmeansCenters(pts, k = 4)
-    }),
+    // NOTE: the spark.ml KMeans view (Views.kmeansCenters) is a LIBRARY
+    // CROSS-CHECK covered by ViewsSpec, not a declared query — its hash-
+    // verified twin is `view_kmeans_det` (COVERAGE.md D11 policy), so
+    // every declared query carries a DuckDB oracle.
   )
 
   private def phashSql(e: String, salt: Int): String =
@@ -658,9 +658,34 @@ object SparkEntry {
         FROM cellof c LEFT JOIN removed ON c.vec_id = removed.vec_id
         ORDER BY c.vec_id"""
 
+  /** VERIFICATION-HARNESS corpus for the embedding-cosine gate: the
+    * synthetic embeddings have no natural pairs above cosine 0.90 at
+    * small SF (max ≈ 0.475 at sf0.01), which would make the oracle
+    * hash-match two EMPTY results — vacuous. So the HARNESS (not the
+    * operator — VERDICT r6 advice: a library operator must never
+    * fabricate rows for its callers) plants deterministic near-dups:
+    * every 100th vector cloned with each coordinate shifted +0.01
+    * (double add, cast back to float — bit-identical in both engines;
+    * cos(x, x+δ·1) ≈ 0.999 for unit-scale vectors). Clone ids start at
+    * max(vec_id)+1 — derived, not a fixed constant, so they can never
+    * collide with genuine ids at any corpus size. The offset joins in
+    * as a 1-row aggregate (no driver-side collect). */
+  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = graft.core.Tables(s, d).embeddings
+      .select(col("label"), col("vec_id"), col("embedding"))
+    val off = base.agg(max(col("vec_id")).as("_off")) // 1 row, broadcast
+    val clones = base.filter(col("vec_id") % 100 === 0)
+      .crossJoin(off)
+      .select(col("label"),
+        (col("vec_id") + col("_off") + lit(1L)).as("vec_id"),
+        expr("transform(embedding, x -> cast(double(x) + 0.01d as float))")
+          .as("embedding"))
+    base.unionByName(clones)
+  }
+
   private val embCosineOracle: String =
     """WITH b AS (SELECT label, vec_id, embedding FROM embeddings),
-       pl AS (SELECT label, vec_id + 1000000 AS vec_id,
+       pl AS (SELECT label, vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
                      list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT)) AS embedding
               FROM b WHERE vec_id % 100 = 0),
        u AS (SELECT * FROM b UNION ALL SELECT * FROM pl),
@@ -1127,6 +1152,69 @@ object SparkEntry {
     "view_people_es" -> peopleEsOracle,
     "view_safety_es" -> safetyEsOracle,
     "view_vehicle_legacy" -> vehicleLegacyOracle,
+    // stamp-only serving domains (S8): 1700000000000000 µs =
+    // 2023-11-14T22:13:20Z, the bridges' pinned harness clock
+    "view_animal_es" ->
+      """SELECT 1700000000000000 AS ts_us,
+                'animal_refined.json' AS source_file,
+                '2023-11-14' AS processing_date,
+                'v1.0' AS processing_version,
+                event_id AS frame_number, user_id AS tracker_id,
+                'animal_' || CAST(user_id % 6 AS VARCHAR) AS animal_type,
+                CAST(event_id % 16 AS DOUBLE) * 0.0625 AS confidence,
+                value AS center_x, value * 2.0 AS center_y
+         FROM events ORDER BY frame_number, tracker_id""",
+    "view_geolocation_es" ->
+      """SELECT 1700000000000000 AS ts_us,
+                'geolocation_refined.json' AS source_file,
+                '2023-11-14' AS processing_date,
+                'v1.0' AS processing_version,
+                event_id AS frame_number, user_id AS tracker_id,
+                value * 0.125 AS latitude,
+                value * 0.25 - 64.0 AS longitude,
+                event_type AS zone
+         FROM events ORDER BY frame_number, tracker_id""",
+    "view_pose_es" ->
+      """SELECT 1700000000000000 AS ts_us,
+                'pose_refined.json' AS source_file,
+                '2023-11-14' AS processing_date,
+                'v1.0' AS processing_version,
+                event_id AS frame_number,
+                'act_' || CAST(user_id % 5 AS VARCHAR) AS action,
+                CAST(event_id % 8 AS DOUBLE) * 0.125 AS confidence,
+                [value, value * 2.0, value * 0.5] AS keypoints
+         FROM events ORDER BY frame_number, action""",
+    "view_parking_es" ->
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS slot_id,
+                    CAST(epoch_us(ts) AS DOUBLE) AS tsec,
+                    (value > 100.0) AS occupied FROM events),
+         w AS (SELECT *, lag(occupied) OVER win AS prev,
+                      coalesce(lead(tsec) OVER win - tsec, 0.0) AS held
+               FROM s WINDOW win AS (PARTITION BY slot_id ORDER BY tsec))
+         SELECT 1700000000000000 AS ts_us,
+                'parking_refined.json' AS source_file,
+                '2023-11-14' AS processing_date,
+                'v1.0' AS processing_version,
+                slot_id,
+                CASE WHEN arg_max(occupied, tsec) THEN 'occupied' ELSE 'free' END
+                  AS slot_status,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND prev AND NOT occupied
+                              THEN 1 ELSE 0 END) AS BIGINT) AS became_free,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND NOT prev AND occupied
+                              THEN 1 ELSE 0 END) AS BIGINT) AS became_occupied,
+                sum(CASE WHEN occupied THEN held ELSE 0.0 END) AS total_occupied_seconds,
+                sum(CASE WHEN NOT occupied THEN held ELSE 0.0 END) AS total_free_seconds,
+                CAST(sum(CASE WHEN occupied AND (prev IS NULL OR NOT prev)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_parking_sessions
+         FROM w GROUP BY slot_id ORDER BY slot_id""",
+    "view_common_es" ->
+      """SELECT 1700000000000000 AS ts_us,
+                'common_refined.json' AS source_file,
+                '2023-11-14' AS processing_date,
+                'v1.0' AS processing_version,
+                event_id AS frame_number, event_type AS object_class,
+                CAST(user_id % 32 AS DOUBLE) * 0.03125 AS confidence
+         FROM events ORDER BY frame_number, object_class, confidence""",
     "domain_school_enrich" ->
       """WITH f AS (SELECT user_id AS eid, event_id AS frame_number,
              'type_' || CAST(user_id % 4 AS VARCHAR) AS event_type,

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Transactional zone table: a minimal versioned-manifest log over
@@ -71,16 +71,24 @@ final case class TxTable(spark: SparkSession, root: String) {
       case _ => Map.empty
     }
 
-  /** Per-column Bloom bitmap (`col~hexwords` tokens) of an entry. */
+  /** Per-column Bloom bitmap (`col~2~hexwords` tokens) of an entry.
+    * The `2` is the bloom-hash VERSION: v2 bitmaps hash through the
+    * canonical string cast (see [[bloomPos]]). Unversioned `col~hex`
+    * tokens were written by pre-canonical code with type-sensitive raw
+    * xxhash64 — probing them with v2 positions would produce false-
+    * negative file SKIPS (silently missing rows), so they parse as
+    * ABSENT: "no bitmap, must read", the same safe degradation as
+    * pre-stats entries and pre-pinning manifests. */
   def entryBlooms(e: String): Map[String, Array[Long]] =
     e.split('\t') match {
       case Array(_, s) =>
         s.split(';').iterator.flatMap { kv =>
           kv.split('~') match {
-            case Array(c, hex) if hex.length % 16 == 0 && hex.nonEmpty =>
+            case Array(c, BloomHashVersion, hex)
+                if hex.length % 16 == 0 && hex.nonEmpty =>
               Some(c -> hex.grouped(16)
                 .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
-            case _ => None
+            case _ => None // unversioned / future-versioned: must read
           }
         }.toMap
       case _ => Map.empty
@@ -136,7 +144,12 @@ final case class TxTable(spark: SparkSession, root: String) {
     val have = pinned.fields.map(f => f.name -> f.dataType).toMap
     incoming.fields.foreach { f =>
       have.get(f.name).foreach { t =>
-        if (t != f.dataType)
+        // compare modulo nullability at EVERY nesting level (Delta's
+        // equalsIgnoreNullability): two writers producing congruent
+        // nested data that differs only in inner-field nullability
+        // (e.g. one wrote nullable=false struct members) are the same
+        // column, not an incompatible append
+        if (deepNullable(t) != deepNullable(f.dataType))
           throw new IllegalArgumentException(
             s"incompatible append to $root: column ${f.name} is ${t.sql} " +
               s"in the table schema but ${f.dataType.sql} in the incoming data")
@@ -146,8 +159,22 @@ final case class TxTable(spark: SparkSession, root: String) {
       incoming.fields.filterNot(f => have.contains(f.name))))
   }
 
+  /** Nullability normalized recursively through struct/array/map —
+    * the pinned schema is the permissive union of what any version's
+    * files may hold, so every level reads as nullable. */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      ArrayType(deepNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(deepNullable(m.keyType), deepNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
   private def asNullable(s: StructType): StructType =
-    StructType(s.fields.map(_.copy(nullable = true)))
+    deepNullable(s).asInstanceOf[StructType]
 
   /** Empty DataFrame carrying the snapshot's schema — what a read of a
     * legitimately empty table (e.g. after a delete-everything) yields. */
@@ -245,7 +272,7 @@ final case class TxTable(spark: SparkSession, root: String) {
                   words(p.toInt / 64) |= 1L << (p.toInt % 64)
                 }
               }
-              s"$c~" + words.map(w => f"$w%016x").mkString
+              s"$c~$BloomHashVersion~" + words.map(w => f"$w%016x").mkString
             }
             fname -> (rangeToks ++ bloomToks).mkString(";")
           }.toMap
@@ -394,6 +421,9 @@ final case class TxTable(spark: SparkSession, root: String) {
   // values per file (m/n ≈ 8, k=4); size `bloomBits` to the expected
   // per-file cardinality like Delta's fpp-based bloom index does.
   private val bloomSeeds = Seq(1, 2, 3, 4)
+
+  // bump when the probe hash changes; query side ignores other versions
+  private final val BloomHashVersion = "2"
 
   private def bloomPos(c: Column, seed: Int, bits: Int): Column =
     pmod(xxhash64(c.cast("string"), lit(seed)), lit(bits.toLong))

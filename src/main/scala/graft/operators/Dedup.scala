@@ -154,27 +154,17 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
-  /** Embedding-cosine near-dup: pairs within the same coarse bucket
+  /** Embedding-cosine near-dup over an arbitrary corpus of
+    * (label, vec_id, embedding): pairs within the same coarse bucket
     * (label — the IVF blocking that survives 100 TB) whose quantized
-    * cosine ≥ 0.90. Uses the native codegen'd CosineSimQ expression.
-    *
-    * The synthetic corpus has no natural pairs above 0.90 at small SF
-    * (max cosine ≈ 0.475 at sf0.01), which made the oracle gate
-    * hash-match two EMPTY results — vacuous. So the query PLANTS
-    * near-dups deterministically: every 100th vector gets a clone at
-    * vec_id + 10⁶ with every coordinate shifted by +0.01 (double add,
-    * cast back to float — bit-identical in both engines). For
-    * unit-scale random vectors cos(x, x + δ·1) ≈ 0.999, so the ≥0.90
-    * gate now verifies real rows at every SF. */
-  def embeddingCosine(spark: SparkSession, dir: String,
+    * cosine ≥ the threshold. Uses the native codegen'd CosineSimQ
+    * expression. The operator takes the corpus as a DataFrame so
+    * callers (and the verification harness, which plants deterministic
+    * near-dups — see SparkEntry.plantedEmbeddings) choose the input;
+    * the operator itself NEVER fabricates rows. */
+  def embeddingCosineOn(corpus: DataFrame,
       thresholdE6: Long = 900000L): DataFrame = {
-    val t = Tables(spark, dir)
-    val base = t.embeddings.select(col("label"), col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") % 100 === 0)
-      .select(col("label"), (col("vec_id") + 1000000L).as("vec_id"),
-        expr("transform(embedding, x -> cast(double(x) + 0.01d as float))")
-          .as("embedding"))
-    val e = base.unionByName(planted)
+    val e = corpus.select(col("label"), col("vec_id"), col("embedding"))
     val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
     val r = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
     l.join(r, Seq("label"))
@@ -185,6 +175,14 @@ object Dedup {
       .select(col("label"), col("a"), col("b"), col("cos_e6"))
       .orderBy(col("label"), col("a"), col("b"))
   }
+
+  /** [[embeddingCosineOn]] over the real embeddings table. */
+  def embeddingCosine(spark: SparkSession, dir: String,
+      thresholdE6: Long = 900000L): DataFrame =
+    embeddingCosineOn(
+      Tables(spark, dir).embeddings
+        .select(col("label"), col("vec_id"), col("embedding")),
+      thresholdE6)
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
     * cluster the embedding space with the TRUE trained coarse quantizer

@@ -50,7 +50,7 @@ object DomainBridge {
 
   /** events → slot observations: integer-valued "seconds" (epoch micros
     * as double) keep every sum exact. */
-  private def slotShaped(t: Tables): DataFrame =
+  private[operators] def slotShaped(t: Tables): DataFrame =
     t.events.select(
       col("event_id").as("frame_number"),
       unix_micros(col("ts")).cast("double").as("timestamp_sec"),

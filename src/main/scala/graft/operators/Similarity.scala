@@ -205,12 +205,16 @@ object Similarity {
 
   /** Nearest-centroid assignment of every vector in `qe` against
     * `cents` (cell, dim, c): exact integer squared distance, argmin
-    * with cell-asc tie-break. The centroid side is k·d rows —
-    * constant-size → broadcast; the expansion aggregates map-side into
-    * one (vec_id, cell) shuffle (the canonical N·d·k IVF assignment
-    * cost, sharded by vector). */
+    * with cell-asc tie-break. The centroid side is k·d rows — but with
+    * [[kmeansAssign]]'s default k=⌈√N⌉ that GROWS with the corpus
+    * (N=10¹⁰, d=768 → ~80M rows), so it carries NO static broadcast
+    * hint: AQE broadcasts from measured size while it fits and falls
+    * back to a shuffle join when it doesn't — the same no-data-
+    * dependent-hints rule PlanSpec enforces on the dedup pipelines.
+    * The expansion aggregates map-side into one (vec_id, cell) shuffle
+    * (the canonical N·d·k IVF assignment cost, sharded by vector). */
   private def assignTo(qe: DataFrame, cents: DataFrame): DataFrame = {
-    val dists = qe.join(broadcast(cents), Seq("dim"))
+    val dists = qe.join(cents, Seq("dim"))
       .groupBy(col("vec_id"), col("cell"))
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
@@ -248,7 +252,8 @@ object Similarity {
     val wSeed = Window.orderBy(hashOrder: _*) // over k rows only
     val seeds = seedIds
       .withColumn("cell", (row_number().over(wSeed) - 1).cast("long"))
-    var cents = qe.join(broadcast(seeds), Seq("vec_id"))
+    // seeds is k=⌈√N⌉ rows — corpus-proportional, so no static hint
+    var cents = qe.join(seeds, Seq("vec_id"))
       .select(col("cell"), col("dim"), col("q").as("c"))
       .localCheckpoint()
     for (_ <- 1 to iters) {

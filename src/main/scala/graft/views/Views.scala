@@ -282,6 +282,76 @@ object Views {
       coalesce(col("bbox"), emptyLike("bbox")).as("bbox"))
   }
 
+  /** S8/D12 provenance stamp + pass-through for the STAMP-ONLY serving
+    * domains: the reference's sender flattens each refined record and
+    * prepends `{@timestamp, source_file, processing_date,
+    * processing_version}` before indexing it
+    * (`processing_animal.py:53-66`, `processing_geolocation.py:53-66`,
+    * `processing_parkingLot.py:54-66`; for pose/common the same
+    * `@timestamp` arrives via the `*_data_timestamp_pipeline` ES ingest
+    * pipeline — equivalent semantics). Injectable clock for
+    * deterministic verification, like [[graft.lake.Lake.stampIngest]]
+    * (S9). A pure projection: no shuffle at any scale. */
+  def stampedEsRecords(records: DataFrame, sourceFile: String,
+      fixedMicros: Option[Long] = None): DataFrame = {
+    val ts: Column = fixedMicros
+      .map(us => timestamp_micros(lit(us)))
+      .getOrElse(current_timestamp())
+    val stamp = Seq(
+      ts.as("@timestamp"),
+      lit(sourceFile).as("source_file"),
+      date_format(ts, "yyyy-MM-dd").as("processing_date"),
+      lit("v1.0").as("processing_version"))
+    records.select(stamp ++ records.columns.map(col): _*)
+  }
+
+  /** S8 animal ES records (`processing_animal.py:53-66`): every refined
+    * detection's fields pass through directly under the stamp. */
+  def animalEsRecords(detections: DataFrame, sourceFile: String,
+      fixedMicros: Option[Long] = None): DataFrame =
+    stampedEsRecords(detections, sourceFile, fixedMicros)
+
+  /** S8 geolocation ES records (`processing_geolocation.py:53-66`):
+    * identical pass-through-under-stamp shape. */
+  def geolocationEsRecords(detections: DataFrame, sourceFile: String,
+      fixedMicros: Option[Long] = None): DataFrame =
+    stampedEsRecords(detections, sourceFile, fixedMicros)
+
+  /** S8 pose ES records (`processing_pose.py:40-48,70-80`): the sender
+    * keeps exactly {frame_number, action, confidence, keypoints} per
+    * frame; the ingest pipeline adds the timestamp. */
+  def poseEsRecords(frames: DataFrame, sourceFile: String,
+      fixedMicros: Option[Long] = None): DataFrame =
+    stampedEsRecords(
+      frames.select(col("frame_number"), col("action"),
+        col("confidence"), col("keypoints")),
+      sourceFile, fixedMicros)
+
+  /** S8 parking ES records (`processing_parkingLot.py:54-66`): the five
+    * named slot-document fields — the nested state_transitions /
+    * time_metrics structs travel as-is — under the stamp. Feed it
+    * [[graft.enrich.Sessionization.slotDocuments]]. */
+  def parkingEsRecords(slotDocs: DataFrame, sourceFile: String,
+      fixedMicros: Option[Long] = None): DataFrame =
+    stampedEsRecords(
+      slotDocs.select(col("slot_id"), col("slot_status"),
+        col("state_transitions"), col("time_metrics"),
+        col("parking_sessions")),
+      sourceFile, fixedMicros)
+
+  /** S8 common-detection ES records (`processing_common.py:74-84`): a
+    * record that wraps its payload in `frame_data` is unwrapped first
+    * (the reference's `record.get("frame_data", record)`), then
+    * indexed as-is. */
+  def commonEsRecords(records: DataFrame, sourceFile: String,
+      fixedMicros: Option[Long] = None): DataFrame = {
+    val unwrapped =
+      if (records.columns.contains("frame_data"))
+        records.select(col("frame_data.*"))
+      else records
+    stampedEsRecords(unwrapped, sourceFile, fixedMicros)
+  }
+
   /** D12 legacy vehicle majority-vote flattening
     * (`processing_vehicle.py:31-77`): per-tracker mode of each
     * categorical attribute with Python's Counter/`max` first-seen

@@ -78,15 +78,17 @@ class PlanSpec extends SparkSpec {
     // cross join of two tiny ranges — 1024 rows BY CONSTRUCTION,
     // broadcast, never data-dependent — which plans as a broadcast
     // nested-loop/cartesian by nature
+    // dedup_embedding_cosine's harness joins in a 1-ROW max(vec_id)
+    // aggregate (the clone-id offset) — a scalar subquery in NLJ form
     val allowNlj = Set("sim_cosine_topk", "sim_ann_ivf", "sim_knn_classify",
       "text_tfidf", "u_intersect_except", "dedup_incremental",
-      "dedup_srp_bands", "dedup_embedding_srp")
+      "dedup_srp_bands", "dedup_embedding_srp", "dedup_embedding_cosine")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
     val skip = Set("stream_sessionize", "stream_state_sessionize",
       "stream_static_join", "stream_stream_join", "s2_csv_roundtrip",
-      "s3_partitioned_prune", "dedup_cc", "graph_pagerank", "view_kmeans")
+      "s3_partitioned_prune", "dedup_cc", "graph_pagerank")
     SparkEntry.queries.keys.filterNot(skip).foreach { name =>
       val p = executedPlan(name)
       if (!allowCartesian(name))

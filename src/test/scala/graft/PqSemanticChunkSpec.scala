@@ -81,7 +81,7 @@ class PqSemanticChunkSpec extends SparkSpec {
     val none = Dedup.semantic(spark, sf, thresholdE6 = 1000001L).collect()
     assert(removedSet(none).isEmpty)
     // the lowest id in every cell always survives (it has no lower-id mate)
-    loose.groupBy(_.getInt(1)).foreach { case (cell, rows) =>
+    loose.groupBy(_.getLong(1)).foreach { case (cell, rows) =>
       val min = rows.map(_.getLong(0)).min
       val minRow = rows.find(_.getLong(0) == min).get
       assert(!minRow.getBoolean(2), s"cell $cell: minimum id $min was removed")

@@ -94,6 +94,128 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  // --- tx-table WriteSerializable under adversarial interleavings --------
+
+  private sealed trait TxOp
+  private case class TxAppend(ids: Seq[Long], v: Long) extends TxOp
+  private case class TxMerge(ids: Seq[Long], v: Long) extends TxOp
+  private case class TxDelete(lo: Long, hi: Long) extends TxOp
+  private case object TxCompact extends TxOp
+
+  private def txModel(m: Vector[(Long, Long)], op: TxOp): Vector[(Long, Long)] =
+    op match {
+      case TxAppend(ids, v) => m ++ ids.map(i => (i, v))
+      case TxMerge(ids, v) =>
+        m.filterNot(r => ids.contains(r._1)) ++ ids.map(i => (i, v))
+      case TxDelete(lo, hi) => m.filterNot(r => r._1 >= lo && r._1 <= hi)
+      case TxCompact => m
+    }
+
+  test("property: interleaved append/merge/delete/compact obey " +
+      "WriteSerializable — a committed racer serializes, a conflicted " +
+      "one aborts without a trace and succeeds on retry") {
+    import graft.lake.TxTable
+    def df(ids: Seq[Long], v: Long) = ids.map(i => (i, v)).toDF("id", "v")
+    def run(t: TxTable, op: TxOp): Unit = op match {
+      case TxAppend(ids, v) => t.append(df(ids, v), statsCols = Seq("id"))
+      case TxMerge(ids, v) => t.merge(df(ids, v), "id", statsCols = Seq("id"))
+      case TxDelete(lo, hi) => t.delete("id", lo, hi, statsCols = Seq("id"))
+      case TxCompact => t.compact(2)
+    }
+    // staged-but-uncommitted state is injected through the beforeCommit
+    // seam: the INNER op runs to completion while the OUTER sits between
+    // stage and commit — the exact schedule the conflict rules govern
+    def runSeamed(t: TxTable, op: TxOp, seam: () => Unit): Boolean =
+      try {
+        op match {
+          case TxMerge(ids, v) =>
+            t.merge(df(ids, v), "id", statsCols = Seq("id"),
+              beforeCommit = seam)
+          case TxDelete(lo, hi) =>
+            t.delete("id", lo, hi, statsCols = Seq("id"), beforeCommit = seam)
+          case TxCompact => t.compact(2, beforeCommit = seam)
+          case TxAppend(_, _) =>
+            fail("append re-bases and never aborts; not an outer op")
+        }
+        true
+      } catch { case _: java.util.ConcurrentModificationException => false }
+
+    def contents(t: TxTable): Map[(Long, Long), Int] =
+      t.read().collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    def multiset(m: Vector[(Long, Long)]): Map[(Long, Long), Int] =
+      m.groupBy(identity).view.mapValues(_.length).toMap
+
+    // ops confined to a random quarter of the key space, so racing
+    // pairs land sometimes on the same files (conflict) and sometimes
+    // apart (serializable commit) — both outcomes must occur
+    val genZoneIds = for {
+      z <- Gen.choose(0L, 3L)
+      ids <- Gen.nonEmptyListOf(Gen.choose(z * 25, z * 25 + 24))
+    } yield ids.distinct
+    val genZoneRange = for {
+      z <- Gen.choose(0L, 3L)
+      w <- Gen.choose(0L, 24L)
+    } yield (z * 25, z * 25 + w)
+    def genOp(kind: Int, vBase: Long): Gen[TxOp] = kind match {
+      case 0 => Gen.zip(genZoneIds, Gen.choose(vBase, vBase + 99))
+        .map(t => TxAppend(t._1, t._2))
+      case 1 => Gen.zip(genZoneIds, Gen.choose(vBase + 100, vBase + 199))
+        .map(t => TxMerge(t._1, t._2))
+      case 2 => genZoneRange.map(t => TxDelete(t._1, t._2))
+      case _ => Gen.const(TxCompact)
+    }
+
+    var committed, aborted = 0
+    // the full outer×inner matrix (outer: merge/delete/compact — append
+    // re-bases and cannot conflict), random params per cell
+    val pairs = for {
+      outerKind <- Seq(1, 2, 3); innerKind <- Seq(0, 1, 2, 3)
+    } yield (outerKind, innerKind)
+    pairs.zipWithIndex.foreach { case ((outerKind, innerKind), i) =>
+      val seed = i + 1L
+      val inner = sample(genOp(innerKind, 100L), seed)
+      val outer = sample(genOp(outerKind, 300L), seed + 500)
+      val t = TxTable(spark,
+        java.nio.file.Files.createTempDirectory("graft-txprop").toString)
+      // two seeded files covering disjoint halves so range pruning and
+      // file-replacement conflicts are both reachable
+      t.append(df(0L until 50L, 0L), statsCols = Seq("id"))
+      t.append(df(50L until 100L, 0L), statsCols = Seq("id"))
+      val m0 = Vector.tabulate(100)(i => (i.toLong, 0L))
+
+      var innerRan = false
+      val seam = () => { innerRan = true; run(t, inner) }
+      val ok = runSeamed(t, outer, seam)
+      if (!innerRan) {
+        // outer no-opped before its seam (e.g. a delete pruning every
+        // file): it serialized FIRST; run the inner after it
+        run(t, inner)
+        assert(ok, s"seed=$seed: op that never staged cannot conflict")
+        assert(contents(t) == multiset(txModel(txModel(m0, outer), inner)),
+          s"seed=$seed outer=$outer inner=$inner (outer-first serial)")
+      } else if (ok) {
+        committed += 1
+        // WriteSerializable: committing after the racer must equal the
+        // serial history inner→outer
+        assert(contents(t) == multiset(txModel(txModel(m0, inner), outer)),
+          s"seed=$seed outer=$outer inner=$inner (inner-first serial)")
+      } else {
+        aborted += 1
+        // clean abort: ONLY the inner's effect is visible…
+        assert(contents(t) == multiset(txModel(m0, inner)),
+          s"seed=$seed outer=$outer inner=$inner (abort left a trace)")
+        // …and the same op succeeds against the new snapshot
+        run(t, outer)
+        assert(contents(t) == multiset(txModel(txModel(m0, inner), outer)),
+          s"seed=$seed outer=$outer inner=$inner (retry after abort)")
+      }
+    }
+    // the generator must actually exercise both outcomes
+    assert(committed > 0 && aborted > 0,
+      s"schedule space not covered: committed=$committed aborted=$aborted")
+  }
+
   // --- portable hash -----------------------------------------------------
 
   test("property: portable hash is deterministic, bounded, salt-split") {

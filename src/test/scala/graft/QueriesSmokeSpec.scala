@@ -9,10 +9,11 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query key has oracle SQL or is explicitly rows-only") {
-    // rows-only: non-SQL-expressible ops (driver records a weaker check)
-    val rowsOnly = Set("view_kmeans")
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every declared query has oracle SQL (no rows-only queries)") {
+    // policy (COVERAGE.md D11): non-oracle-able library paths live in
+    // specs, not in `queries` — e.g. spark.ml KMeans is ViewsSpec-only
+    // with the hash-verified `view_kmeans_det` twin declared instead
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")

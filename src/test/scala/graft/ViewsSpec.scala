@@ -195,6 +195,63 @@ class ViewsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("average_speed") - 20.0) < 1e-12)
   }
 
+  test("stamp-only ES pass-through views carry the provenance stamp " +
+      "and the domain record shape (S8: animal/geo/pose/parking/common)") {
+    import spark.implicits._
+    val us = 1700000000000000L // 2023-11-14T22:13:20Z
+    val stampCols = Seq("@timestamp", "source_file", "processing_date",
+      "processing_version")
+    // animal/geolocation: every detection field passes through under the stamp
+    val animal = Seq((0L, 7L, "cat", 0.5)).toDF(
+      "frame_number", "tracker_id", "animal_type", "confidence")
+    val a = Views.animalEsRecords(animal, "a.json", Some(us))
+    assert(a.columns.toSeq == stampCols ++ animal.columns)
+    val ar = a.collect().head
+    assert(ar.getAs[java.sql.Timestamp]("@timestamp").getTime == us / 1000)
+    assert(ar.getAs[String]("source_file") == "a.json")
+    assert(ar.getAs[String]("processing_date") == "2023-11-14")
+    assert(ar.getAs[String]("processing_version") == "v1.0")
+    assert(ar.getAs[String]("animal_type") == "cat")
+    val g = Views.geolocationEsRecords(
+      Seq((0L, 1.5, 103.8)).toDF("frame_number", "latitude", "longitude"),
+      "g.json", Some(us))
+    assert(g.columns.toSeq ==
+      stampCols ++ Seq("frame_number", "latitude", "longitude"))
+    // pose: exactly the four sender-kept fields, extras dropped
+    val pose = Views.poseEsRecords(
+      Seq((1L, "walk", 0.9, Seq(1.0, 2.0), "extra")).toDF(
+        "frame_number", "action", "confidence", "keypoints", "junk"),
+      "p.json", Some(us))
+    assert(pose.columns.toSeq ==
+      stampCols ++ Seq("frame_number", "action", "confidence", "keypoints"))
+    // parking: the five named slot-document fields, nested structs intact
+    val slotDocs = graft.enrich.Sessionization.slotDocuments(
+      graft.enrich.Sessionization.slotRollup(
+        Seq((0L, 0.0, "s1", true, Seq(0.0)), (1L, 10.0, "s1", false, Seq(0.0)))
+          .toDF("frame_number", "timestamp_sec", "slot_id", "occupied", "bbox")))
+    val park = Views.parkingEsRecords(slotDocs, "pk.json", Some(us))
+    assert(park.columns.toSeq == stampCols ++ Seq("slot_id", "slot_status",
+      "state_transitions", "time_metrics", "parking_sessions"))
+    val pr = park.collect().head
+    assert(pr.getAs[String]("slot_status") == "free")
+    assert(pr.getAs[org.apache.spark.sql.Row]("state_transitions")
+      .getAs[Long]("became_free") == 1L)
+    // common: frame_data payloads unwrap (processing_common.py:84)
+    val wrapped = Seq((5L, "person")).toDF("frame_number", "object_class")
+      .select(struct(col("frame_number"), col("object_class")).as("frame_data"))
+    val c = Views.commonEsRecords(wrapped, "c.json", Some(us))
+    assert(c.columns.toSeq == stampCols ++ Seq("frame_number", "object_class"))
+    assert(c.collect().head.getAs[String]("object_class") == "person")
+    // already-flat records pass through unchanged
+    val flat2 = Views.commonEsRecords(
+      Seq((5L, "person")).toDF("frame_number", "object_class"),
+      "c.json", Some(us))
+    assert(flat2.columns.toSeq == c.columns.toSeq)
+    // injectable clock default = current time: no fixed column value
+    assert(Views.animalEsRecords(animal, "a.json").columns.toSeq ==
+      a.columns.toSeq)
+  }
+
   test("serving layer answers the Kibana aggregations (A12) + ES reshape (D12)") {
     Views.registerServing(spark, refined, refined.limit(0))
     val top = Views.top5(spark, "datalake_vehicle_data", "vehicle_type").collect()
