@@ -62,6 +62,7 @@ object SparkEntry {
     "a2_global_wrap" -> Coverage.a2GlobalWrap _,
     "f_map_explode" -> Coverage.fMapExplode _,
     "a12_date_histogram" -> Coverage.a12DateHistogram _,
+    "a12_date_histogram_dense" -> Coverage.a12DateHistogramDense _,
     "a12_topn_per_user" -> Coverage.a12TopnPerUser _,
     "d_running_sum" -> Coverage.dRunningSum _,
     "s1_json_roundtrip" -> Coverage.s1JsonRoundtrip _,
@@ -152,6 +153,11 @@ object SparkEntry {
     "dedup_chunk" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.chunkDedup(s, dir)),
     "text_repetition" -> TextAnalysis.repetition _,
+    "text_bm25_search" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bm25Search(s, dir)),
+    "text_match_phrase" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.matchPhrase(s, dir)),
+    "sample_mixture" -> Sampling.sampleMixture _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
     "lake_cdc_diff" -> graft.lake.LakeOps.lakeCdcDiff _,
@@ -1016,6 +1022,20 @@ object SparkEntry {
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
                 event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // ES min_doc_count:0 — every bucket in bounds, zero-filled
+    "a12_date_histogram_dense" ->
+      """WITH c AS (SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+                  AS hour_us, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+         b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM c),
+         h AS (SELECT unnest(generate_series(lo, hi, 3600000000))
+                 AS hour_us FROM b),
+         t AS (SELECT DISTINCT event_type FROM c)
+         SELECT h.hour_us, t.event_type,
+                CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+         FROM h CROSS JOIN t
+         LEFT JOIN c ON c.hour_us = h.hour_us AND c.event_type = t.event_type
+         ORDER BY 1, 2""",
     "a12_topn_per_user" ->
       """WITH r AS (SELECT user_id, event_id, value,
                     row_number() OVER (PARTITION BY user_id
@@ -1852,6 +1872,64 @@ object SparkEntry {
                 (1000000 * (CAST(sum(c) AS BIGINT) - count(*)))
                   // CAST(sum(c) AS BIGINT) AS rep_e6
          FROM g GROUP BY 1 ORDER BY 1""",
+    "text_bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM tok WHERE tok IN ('spark', 'join', 'vector')
+                GROUP BY 1, 2),
+         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id, tf.tf,
+                 (10000 * st.n_docs) // dfc.df AS idf_e4,
+                 (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
+               FROM tf JOIN dl USING (doc_id) JOIN dfc USING (tok)
+               CROSS JOIN st),
+         sc AS (SELECT doc_id,
+                 sum(idf_e4 * ((tf * 2200 * 10000)
+                   // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
+                   AS score_e7,
+                 count(*) AS n_terms
+                FROM s GROUP BY 1),
+         r AS (SELECT row_number() OVER (ORDER BY score_e7 DESC, doc_id)
+                 AS rank, doc_id, score_e7, n_terms FROM sc)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+                CAST(score_e7 AS BIGINT) AS score_e7,
+                CAST(n_terms AS BIGINT) AS n_terms
+         FROM r WHERE rank <= 10 ORDER BY rank""",
+    // 1-based generate_subscripts vs Spark's 0-based posexplode: −1
+    "text_match_phrase" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS pos FROM d)
+         SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_phrase,
+                CAST(min(a.pos) - 1 AS BIGINT) AS first_pos
+         FROM tok a JOIN tok b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          AND a.tok = 'spark' AND b.tok = 'join'
+         GROUP BY 1 ORDER BY 1""",
+    "sample_mixture" -> {
+      val h = phashSql("CAST(doc_id AS VARCHAR)",
+        graft.operators.Sampling.mixtureSalt)
+      val rateCase = graft.operators.Sampling.mixtureRatesE3
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE lang ", " ", " ELSE 0 END")
+      s"""WITH r AS (SELECT doc_id, lang, $rateCase AS rate_e3,
+              $h % 1000 AS hb
+            FROM documents),
+         c AS (SELECT lang, doc_id, rate_e3 // 1000 +
+                 CASE WHEN hb < rate_e3 % 1000 THEN 1 ELSE 0 END AS copies
+               FROM r)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(copies) AS BIGINT) AS n_rows,
+                CAST(sum(doc_id * copies) AS BIGINT) AS id_checksum
+         FROM c WHERE copies > 0 GROUP BY 1 ORDER BY 1"""
+    },
     // bloom-indexed point lookup == the plain IN-list filter
     "lake_point_read" ->
       """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx

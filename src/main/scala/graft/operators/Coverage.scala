@@ -46,6 +46,33 @@ object Coverage {
       .orderBy(col("hour_us"), col("event_type"))
   }
 
+  /** A12: the DENSE date histogram — Elasticsearch's `date_histogram`
+    * default (`min_doc_count: 0`) emits EVERY bucket in the bounds,
+    * zero-count buckets included, which is what Kibana draws gaps
+    * from; a plain groupBy silently drops them. The dense grid is
+    * (hours × types) — metadata-sized next to the events themselves —
+    * so the zero-fill joins are AQE-broadcast from measured sizes (no
+    * static hints — bucket counts grow with the time span, the same
+    * data-dependent-hint rule PlanSpec enforces on the dedup stack);
+    * the only data-sized shuffle is the same per-bucket count the
+    * sparse histogram pays. */
+  def a12DateHistogramDense(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val counts = t.events
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hours = counts.agg(min(col("hour_us")).as("lo"),
+        max(col("hour_us")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, 3600000000)")).as("hour_us"))
+    val types = counts.select(col("event_type")).distinct()
+    hours.crossJoin(types)
+      .join(counts, Seq("hour_us", "event_type"), "left")
+      .select(col("hour_us"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hour_us"), col("event_type"))
+  }
+
   /** A12: per-bucket top-N (top-2 events by value per user), the
     * rank-window form of Kibana's "top hits". */
   def a12TopnPerUser(spark: SparkSession, dir: String): DataFrame = {

@@ -58,4 +58,46 @@ object Sampling {
       .select(col("lang"), col("rn"), col("doc_id"))
       .orderBy(col("lang"), col("rn"))
   }
+
+  /** Mixture weights for [[sampleMixture]] in milli-epochs per lang:
+    * 2500 = every doc appears 2–3 times (2 guaranteed + hash-gated
+    * third), 250 = 1-in-4 downsample. The single source of truth for
+    * both the operator and its oracle. */
+  val mixtureRatesE3: Seq[(String, Long)] = Seq(
+    "en" -> 2500L, "de" -> 1000L, "fr" -> 500L, "es" -> 250L,
+    "zh" -> 100L)
+
+  val mixtureSalt: Int = 13
+
+  /** Training-mix construction — the "N epochs of Wikipedia, 0.3
+    * epochs of CommonCrawl" step every pretraining data pipeline runs:
+    * each source's weight w (milli-epochs) replicates every doc
+    * ⌊w⌋ times plus one more for the hash-gated w−⌊w⌋ fraction.
+    * Membership of the fractional copy is keyed on the portable row
+    * hash — stable across runs, engines, and partitionings, exactly
+    * like [[sampleSplit]] — so the mix is reproducible and needs NO
+    * shuffle to build: copies = narrow `sequence` explode, the gate is
+    * a pushed-down filter. Output is the per-lang audit (docs in, rows
+    * out, weighted id checksum pinning exact membership). */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rate = mixtureRatesE3.tail.foldLeft(
+      when(col("lang") === mixtureRatesE3.head._1, mixtureRatesE3.head._2)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(0L)
+    val mixed = t.documents
+      .withColumn("rate_e3", rate)
+      .withColumn("copies",
+        expr("rate_e3 div 1000") +
+          when(pmod(phash(col("doc_id").cast("string"), mixtureSalt),
+            lit(1000L)) < col("rate_e3") % 1000, 1L).otherwise(0L))
+      .filter(col("copies") > 0) // sequence(1,0) steps DOWN, not empty
+      .select(col("lang"), col("doc_id"),
+        explode(expr("sequence(1, CAST(copies AS INT))")).as("epoch"))
+    mixed.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"))
+  }
 }

@@ -283,4 +283,88 @@ object TextAnalysis {
         expr("(1000000 * (n_tri - n_distinct_tri)) div n_tri"))
       .orderBy(col("doc_id"))
   }
+
+  /** BM25-ranked full-text search — the reference's entire query
+    * surface is Elasticsearch match queries over the `datalake-*`
+    * indices (SURVEY §2.1-S8, §2.5-A12;
+    * `/root/reference/Send_Data_To_DataLake/Documentations/
+    * Vehicle_Dev_Tool.txt` `_search` smoke queries), i.e. BM25-scored
+    * relevance ranking. This re-expresses that serving capability
+    * Spark-side with ES/Lucene's scoring SHAPE (per-term IDF damping ×
+    * saturating TF normalized by document length, k1=1.2, b=0.75) in
+    * exact integer arithmetic: the float `log` IDF is replaced by the
+    * rational reciprocal-df form `(10⁴·N) div df` (same family as
+    * [[tfidf]]), so scores are bit-identical on every engine and
+    * partitioning.
+    *
+    * Scale shape: the `isin(terms)` filter runs AT the explode — only
+    * the query terms' postings ever reach a shuffle (the inverted-index
+    * access path; a standing index table keyed by term makes the scan
+    * incremental, same plan from there). Corpus stats (N, Σdl) arrive
+    * as a broadcast single-row aggregate, and the final top-k is
+    * TakeOrderedAndProject — partial per partition, never a global
+    * sort. */
+  def bm25Search(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "vector"),
+      topK: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_toks"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      // (dl/avgdl) in e3; k1·(1−b+b·dl/avgdl) in e4 with k1=1.2, b=0.75
+      .withColumn("idf_e4", expr("(10000 * n_docs) div df"))
+      .withColumn("dlr_e3", expr("(1000 * dl * n_docs) div t_toks"))
+      .withColumn("sat_e4", expr("12 * (250 + (750 * dlr_e3) div 1000)"))
+      // tf·(k1+1)/(tf + k1·(…)) in e3 — saturates at 2200
+      .withColumn("ratio_e3",
+        expr("(tf * 2200 * 10000) div (tf * 10000 + sat_e4)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_e4") * col("ratio_e3")).as("score_e7"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e7").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e7").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_e7"), col("n_terms"))
+      .orderBy(col("rank"))
+  }
+
+  /** Positional phrase matching — ES `match_phrase` semantics: count
+    * occurrences of consecutive tokens t₁ t₂ (adjacent positions in the
+    * ORIGINAL token stream), per document. This is the positional
+    * inverted index access path: posexplode keeps each token's
+    * position, the phrase-term filter drops every other posting before
+    * any shuffle, and adjacency is decided by ONE window pass over
+    * (doc, position) order — `lead(tok)` is t₂ at `lead(pos) = pos+1`
+    * exactly when the bigram occurs (nothing between p and p+1 can
+    * survive the filter). One shuffle, carrying only the two terms'
+    * postings, at any corpus size. */
+  def matchPhrase(spark: SparkSession, dir: String,
+      t1: String = "spark", t2: String = "join"): DataFrame = {
+    val t = Tables(spark, dir)
+    val postings = t.documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .filter(col("tok").isin(t1, t2))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    postings
+      .withColumn("next_tok", lead(col("tok"), 1).over(w))
+      .withColumn("next_pos", lead(col("pos"), 1).over(w))
+      .filter(col("tok") === t1 && col("next_tok") === t2 &&
+        col("next_pos") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_phrase"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -84,4 +84,86 @@ class AnalyticsSamplingSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  private def docTokens: Map[Long, Array[String]] =
+    graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+
+  test("bm25 matches an in-JVM brute force of the exact integer formula") {
+    val toks = docTokens
+    val terms = Seq("spark", "join", "vector")
+    val nDocs = toks.size.toLong
+    val tToks = toks.values.map(_.length.toLong).sum
+    val df = terms.map(q =>
+      q -> toks.values.count(_.contains(q)).toLong).toMap
+    val expected = toks.toSeq.flatMap { case (id, ts) =>
+      val dl = ts.length.toLong
+      val dlrE3 = 1000L * dl * nDocs / tToks
+      val satE4 = 12L * (250L + 750L * dlrE3 / 1000L)
+      val parts = terms.flatMap { q =>
+        val tf = ts.count(_ == q).toLong
+        if (tf == 0 || df(q) == 0) None
+        else {
+          val idfE4 = 10000L * nDocs / df(q)
+          Some(idfE4 * (tf * 2200L * 10000L / (tf * 10000L + satE4)))
+        }
+      }
+      if (parts.isEmpty) None
+      else Some((id, parts.sum, parts.length.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val got = TextAnalysis.bm25Search(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e7"),
+        r.getAs[Long]("n_terms"))).toSeq
+    assert(got === expected)
+  }
+
+  test("match_phrase counts equal a brute-force scan of adjacent pairs") {
+    val expected = docTokens.flatMap { case (id, ts) =>
+      val hits = (0 until ts.length - 1)
+        .filter(i => ts(i) == "spark" && ts(i + 1) == "join")
+      if (hits.isEmpty) None
+      else Some(id -> (hits.length.toLong, hits.head.toLong))
+    }
+    val got = TextAnalysis.matchPhrase(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_phrase"), r.getAs[Long]("first_pos"))).toMap
+    assert(got === expected)
+  }
+
+  test("dense date histogram zero-fills the full bucket grid") {
+    val rows = graft.operators.Coverage.a12DateHistogramDense(spark, sf)
+      .collect()
+    val hours = rows.map(_.getLong(0)).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct
+    // complete grid: every hour in [lo,hi] stepped by 1h, × every type
+    assert((hours.head to hours.last by 3600000000L) === hours.toSeq)
+    assert(rows.length === hours.length * types.length)
+    assert(rows.exists(_.getLong(2) == 0L), "zero buckets must exist")
+    // zero-fill must not invent or lose events
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.core.Tables(spark, sf).events.count())
+  }
+
+  test("mixture sample hits its per-lang epoch bounds and is rerun-stable") {
+    val a = Sampling.sampleMixture(spark, sf).collect()
+    assert(a.toSeq === Sampling.sampleMixture(spark, sf).collect().toSeq)
+    val langTotals = graft.core.Tables(spark, sf).documents
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Sampling.mixtureRatesE3.toMap
+    a.foreach { r =>
+      val (lang, nDocs, nRows) = (r.getString(0),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_rows"))
+      val w = rates(lang)
+      val (lo, hi) = (w / 1000, w / 1000 + (if (w % 1000 > 0) 1 else 0))
+      // whole-epoch weights keep every doc; fractional gates some subset
+      if (lo >= 1) assert(nDocs === langTotals(lang))
+      assert(nRows >= nDocs * lo && nRows <= nDocs * hi)
+    }
+    // every lang with weight >= 1 epoch must appear in the audit
+    rates.filter(_._2 >= 1000).keys.filter(langTotals.contains).foreach {
+      l => assert(a.exists(_.getString(0) == l), s"lang $l missing")
+    }
+  }
 }

@@ -80,9 +80,14 @@ class PlanSpec extends SparkSpec {
     // nested-loop/cartesian by nature
     // dedup_embedding_cosine's harness joins in a 1-ROW max(vec_id)
     // aggregate (the clone-id offset) — a scalar subquery in NLJ form
+    // text_bm25_search crosses in its 1-row (N, Σdl) corpus-stats
+    // aggregate — same shape as text_tfidf's N
+    // a12_date_histogram_dense's hour-spine × type grid IS a cross
+    // join of two aggregate-bounded sides (buckets, not events)
     val allowNlj = Set("sim_cosine_topk", "sim_ann_ivf", "sim_knn_classify",
       "text_tfidf", "u_intersect_except", "dedup_incremental",
-      "dedup_srp_bands", "dedup_embedding_srp", "dedup_embedding_cosine")
+      "dedup_srp_bands", "dedup_embedding_srp", "dedup_embedding_cosine",
+      "text_bm25_search", "a12_date_histogram_dense")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
