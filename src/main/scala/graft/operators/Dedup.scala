@@ -204,8 +204,13 @@ object Dedup {
   def semantic(spark: SparkSession, dir: String,
       thresholdE6: Long = 350000L): DataFrame = {
     val t = Tables(spark, dir)
+    // the trained assignment feeds BOTH sides of the pair self-join —
+    // localCheckpoint materializes the quantizer once (16 B/vector,
+    // a sliver of corpus size) instead of re-running Lloyd + argmin
+    // inside each branch of the join
     val cellOf = Similarity.kmeansAssign(spark, dir)
       .select(col("vec_id"), col("cell"))
+      .localCheckpoint()
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
       .join(cellOf, Seq("vec_id"))
     val l = e.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))

@@ -205,16 +205,24 @@ object Similarity {
 
   /** Nearest-centroid assignment of every vector in `qe` against
     * `cents` (cell, dim, c): exact integer squared distance, argmin
-    * with cell-asc tie-break. The centroid side is k·d rows — but with
-    * [[kmeansAssign]]'s default k=⌈√N⌉ that GROWS with the corpus
-    * (N=10¹⁰, d=768 → ~80M rows), so it carries NO static broadcast
-    * hint: AQE broadcasts from measured size while it fits and falls
-    * back to a shuffle join when it doesn't — the same no-data-
-    * dependent-hints rule PlanSpec enforces on the dedup pipelines.
+    * with cell-asc tie-break. The centroid side is k·d rows, and the
+    * hint policy follows where k came from: a CALLER-FIXED small k
+    * (sim_ivf_kmeans k=8, view_kmeans_det k=4) bounds the side by
+    * construction — it broadcasts, like the SRP hyperplane table.
+    * [[kmeansAssign]]'s DEFAULT k=⌈√N⌉ GROWS with the corpus
+    * (N=10¹⁰, d=768 → ~80M rows), so that path carries NO static hint:
+    * AQE broadcasts from measured size while it fits and falls back to
+    * a shuffle join when it doesn't — the same no-data-dependent-hints
+    * rule PlanSpec enforces on the dedup pipelines. (Post-
+    * localCheckpoint the static planner sees UNKNOWN stats and plans a
+    * sort-merge join until runtime — measured 4× on the fixed-k bench
+    * queries — which is why the bounded case states its bound.)
     * The expansion aggregates map-side into one (vec_id, cell) shuffle
     * (the canonical N·d·k IVF assignment cost, sharded by vector). */
-  private def assignTo(qe: DataFrame, cents: DataFrame): DataFrame = {
-    val dists = qe.join(cents, Seq("dim"))
+  private def assignTo(qe: DataFrame, cents: DataFrame,
+      boundedK: Boolean = false): DataFrame = {
+    val centSide = if (boundedK) broadcast(cents) else cents
+    val dists = qe.join(centSide, Seq("dim"))
       .groupBy(col("vec_id"), col("cell"))
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
@@ -243,21 +251,24 @@ object Similarity {
     * centroid table is k·d rows — localCheckpoint truncates the
     * iteration's lineage at metadata size, so the final plan does not
     * re-derive round i-1 inside round i. */
-  private def lloydCentroids(qe: DataFrame, k: Int, iters: Int): DataFrame = {
+  private def lloydCentroids(qe: DataFrame, k: Int, iters: Int,
+      boundedK: Boolean = false): DataFrame = {
     val hashOrder = Seq(
       graft.functions.PortableHash.phash(col("vec_id").cast("string"), 11).asc,
       col("vec_id").asc)
     val seedIds = qe.select(col("vec_id")).distinct()
       .orderBy(hashOrder: _*).limit(k)
     val wSeed = Window.orderBy(hashOrder: _*) // over k rows only
-    val seeds = seedIds
+    val seeds0 = seedIds
       .withColumn("cell", (row_number().over(wSeed) - 1).cast("long"))
-    // seeds is k=⌈√N⌉ rows — corpus-proportional, so no static hint
+    // default k=⌈√N⌉ seeds are corpus-proportional → no static hint;
+    // a caller-fixed k is bounded by construction → broadcast
+    val seeds = if (boundedK) broadcast(seeds0) else seeds0
     var cents = qe.join(seeds, Seq("vec_id"))
       .select(col("cell"), col("dim"), col("q").as("c"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val asg = assignTo(qe, cents).select(col("vec_id"), col("cell"))
+      val asg = assignTo(qe, cents, boundedK).select(col("vec_id"), col("cell"))
       cents = qe.join(asg, Seq("vec_id"))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
@@ -272,15 +283,36 @@ object Similarity {
   /** Final (vec_id, cell, dist2) assignment under the Lloyd-trained
     * quantizer. `k <= 0` picks k = ⌈√N⌉ — the SemDeDup rule that keeps
     * E[|cell|²] linear in N, now the IMPLEMENTED behavior (the count
-    * is one scalar, metadata not data). */
+    * is one scalar, metadata not data).
+    *
+    * Broadcast decision for the default path: k and d are DRIVER-KNOWN
+    * scalars here (the ⌈√N⌉ rule already paid the count; d is one
+    * limit-1 read), so the exact centroid-table volume k·d·24B is
+    * computable at plan time — the centroid side broadcasts only under
+    * a fixed 32 MB bound, a size-PROVEN broadcast rather than a blind
+    * data-dependent hint (N=10¹⁰, d=768 → k·d ≈ 7.7e7 rows ≈ 1.8 GB →
+    * over the bound → shuffle join, as it must). */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 0,
       iters: Int = 2): DataFrame = {
-    val qe = quantized(spark, dir)
+    // materialize the quantized input ONCE — Lloyd re-reads it every
+    // round (seed join, per-iteration assign + update, final assign),
+    // and re-deriving the posexplode from parquet each time costs a
+    // stage per reuse; spark.ml's KMeans caches its input for the same
+    // reason. 8 B × N·d, transient, a fraction of the corpus itself.
+    val qe = quantized(spark, dir).localCheckpoint()
+    // one job for both scalars: N decides k, (k, d) decide the proven
+    // broadcast bound
+    lazy val nd = Tables(spark, dir).embeddings
+      .agg(count(lit(1)).as("n"),
+        max(size(col("embedding"))).cast("long").as("d"))
+      .head
     val kk =
       if (k > 0) k
-      else math.ceil(math.sqrt(
-        Tables(spark, dir).embeddings.count().toDouble)).toInt
-    assignTo(qe, lloydCentroids(qe, kk, iters)).orderBy(col("vec_id"))
+      else math.ceil(math.sqrt(nd.getLong(0).toDouble)).toInt
+    val bounded = (k > 0) || // caller-fixed k is bounded by construction
+      kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
+    assignTo(qe, lloydCentroids(qe, kk, iters, bounded), bounded)
+      .orderBy(col("vec_id"))
   }
 
   /** Oracle-able twin of the spark.ml `view_kmeans` (D11's optional
@@ -292,7 +324,8 @@ object Similarity {
   def viewKmeansDet(spark: SparkSession, dir: String, k: Int = 4,
       iters: Int = 2): DataFrame = {
     val qe2 = quantized(spark, dir).filter(col("dim") < 2)
-    val asg = assignTo(qe2, lloydCentroids(qe2, k, iters))
+    val asg = assignTo(qe2, lloydCentroids(qe2, k, iters, boundedK = true),
+        boundedK = true)
       .select(col("vec_id"), col("cell"))
     qe2.join(asg, Seq("vec_id"))
       .groupBy(col("cell"), col("dim"))
