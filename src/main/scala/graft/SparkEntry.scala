@@ -157,6 +157,8 @@ object SparkEntry {
       TextAnalysis.bm25Search(s, dir)),
     "text_match_phrase" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.matchPhrase(s, dir)),
+    "text_significant_terms" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.significantTerms(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
@@ -1913,6 +1915,30 @@ object SparkEntry {
            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           AND a.tok = 'spark' AND b.tok = 'join'
          GROUP BY 1 ORDER BY 1""",
+    // ES significant_terms, JLH lift in exact e6 integers
+    "text_significant_terms" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+         fg AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+                FROM tok GROUP BY 1, 2),
+         fgt AS (SELECT lang, CAST(sum(f) AS BIGINT) AS ft
+                 FROM fg GROUP BY 1),
+         bg AS (SELECT tok, CAST(sum(f) AS BIGINT) AS b FROM fg GROUP BY 1),
+         bgt AS (SELECT CAST(sum(f) AS BIGINT) AS bt FROM fg),
+         s AS (SELECT fg.lang, fg.tok, fg.f, bg.b,
+                 (1000000 * fg.f) // fgt.ft AS fg_e6,
+                 (1000000 * bg.b) // bgt.bt AS bg_e6
+               FROM fg JOIN fgt USING (lang) JOIN bg USING (tok)
+               CROSS JOIN bgt),
+         j AS (SELECT lang, tok, f, b,
+                 ((fg_e6 - bg_e6) * fg_e6) // bg_e6 AS jlh
+               FROM s WHERE fg_e6 > bg_e6),
+         r AS (SELECT lang, tok, f, b, jlh,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY jlh DESC, tok) AS rn FROM j)
+         SELECT lang, CAST(rn AS BIGINT) AS rn, tok, f, b,
+                CAST(jlh AS BIGINT) AS jlh
+         FROM r WHERE rn <= 3 ORDER BY lang, rn""",
     "sample_mixture" -> {
       val h = phashSql("CAST(doc_id AS VARCHAR)",
         graft.operators.Sampling.mixtureSalt)

@@ -339,6 +339,43 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** ES/Kibana `significant_terms` aggregation — "what terms are
+    * unusually frequent in this bucket vs the background corpus", the
+    * drill-down analytic behind Kibana's significant-terms panel
+    * (A12's family; the reference's dashboards are exactly such
+    * per-bucket term analytics). Scoring is ES's default JLH lift:
+    * (fg% − bg%) · fg%/bg%, here in exact e6 integer arithmetic so
+    * both engines agree bit-for-bit; terms must be POSITIVELY lifted
+    * (fg% > bg%) to qualify, as in ES.
+    *
+    * One explode feeds one (bucket, term) count; foreground totals,
+    * background counts, and the global total all derive from that same
+    * aggregate (no second corpus scan). The per-bucket top-k is a rank
+    * window over the scored terms — cardinality (buckets × vocab),
+    * already aggregate-sized, never row-sized. */
+  def significantTerms(spark: SparkSession, dir: String,
+      topK: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val fg = t.documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+    val fgt = fg.groupBy(col("lang")).agg(sum(col("f")).as("ft"))
+    val bg = fg.groupBy(col("tok")).agg(sum(col("f")).as("b"))
+    val bgt = fg.agg(sum(col("f")).as("bt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("jlh").desc, col("tok"))
+    fg.join(fgt, Seq("lang")).join(bg, Seq("tok")).crossJoin(bgt)
+      .withColumn("fg_e6", expr("(1000000 * f) div ft"))
+      .withColumn("bg_e6", expr("(1000000 * b) div bt"))
+      .filter(col("fg_e6") > col("bg_e6"))
+      .withColumn("jlh", expr("((fg_e6 - bg_e6) * fg_e6) div bg_e6"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("lang"), col("rn"), col("tok"), col("f"), col("b"),
+        col("jlh"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Positional phrase matching — ES `match_phrase` semantics: count
     * occurrences of consecutive tokens t₁ t₂ (adjacent positions in the
     * ORIGINAL token stream), per document. This is the positional

@@ -118,6 +118,35 @@ class AnalyticsSamplingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("significant terms match an in-JVM brute force of the JLH lift") {
+    val byLang = graft.core.Tables(spark, sf).documents
+      .select(col("lang"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(_.getString(1).split(" "))).toMap
+    val fg = byLang.view.mapValues(
+      _.groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    val ft = fg.view.mapValues(_.values.sum).toMap
+    val bg = fg.values.flatten.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val bt = bg.values.sum
+    val expected = fg.toSeq.flatMap { case (lang, toks) =>
+      toks.toSeq.flatMap { case (tok, f) =>
+        val fgE6 = 1000000L * f / ft(lang)
+        val bgE6 = 1000000L * bg(tok) / bt
+        if (fgE6 > bgE6)
+          Some((lang, tok, f, bg(tok), (fgE6 - bgE6) * fgE6 / bgE6))
+        else None
+      }.sortBy { case (_, tok, _, _, jlh) => (-jlh, tok) }.take(3)
+        .zipWithIndex.map { case ((l, tok, f, b, jlh), i) =>
+          (l, i + 1L, tok, f, b, jlh)
+        }
+    }.sortBy { case (l, rn, _, _, _, _) => (l, rn) }
+    val got = TextAnalysis.significantTerms(spark, sf).collect().map(r =>
+      (r.getString(0), r.getAs[Long]("rn"), r.getString(2),
+        r.getAs[Long]("f"), r.getAs[Long]("b"), r.getAs[Long]("jlh"))).toSeq
+    assert(got === expected)
+  }
+
   test("match_phrase counts equal a brute-force scan of adjacent pairs") {
     val expected = docTokens.flatMap { case (id, ts) =>
       val hits = (0 until ts.length - 1)

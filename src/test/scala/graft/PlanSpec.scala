@@ -87,7 +87,9 @@ class PlanSpec extends SparkSpec {
     val allowNlj = Set("sim_cosine_topk", "sim_ann_ivf", "sim_knn_classify",
       "text_tfidf", "u_intersect_except", "dedup_incremental",
       "dedup_srp_bands", "dedup_embedding_srp", "dedup_embedding_cosine",
-      "text_bm25_search", "a12_date_histogram_dense")
+      "text_bm25_search", "a12_date_histogram_dense",
+      // 1-row global-total aggregate crossed into the term scores
+      "text_significant_terms")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
