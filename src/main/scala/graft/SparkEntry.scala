@@ -159,6 +159,8 @@ object SparkEntry {
       TextAnalysis.matchPhrase(s, dir)),
     "text_significant_terms" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.significantTerms(s, dir)),
+    "text_bool_search" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.boolSearch(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
@@ -1915,6 +1917,39 @@ object SparkEntry {
            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           AND a.tok = 'spark' AND b.tok = 'join'
          GROUP BY 1 ORDER BY 1""",
+    // ES bool query: filter context + scored match; df/N/Σdl stay
+    // INDEX-WIDE (a filter never changes term statistics in ES)
+    "text_bool_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM tok WHERE tok IN ('spark', 'join', 'vector')
+                GROUP BY 1, 2),
+         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+         cand AS (SELECT doc_id FROM documents
+                  WHERE lang = 'en' AND n_chars >= 300),
+         s AS (SELECT tf.doc_id, tf.tf,
+                 (10000 * st.n_docs) // dfc.df AS idf_e4,
+                 (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
+               FROM tf JOIN cand USING (doc_id) JOIN dl USING (doc_id)
+               JOIN dfc USING (tok) CROSS JOIN st),
+         sc AS (SELECT doc_id,
+                 sum(idf_e4 * ((tf * 2200 * 10000)
+                   // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
+                   AS score_e7,
+                 count(*) AS n_terms
+                FROM s GROUP BY 1),
+         r AS (SELECT row_number() OVER (ORDER BY score_e7 DESC, doc_id)
+                 AS rank, doc_id, score_e7, n_terms FROM sc)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+                CAST(score_e7 AS BIGINT) AS score_e7,
+                CAST(n_terms AS BIGINT) AS n_terms
+         FROM r WHERE rank <= 10 ORDER BY rank""",
     // ES significant_terms, JLH lift in exact e6 integers
     "text_significant_terms" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok

@@ -339,6 +339,53 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** ES `bool` query — the workhorse composite of real ES traffic:
+    * filter context (term + range clauses, unscored, cacheable) gating
+    * a scored `match` clause. The ES semantic detail that matters:
+    * IDF/avgdl statistics are INDEX-WIDE — a filter narrows the
+    * candidate set but never changes term statistics — so df, N and
+    * Σdl here come from the full corpus while only filtered docs are
+    * scored and ranked. Same exact-integer BM25 shape as
+    * [[bm25Search]]; the filter is a pushed-down predicate on the
+    * scoring join's doc side, so the postings shuffle carries only the
+    * query terms and the rank only the filtered candidates. */
+  def boolSearch(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "vector"),
+      filterLang: String = "en", minChars: Long = 300L,
+      topK: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), col("lang"),
+      col("n_chars"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_toks"))
+    val tf = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"), col("dl"),
+        col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.filter(col("lang") === filterLang && col("n_chars") >= minChars)
+      .join(broadcast(dfc), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_e4", expr("(10000 * n_docs) div df"))
+      .withColumn("dlr_e3", expr("(1000 * dl * n_docs) div t_toks"))
+      .withColumn("sat_e4", expr("12 * (250 + (750 * dlr_e3) div 1000)"))
+      .withColumn("ratio_e3",
+        expr("(tf * 2200 * 10000) div (tf * 10000 + sat_e4)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_e4") * col("ratio_e3")).as("score_e7"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e7").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e7").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_e7"), col("n_terms"))
+      .orderBy(col("rank"))
+  }
+
   /** ES/Kibana `significant_terms` aggregation — "what terms are
     * unusually frequent in this bucket vs the background corpus", the
     * drill-down analytic behind Kibana's significant-terms panel

@@ -118,6 +118,40 @@ class AnalyticsSamplingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bool search scores only filtered docs with index-wide statistics") {
+    val rows = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+    val toks = rows.map(r => r.getLong(0) -> r.getString(3).split(" ")).toMap
+    val cand = rows.filter(r =>
+      r.getString(1) == "en" && r.getLong(2) >= 300L).map(_.getLong(0)).toSet
+    val terms = Seq("spark", "join", "vector")
+    val nDocs = toks.size.toLong
+    val tToks = toks.values.map(_.length.toLong).sum
+    val df = terms.map(q =>
+      q -> toks.values.count(_.contains(q)).toLong).toMap // index-wide df
+    val expected = toks.toSeq
+      .filter { case (id, _) => cand(id) } // filter context gates scoring
+      .flatMap { case (id, ts) =>
+        val dl = ts.length.toLong
+        val dlrE3 = 1000L * dl * nDocs / tToks
+        val satE4 = 12L * (250L + 750L * dlrE3 / 1000L)
+        val parts = terms.flatMap { q =>
+          val tf = ts.count(_ == q).toLong
+          if (tf == 0) None
+          else Some(10000L * nDocs / df(q) *
+            (tf * 2200L * 10000L / (tf * 10000L + satE4)))
+        }
+        if (parts.isEmpty) None
+        else Some((id, parts.sum, parts.length.toLong))
+      }.sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val got = TextAnalysis.boolSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e7"),
+        r.getAs[Long]("n_terms"))).toSeq
+    assert(got === expected)
+    assert(got.forall { case (id, _, _) => cand(id) })
+  }
+
   test("significant terms match an in-JVM brute force of the JLH lift") {
     val byLang = graft.core.Tables(spark, sf).documents
       .select(col("lang"), col("text")).collect()
