@@ -161,6 +161,8 @@ object SparkEntry {
       TextAnalysis.significantTerms(s, dir)),
     "text_bool_search" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.boolSearch(s, dir)),
+    "text_bm25_indexed" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bm25Indexed(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
@@ -181,6 +183,38 @@ object SparkEntry {
     graft.functions.PortableHash.phashSql(e, salt)
 
   private val normSql = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+
+  /** Exact-integer BM25 over the corpus — shared by the scan-path and
+    * indexed-path queries (the index never changes the answer). */
+  private val bm25Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+       tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+       tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM tok WHERE tok IN ('spark', 'join', 'vector')
+              GROUP BY 1, 2),
+       dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+       s AS (SELECT tf.doc_id, tf.tf,
+               (10000 * st.n_docs) // dfc.df AS idf_e4,
+               (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
+             FROM tf JOIN dl USING (doc_id) JOIN dfc USING (tok)
+             CROSS JOIN st),
+       sc AS (SELECT doc_id,
+               sum(idf_e4 * ((tf * 2200 * 10000)
+                 // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
+                 AS score_e7,
+               count(*) AS n_terms
+              FROM s GROUP BY 1),
+       r AS (SELECT row_number() OVER (ORDER BY score_e7 DESC, doc_id)
+               AS rank, doc_id, score_e7, n_terms FROM sc)
+       SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+              CAST(score_e7 AS BIGINT) AS score_e7,
+              CAST(n_terms AS BIGINT) AS n_terms
+       FROM r WHERE rank <= 10 ORDER BY rank"""
 
   /** SQL twin of Sampling.{splitBucket,splitName} — derived from the
     * same salt constant so the oracle can never drift from the engine. */
@@ -1876,35 +1910,10 @@ object SparkEntry {
                 (1000000 * (CAST(sum(c) AS BIGINT) - count(*)))
                   // CAST(sum(c) AS BIGINT) AS rep_e6
          FROM g GROUP BY 1 ORDER BY 1""",
-    "text_bm25_search" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
-         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-                FROM tok WHERE tok IN ('spark', 'join', 'vector')
-                GROUP BY 1, 2),
-         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-                 FROM tf GROUP BY 1),
-         s AS (SELECT tf.doc_id, tf.tf,
-                 (10000 * st.n_docs) // dfc.df AS idf_e4,
-                 (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
-               FROM tf JOIN dl USING (doc_id) JOIN dfc USING (tok)
-               CROSS JOIN st),
-         sc AS (SELECT doc_id,
-                 sum(idf_e4 * ((tf * 2200 * 10000)
-                   // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
-                   AS score_e7,
-                 count(*) AS n_terms
-                FROM s GROUP BY 1),
-         r AS (SELECT row_number() OVER (ORDER BY score_e7 DESC, doc_id)
-                 AS rank, doc_id, score_e7, n_terms FROM sc)
-         SELECT CAST(rank AS BIGINT) AS rank, doc_id,
-                CAST(score_e7 AS BIGINT) AS score_e7,
-                CAST(n_terms AS BIGINT) AS n_terms
-         FROM r WHERE rank <= 10 ORDER BY rank""",
+    "text_bm25_search" -> bm25Oracle,
+    // the indexed variant must return byte-identical results — an
+    // index is an optimization, never a semantic
+    "text_bm25_indexed" -> bm25Oracle,
     // 1-based generate_subscripts vs Spark's 0-based posexplode: −1
     "text_match_phrase" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -118,6 +118,27 @@ class AnalyticsSamplingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("indexed bm25 equals the scan path and Bloom-prunes postings files") {
+    val scan = TextAnalysis.bm25Search(spark, sf).collect().toSeq
+    val idx = TextAnalysis.bm25Indexed(spark, sf).collect().toSeq
+    assert(idx === scan, "an index must never change the answer")
+    // a term lookup must touch a strict subset of the postings files
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val tx = graft.lake.TxTable(spark, graft.core.Scratch.fresh("tx_fts_spec"))
+    tx.append(
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .repartitionByRange(8, col("tok")),
+      bloomCols = Seq("tok"))
+    val snap = tx.latest().get
+    val live = tx.bloomLiveEntries(snap, "tok", lit("spark"))
+    assert(live.nonEmpty && live.size < snap.files.size,
+      s"bloom pruned nothing: ${live.size} of ${snap.files.size} files live")
+  }
+
   test("bool search scores only filtered docs with index-wide statistics") {
     val rows = graft.core.Tables(spark, sf).documents
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
