@@ -216,6 +216,44 @@ class PropertiesSpec extends SparkSpec {
       s"schedule space not covered: committed=$committed aborted=$aborted")
   }
 
+  // --- bloom point reads on string keys ----------------------------------
+
+  test("property: string-keyed Bloom point reads equal the plain filter " +
+      "across multi-append tables, for present and absent probes") {
+    import graft.lake.TxTable
+    import org.apache.spark.sql.functions._
+    val genKey = Gen.oneOf(Gen.identifier.map(_.take(8)),
+      Gen.chooseNum(0, 99).map(n => s"tok$n"))
+    for (seed <- 1L to 3L) {
+      val t = TxTable(spark, graft.core.Scratch.fresh(s"tx_bloomprop$seed"))
+      // several appends → several manifests and files, each with its
+      // own bitmap (the multi-commit shape the standing index has)
+      val all = (0 until 3).map { batch =>
+        val keys = sample(Gen.listOfN(40, genKey), seed * 10 + batch)
+        val rows = keys.zipWithIndex.map { case (k, i) =>
+          (k, batch.toLong * 1000 + i)
+        }
+        t.append(rows.toDF("k", "v").repartition(3), bloomCols = Seq("k"))
+        rows
+      }.flatten
+      val present = all.map(_._1).distinct.take(5)
+      val absent = Seq("never-written", "tok-none", "ZZZZZZZZ")
+      (present ++ absent).foreach { probe =>
+        val viaBloom = t.readWhereEq("k", lit(probe))
+          .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+        val plain = all.filter(_._1 == probe).sorted
+        assert(viaBloom === plain,
+          s"seed=$seed probe=$probe: bloom read diverged from the filter")
+      }
+      // the bitmaps must actually prune for at least one probe — a
+      // bloom that never skips is dead weight, not an index
+      val snap = t.latest().get
+      assert(absent.exists(p =>
+        t.bloomLiveEntries(snap, "k", lit(p)).size < snap.files.size),
+        "no absent probe pruned any file")
+    }
+  }
+
   // --- portable hash -----------------------------------------------------
 
   test("property: portable hash is deterministic, bounded, salt-split") {
