@@ -364,9 +364,11 @@ final case class TxTable(spark: SparkSession, root: String) {
     * staged files are unstaged, nothing duplicates. `beforeCommit` is
     * a test seam for injecting that interleaving. */
   def appendBatchIdempotent(df: DataFrame, batchId: Long,
-      beforeCommit: () => Unit = () => ()): Option[Long] = {
+      beforeCommit: () => Unit = () => (),
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[Long] = {
     if (committedBatches().contains(batchId)) return None // cheap fast-path
-    val staged = stage(df)
+    val staged = stage(df, statsCols, bloomCols)
     beforeCommit()
     val v = guardStaged(staged) {
       commit(
