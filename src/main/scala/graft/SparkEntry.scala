@@ -124,6 +124,12 @@ object SparkEntry {
       Similarity.viewKmeansDet(s, dir)),
     "sim_ann_ivf_true" -> ((s: SparkSession, dir: String) =>
       Similarity.annIvfTrue(s, dir)),
+    "sim_ann_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.annRecall(s, dir)),
+    "sim_ann_multiprobe" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfMultiprobe(s, dir)),
+    "sim_ann_recall_mp" -> ((s: SparkSession, dir: String) =>
+      Similarity.annRecallMultiprobe(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -617,8 +623,10 @@ object SparkEntry {
                sum(CASE WHEN dim = 1 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END) AS cy_e4
         FROM bydim GROUP BY cell ORDER BY cell"""
 
-  private val annIvfTrueOracle: String =
-    s"""WITH $ivfAssignCtes,
+  /** Shared CTE block for IVF ANN oracles: members live in their
+    * argmin cell; the query probes its `nprobe` nearest cells. */
+  private def annIvfCtes(nprobe: Int): String =
+    s"""$ivfAssignCtes,
         cellof AS (SELECT vec_id, cell FROM asg WHERE arn = 1),
         qvs AS (SELECT vec_id,
                   list_transform(embedding,
@@ -627,7 +635,8 @@ object SparkEntry {
         nn AS (SELECT vec_id, qv,
                  CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
                FROM qvs),
-        qs AS (SELECT vec_id AS qid, cell FROM cellof WHERE vec_id < 5),
+        qs AS (SELECT vec_id AS qid, cell FROM asg
+               WHERE arn <= $nprobe AND vec_id < 5),
         scored AS (SELECT qs.qid, m.vec_id AS nid,
             CAST(floor(CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
                                              CAST(b.qv AS DOUBLE[])) AS DOUBLE)
@@ -638,9 +647,38 @@ object SparkEntry {
           JOIN nn b ON b.vec_id = m.vec_id),
         ranked AS (SELECT qid, nid, cos_e6, row_number() OVER (
                      PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
-                   FROM scored)
+                   FROM scored)"""
+
+  private def annIvfOracle(nprobe: Int): String =
+    s"""WITH ${annIvfCtes(nprobe)}
         SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  private val annIvfTrueOracle: String = annIvfOracle(1)
+
+  /** Recall@5 of an IVF ANN path vs the brute-force top-5: the approx
+    * side is `annIvfCtes(nprobe)`'s ranked result, the ground truth
+    * the label-free exact ranking over the same `nn` norms. */
+  private def annRecallOracleFor(nprobe: Int): String =
+    s"""WITH ${annIvfCtes(nprobe)},
+        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
+          WHERE q.vec_id < 5),
+        bfr AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
+        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
+        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
+                 FROM approx a LEFT JOIN gt b
+                   ON a.qid = b.qid AND a.nid = b.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
+        FROM (SELECT DISTINCT qid FROM gt) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""
 
   /** Mirror of `Similarity.pqAdc`: per-subspace codebooks → nearest-
     * code encoding → query lookup tables → summed ADC distances. All
@@ -1199,6 +1237,9 @@ object SparkEntry {
     "sim_ivf_kmeans" -> simIvfKmeansOracle,
     "view_kmeans_det" -> viewKmeansDetOracle,
     "sim_ann_ivf_true" -> annIvfTrueOracle,
+    "sim_ann_recall" -> annRecallOracleFor(1),
+    "sim_ann_multiprobe" -> annIvfOracle(3),
+    "sim_ann_recall_mp" -> annRecallOracleFor(3),
     "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->
       """SELECT event_type,

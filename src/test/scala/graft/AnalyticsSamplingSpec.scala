@@ -118,6 +118,36 @@ class AnalyticsSamplingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ann recall equals the recomputed approx∩exact overlap") {
+    val approx = graft.operators.Similarity.annIvfTrue(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = graft.operators.Similarity.cosineTopk(spark, sf).collect()
+      .filter(_.getAs[Long]("rn") <= 5)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val got = graft.operators.Similarity.annRecall(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("qid")).toSet === exact.map(_._1))
+    got.foreach { r =>
+      val (qid, hits, rec) = (r.getAs[Long]("qid"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_e6"))
+      assert(hits === (approx & exact).count(_._1 == qid).toLong)
+      assert(rec === 1000000L * hits / 5 && rec >= 0 && rec <= 1000000L)
+    }
+  }
+
+  test("multi-probe recall dominates single-probe per query") {
+    // probing more cells yields a candidate SUPERSET; a true top-k hit
+    // can only be displaced by a globally-closer candidate, which is
+    // itself a hit — so n_hits is monotone in nprobe
+    val one = graft.operators.Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
+    val three = graft.operators.Similarity.annRecallMultiprobe(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
+    assert(one.keySet === three.keySet)
+    one.foreach { case (qid, h1) =>
+      assert(three(qid) >= h1, s"qid $qid: nprobe=3 lost hits ($h1 -> ${three(qid)})")
+    }
+  }
+
   test("indexed bm25 equals the scan path and Bloom-prunes postings files") {
     val scan = TextAnalysis.bm25Search(spark, sf).collect().toSeq
     val idx = TextAnalysis.bm25Indexed(spark, sf).collect().toSeq

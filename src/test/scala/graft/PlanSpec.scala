@@ -89,7 +89,9 @@ class PlanSpec extends SparkSpec {
       "dedup_srp_bands", "dedup_embedding_srp", "dedup_embedding_cosine",
       "text_bm25_search", "a12_date_histogram_dense",
       // 1-row global-total aggregate crossed into the term scores
-      "text_significant_terms", "text_bool_search", "text_bm25_indexed")
+      "text_significant_terms", "text_bool_search", "text_bm25_indexed",
+      // contain sim_cosine_topk's broadcast-queries cross join
+      "sim_ann_recall", "sim_ann_recall_mp")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
