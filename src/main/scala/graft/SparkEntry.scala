@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> Relational.q1Agg _,
     "q3_shipping" -> Relational.q3Shipping _,
+    "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "q_subqueries" -> Relational.qSubqueries _,
     "q1_pricing_full" -> Relational.q1Full _,
     "j_left_coalesce" -> Relational.jLeftCoalesce _,
@@ -832,6 +833,19 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT l_orderkey, odate_us, ((rev4 + 50) // 100) / 100.0 AS revenue
          FROM g ORDER BY rev4 DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS revenue_e4
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""",
     "q1_pricing_full" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
              CAST(l_quantity AS BIGINT) AS q,

@@ -210,6 +210,48 @@ object Relational {
         (expr("(rev4 + 50) div 100").cast("double") / 100.0).as("revenue"))
   }
 
+  /** Q5-shape local-supplier revenue: the classic SIX-table join-order
+    * stress (region → nation → {customer, supplier} → orders →
+    * lineitem) with a selective region filter and an order-date
+    * window. Hint policy: only region/nation — CONSTANT-size tables —
+    * carry broadcast hints; customer and supplier scale with SF, so
+    * AQE decides those joins from measured sizes (broadcast at bench
+    * scale, shuffle at 100 TB — both correct). The data-sized
+    * shuffles are lineitem ⋈ orders on orderkey plus whatever AQE
+    * declines to broadcast; the final per-nation aggregate is tiny.
+    * The co-location predicate c_nationkey = s_nationkey is the
+    * famous Q5 trap: it is NOT a join key until both sides are
+    * already joined to the facts — Catalyst handles it as a post-join
+    * equi-condition on the customer join, exactly right.
+    * Revenue in exact 1e-4 integer units (cents × (100 − disc)). */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val asiaNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier.join(broadcast(asiaNations),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
+  }
+
   /** Set operations beyond union: INTERSECT / EXCEPT over key sets
     * (customers with vs without orders by key arithmetic). Spark plans
     * both as aggregates/semi-anti joins — no materialized temp sets. */
