@@ -23,6 +23,8 @@ object SparkEntry {
     "q1_agg" -> Relational.q1Agg _,
     "q3_shipping" -> Relational.q3Shipping _,
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
+    "q18_volume_customer" -> ((s: SparkSession, dir: String) =>
+      Relational.q18VolumeCustomer(s, dir)),
     "q_subqueries" -> Relational.qSubqueries _,
     "q1_pricing_full" -> Relational.q1Full _,
     "j_left_coalesce" -> Relational.jLeftCoalesce _,
@@ -846,6 +848,16 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""",
+    "q18_volume_customer" ->
+      """WITH big AS (SELECT l_orderkey,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+         SELECT c_name, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                sum_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY price_cents DESC, o_orderkey LIMIT 20""",
     "q1_pricing_full" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
              CAST(l_quantity AS BIGINT) AS q,

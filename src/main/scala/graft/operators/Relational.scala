@@ -252,6 +252,30 @@ object Relational {
       .orderBy(col("revenue_e4").desc, col("n_name"))
   }
 
+  /** Q18-shape large-volume orders — the HAVING-over-aggregate +
+    * fact-to-aggregate join no other declared query exercises: the
+    * per-order quantity rollup (one lineitem shuffle) keeps only
+    * orders past the volume threshold, and THAT aggregate — tiny by
+    * selectivity — drives the joins to orders and customer, so AQE
+    * broadcasts it and neither fact table shuffles again. Top-20 by
+    * exact price cents via TakeOrderedAndProject. */
+  def q18VolumeCustomer(spark: SparkSession, dir: String,
+      minQty: Long = 300L): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > minQty) // the HAVING clause
+    big
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("sum_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Set operations beyond union: INTERSECT / EXCEPT over key sets
     * (customers with vs without orders by key arithmetic). Spark plans
     * both as aggregates/semi-anti joins — no materialized temp sets. */
