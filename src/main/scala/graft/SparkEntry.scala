@@ -96,6 +96,8 @@ object SparkEntry {
     "view_pose_es" -> DomainBridge3.poseEs _,
     "view_parking_es" -> DomainBridge3.parkingEs _,
     "view_common_es" -> DomainBridge3.commonEs _,
+    "view_school_es" -> DomainBridge3.schoolEs _,
+    "view_retail_es" -> DomainBridge3.retailEs _,
     "a_rollup" -> Analytics.aRollup _,
     "a_cube" -> Analytics.aCube _,
     "a_grouping_sets" -> Analytics.aGroupingSets _,
@@ -837,9 +839,9 @@ object SparkEntry {
          FROM g ORDER BY rev4 DESC, l_orderkey LIMIT 10""",
     "q5_local_supplier" ->
       """SELECT n_name,
-                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS revenue_e4
+                  AS BIGINT) AS revenue_e4
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -850,7 +852,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""",
     "q18_volume_customer" ->
       """WITH big AS (SELECT l_orderkey,
-             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
          SELECT c_name, o_orderkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
@@ -1307,7 +1309,7 @@ object SparkEntry {
                 event_id AS frame_number,
                 'act_' || CAST(user_id % 5 AS VARCHAR) AS action,
                 CAST(event_id % 8 AS DOUBLE) * 0.125 AS confidence,
-                [value, value * 2.0, value * 0.5] AS keypoints
+                value AS kp_x, value * 2.0 AS kp_y, value * 0.5 AS kp_z
          FROM events ORDER BY frame_number, action""",
     "view_parking_es" ->
       """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS slot_id,
@@ -1416,6 +1418,112 @@ object SparkEntry {
                   AS unique_expiry_dates,
                 count(*) AS frame_appearances
          FROM f GROUP BY 1 ORDER BY 1""",
+    // datalake-school-data serving records: the domain_school_enrich
+    // rollup under the ingest stamp, keyed by detection_id, plus the
+    // alert-level distribution serialized as canonical JSON
+    // (README.md:4-41 mapping, common.py:81-82 keying).
+    "view_school_es" ->
+      """WITH f AS (SELECT user_id AS eid, event_id AS frame_number,
+             'type_' || CAST(user_id % 4 AS VARCHAR) AS event_type,
+             'loc_' || CAST(user_id % 5 AS VARCHAR) AS location,
+             'note' AS notes,
+             CAST(user_id % 8 AS DOUBLE) * 0.125 AS confidence,
+             CAST(user_id % 4 AS DOUBLE) AS dur_det,
+             (value > 480.0) AS response_required,
+             'p' || CAST(event_id % 7 AS VARCHAR) AS involved_person_id,
+             ['r' || CAST(event_id % 3 AS VARCHAR),
+              'r' || CAST(event_id % 5 AS VARCHAR)] AS person_roles,
+             event_type AS alert_level,
+             (value > 250.0) AS multi
+           FROM events),
+         base AS (SELECT eid,
+             min(event_type) AS event_type, min(location) AS location,
+             min(notes) AS notes,
+             CAST(min(frame_number) AS DOUBLE) AS start_time,
+             CAST(max(frame_number) AS DOUBLE) AS end_time,
+             CAST(max(frame_number) - min(frame_number) AS DOUBLE)
+               AS duration_seconds,
+             count(*) AS frame_occurrences,
+             avg(confidence) AS avg_confidence,
+             avg(dur_det) AS avg_event_duration,
+             coalesce(stddev_samp(dur_det), 0.0) AS event_duration_stddev,
+             (max(CASE WHEN response_required THEN 1 ELSE 0 END) = 1)
+               AS response_required,
+             array_to_string(list_sort(list_distinct(list(involved_person_id))), ',')
+               AS involved_persons,
+             array_to_string(list_sort(list_distinct(flatten(list(person_roles)))), ',')
+               AS unique_roles,
+             (max(CASE WHEN multi THEN 1 ELSE 0 END) = 1)
+               AS multiple_persons_involved
+           FROM f GROUP BY 1),
+         ma AS (SELECT eid, alert_level, count(*) AS cnt,
+                       min(frame_number) AS fs FROM f
+                WHERE alert_level IS NOT NULL GROUP BY 1, 2),
+         ad AS (SELECT eid, '{' || string_agg(
+                    '"' || alert_level || '":' || CAST(cnt AS VARCHAR),
+                    ',' ORDER BY alert_level) || '}' AS alert_level_distribution
+                FROM ma GROUP BY 1),
+         mar AS (SELECT eid, alert_level, row_number() OVER (
+                   PARTITION BY eid ORDER BY cnt DESC, fs, alert_level) AS rn
+                 FROM ma),
+         ro AS (SELECT eid, frame_number, unnest(person_roles) AS role
+                FROM f),
+         mo AS (SELECT eid, role, count(*) AS cnt,
+                       min(frame_number) AS fs FROM ro
+                WHERE role IS NOT NULL GROUP BY 1, 2),
+         mor AS (SELECT eid, role, row_number() OVER (
+                   PARTITION BY eid ORDER BY cnt DESC, fs, role) AS rn FROM mo)
+         SELECT 1700000000000000 AS ts_us,
+                'school_refined.json' AS source_file,
+                '2023-11-14' AS processing_date,
+                'v1.0' AS processing_version,
+                CAST(b.eid AS INTEGER) AS detection_id,
+                b.event_type, b.location, b.notes,
+                b.start_time, b.end_time, b.duration_seconds,
+                b.frame_occurrences, b.avg_confidence, b.avg_event_duration,
+                b.event_duration_stddev, b.response_required,
+                a.alert_level AS most_common_alert_level,
+                d.alert_level_distribution,
+                b.involved_persons, b.unique_roles,
+                r.role AS most_common_role,
+                b.multiple_persons_involved
+         FROM base b
+         LEFT JOIN (SELECT eid, alert_level FROM mar WHERE rn = 1) a
+           USING (eid)
+         LEFT JOIN (SELECT eid, role FROM mor WHERE rn = 1) r
+           USING (eid)
+         LEFT JOIN ad d USING (eid)
+         ORDER BY detection_id""",
+    // datalake-retail-data serving records (README.md:44-66 mapping):
+    // the domain_retail_enrich rollup under the stamp plus the exact
+    // binary-fraction averages; detection_id derives from the product
+    // key (the reference's int() on "p3" would crash — PARITY fix).
+    "view_retail_es" ->
+      """WITH f AS (SELECT 'p' || CAST(user_id % 7 AS VARCHAR) AS product_id,
+              'name_' || CAST(user_id % 7 AS VARCHAR) AS product_name,
+              'cat_' || CAST(user_id % 7 AS VARCHAR) AS category,
+              'aisle' AS location,
+              round(value * 4) / 32.0 AS price,
+              round(value) AS stock_level,
+              (value > 450.0) AS picked,
+              strftime(ts, '%Y-%m-%d') AS expiry_date
+           FROM events)
+         SELECT 1700000000000000 AS ts_us,
+                'retail_refined.json' AS source_file,
+                '2023-11-14' AS processing_date,
+                'v1.0' AS processing_version,
+                CAST(regexp_replace(product_id, '[^0-9]', '', 'g') AS INTEGER)
+                  AS detection_id,
+                min(product_name) AS product_name, min(category) AS category,
+                min(location) AS location,
+                avg(price) AS average_price,
+                avg(stock_level) AS average_stock_level,
+                (max(CASE WHEN picked THEN 1 ELSE 0 END) = 1)
+                  AS picked_by_customer,
+                array_to_string(list_sort(list_distinct(list(expiry_date))), ',')
+                  AS unique_expiry_dates,
+                count(*) AS frame_appearances
+         FROM f GROUP BY product_id ORDER BY detection_id""",
     "mm_segments" ->
       """WITH a AS (SELECT doc_id AS asset_id, text AS txt,
                     len(text) AS l FROM documents),

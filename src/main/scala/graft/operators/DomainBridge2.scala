@@ -51,16 +51,20 @@ object DomainBridge2 {
       (col("value") * 2.0).as("center_y"))
 
   /** events → retail-shaped product detections (attributes constant per
-    * product so the reference's unpinned first() stays deterministic). */
-  private def retailShaped(t: Tables): DataFrame =
+    * product so the reference's unpinned first() stays deterministic).
+    * Price and stock are exact binary fractions (1/32 steps and whole
+    * units — the raw value column is 2-decimal, hence inexact) so the
+    * ES view's `avg(price)` / `avg(stock_level)` accumulate exactly in
+    * ANY partition order. */
+  private[operators] def retailShaped(t: Tables): DataFrame =
     t.events.select(
       concat(lit("p"), pmod(col("user_id"), lit(7))).as("product_id"),
       col("event_id").as("frame_number"),
       concat(lit("name_"), pmod(col("user_id"), lit(7))).as("product_name"),
       concat(lit("cat_"), pmod(col("user_id"), lit(7))).as("category"),
       lit("aisle").as("location"),
-      (col("value") / 10.0).as("price"),
-      col("value").as("stock_level"),
+      (round(col("value") * 4) / 32.0).as("price"),
+      round(col("value")).as("stock_level"),
       (col("value") > 450.0).as("picked_by_customer"),
       date_format(col("ts"), "yyyy-MM-dd").as("expiry_date"))
 
@@ -87,7 +91,7 @@ object DomainBridge2 {
     * per-detection durations). Confidence/duration values are
     * binary-exact constants per entity so double averages stay
     * bit-deterministic under any summation order. */
-  private def schoolShaped(t: Tables): DataFrame =
+  private[operators] def schoolShaped(t: Tables): DataFrame =
     t.events.select(
       col("user_id").as("event_id"),
       col("event_id").as("frame_number"),

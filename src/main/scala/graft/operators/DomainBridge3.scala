@@ -66,9 +66,19 @@ object DomainBridge3 {
       array(col("value"), col("value") * 2.0, col("value") * 0.5)
         .as("keypoints"))
 
+  /** The view output itself carries the nested `keypoints` array (the
+    * reference's record shape); the declared query flattens it to
+    * `kp_x/kp_y/kp_z` scalars for the hash compare — same convention as
+    * [[parkingEs]]'s struct flattening. */
   def poseEs(spark: SparkSession, dir: String): DataFrame =
     tsUs(Views.poseEsRecords(poseShaped(Tables(spark, dir)),
         "pose_refined.json", Some(FixedMicros)))
+      .select(col("ts_us"), col("source_file"), col("processing_date"),
+        col("processing_version"), col("frame_number"), col("action"),
+        col("confidence"),
+        element_at(col("keypoints"), 1).as("kp_x"),
+        element_at(col("keypoints"), 2).as("kp_y"),
+        element_at(col("keypoints"), 3).as("kp_z"))
       .orderBy(col("frame_number"), col("action"))
 
   /** Parking: the real production chain — slot observations →
@@ -88,6 +98,48 @@ object DomainBridge3 {
         col("time_metrics.total_free_seconds").as("total_free_seconds"),
         size(col("parking_sessions")).cast("long").as("n_parking_sessions"))
       .orderBy(col("slot_id"))
+
+  /** School: the full production chain — school-shaped detections →
+    * `Enrich.school` rollup → stamped `datalake-school-data` records —
+    * with the map/array outputs serialized in the projection for the
+    * hash compare (the view output keeps the nested shapes): the
+    * alert-level distribution as canonical JSON, person/role sets
+    * comma-joined. */
+  def schoolEs(spark: SparkSession, dir: String): DataFrame =
+    tsUs(Views.schoolEsRecords(
+        graft.enrich.Enrich.school(DomainBridge2.schoolShaped(Tables(spark, dir))),
+        "school_refined.json", Some(FixedMicros)))
+      .select(col("ts_us"), col("source_file"), col("processing_date"),
+        col("processing_version"), col("detection_id"),
+        col("event_type"), col("location"), col("notes"),
+        col("start_time"), col("end_time"), col("duration_seconds"),
+        col("frame_occurrences"), col("avg_confidence"),
+        col("avg_event_duration"), col("event_duration_stddev"),
+        col("response_required"), col("most_common_alert_level"),
+        to_json(col("alert_level_distribution")).as("alert_level_distribution"),
+        array_join(col("involved_persons"), ",").as("involved_persons"),
+        array_join(col("unique_roles"), ",").as("unique_roles"),
+        col("most_common_role"), col("multiple_persons_involved"))
+      .orderBy(col("detection_id"))
+
+  /** Retail: retail-shaped detections → `Enrich.retail` rollup →
+    * stamped `datalake-retail-data` records; expiry-date set
+    * comma-joined in the projection. `average_price` /
+    * `average_stock_level` are exact by construction (binary-fraction
+    * prices, integral stock), so the double averages hash identically
+    * in any partition order. */
+  def retailEs(spark: SparkSession, dir: String): DataFrame =
+    tsUs(Views.retailEsRecords(
+        graft.enrich.Enrich.retail(DomainBridge2.retailShaped(Tables(spark, dir))),
+        "retail_refined.json", Some(FixedMicros)))
+      .select(col("ts_us"), col("source_file"), col("processing_date"),
+        col("processing_version"), col("detection_id"),
+        col("product_name"), col("category"), col("location"),
+        col("average_price"), col("average_stock_level"),
+        col("picked_by_customer"),
+        array_join(col("unique_expiry_dates"), ",").as("unique_expiry_dates"),
+        col("frame_appearances"))
+      .orderBy(col("detection_id"))
 
   /** events → common-detection records wrapped in `frame_data` — so the
     * bridge exercises the reference's unwrap path, not just the

@@ -262,10 +262,15 @@ object Relational {
   def q18VolumeCustomer(spark: SparkSession, dir: String,
       minQty: Long = 300L): DataFrame = {
     val t = Tables(spark, dir)
+    // HAVING compares the EXACT sum (cast would truncate while the
+    // oracle's HAVING sees the raw value); only the output column is
+    // round-then-cast, the same rounding DuckDB's CAST applies.
     val big = t.lineitem
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
-      .filter(col("sum_qty") > minQty) // the HAVING clause
+      .agg(sum(col("l_quantity")).as("sum_qty_exact"))
+      .filter(col("sum_qty_exact") > minQty) // the HAVING clause
+      .select(col("l_orderkey"),
+        round(col("sum_qty_exact")).cast("long").as("sum_qty"))
     big
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .join(t.customer, col("o_custkey") === col("c_custkey"))

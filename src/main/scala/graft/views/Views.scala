@@ -352,6 +352,38 @@ object Views {
     stampedEsRecords(unwrapped, sourceFile, fixedMicros)
   }
 
+  /** S8 school-event ES records for `datalake-school-data`
+    * (`school/advanced_preprocessing_school.py:57-88` builds the
+    * per-event dict; `common.py:81-82` keys each uploaded document with
+    * `detection_id = int(event_id)`; the `timestamp_pipeline` stamps
+    * `@timestamp` — README.md:4-41 mapping). Feed it
+    * [[graft.enrich.Enrich.school]]'s rollup; a pure projection over
+    * it — no extra shuffle at any scale. */
+  def schoolEsRecords(enriched: DataFrame, sourceFile: String,
+      fixedMicros: Option[Long] = None): DataFrame =
+    stampedEsRecords(
+      enriched
+        .withColumn("detection_id", col("event_id").cast("int"))
+        .drop("event_id"),
+      sourceFile, fixedMicros)
+
+  /** S8 retail ES records for `datalake-retail-data`
+    * (`retail/advanced_preprocessing_retail.py:45-58` builds the
+    * per-product dict — README.md:44-66 mapping). The reference's
+    * uploader calls `int(detection_id_str)` on the product key
+    * (`common.py:82`), which raises on non-numeric ids like "p3" and
+    * silently aborts the upload — PARITY fix: derive the numeric id
+    * from the product key instead. Feed it
+    * [[graft.enrich.Enrich.retail]]'s rollup. */
+  def retailEsRecords(enriched: DataFrame, sourceFile: String,
+      fixedMicros: Option[Long] = None): DataFrame =
+    stampedEsRecords(
+      enriched
+        .withColumn("detection_id",
+          regexp_replace(col("product_id"), "[^0-9]", "").cast("int"))
+        .drop("product_id"),
+      sourceFile, fixedMicros)
+
   /** D12 legacy vehicle majority-vote flattening
     * (`processing_vehicle.py:31-77`): per-tracker mode of each
     * categorical attribute with Python's Counter/`max` first-seen

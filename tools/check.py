@@ -17,12 +17,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # Driver-faithful: sort columns by name, then rows via pandas
+    # sort_values over ALL columns. No stringify fallback — an
+    # unsortable column (e.g. array<double>) raises, exactly like the
+    # driver's checker (lexsort_indexer → Categorical → unhashable
+    # ndarray), and the query reads FAIL.
     df = df.reindex(sorted(df.columns), axis=1)
-    # stable stringified sort over all columns
-    key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1) if len(df) else None
-    if key is not None:
-        df = df.loc[key.sort_values().index]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
+
+
+def dtype_kind_ok(a, b) -> bool:
+    # Driver-faithful typed compare: the driver hashes typed values
+    # post-parquet, so an int64 Spark column against a float64 oracle
+    # column (DuckDB HUGEINT → pandas float64) must FAIL even when the
+    # values are numerically identical. Width differences within one
+    # kind (int32 vs int64) still hash the same values, so allow those.
+    ka, kb = a.kind, b.kind
+    ints = {"i", "u"}
+    if ka in ints and kb in ints:
+        return True
+    return ka == kb
 
 
 def cell_eq(a, b) -> bool:
@@ -34,13 +50,13 @@ def cell_eq(a, b) -> bool:
         return list(a) == list(b)
     if pd.isna(a) and pd.isna(b):
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
-                return True
-            return float(a) == float(b)
-        except (TypeError, ValueError):
-            return False
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, float) != isinstance(b, float):
+        # no float coercion: int-vs-float is a typed-hash mismatch
+        return False
     return a == b
 
 
@@ -71,6 +87,14 @@ def main():
             continue
         if len(sdf) != len(ddf):
             print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
+            n_fail += 1
+            continue
+        kind_bad = [c for c in sdf.columns
+                    if not dtype_kind_ok(sdf[c].dtype, ddf[c].dtype)]
+        if kind_bad:
+            print(f"FAIL {name}: dtype mismatch "
+                  + ", ".join(f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+                              for c in kind_bad[:4]))
             n_fail += 1
             continue
         bad = []
