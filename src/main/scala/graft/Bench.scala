@@ -10,6 +10,10 @@ object Bench {
     // so the first timed query doesn't absorb startup cost
     val t = graft.core.Tables(spark, sfDir)
     t.lineitem.count(); t.events.count(); t.documents.count(); t.embeddings.count()
+    // pre-build the standing FTS index so text_bm25_indexed times the
+    // point-read SERVING path (what a deployment pays per query);
+    // text_fts_build still owns the build cost as its own timed entry
+    graft.operators.TextAnalysis.ensureFts(spark, sfDir)
     // dev knob: comma-separated query names (unset = full suite, what
     // the driver runs); lets a perf investigation time one query in
     // the same warmed-session conditions as the real bench

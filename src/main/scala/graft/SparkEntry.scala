@@ -174,6 +174,8 @@ object SparkEntry {
       TextAnalysis.boolSearch(s, dir)),
     "text_bm25_indexed" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bm25Indexed(s, dir)),
+    "text_fts_build" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.ftsBuild(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
@@ -811,7 +813,17 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Typed-output policy (the q5 r7 lesson): DuckDB's integer `sum()`
+    * yields HUGEINT, which pandas reads as float64 and the driver's
+    * typed hash rejects against Spark's int64 — so every integer sum
+    * that REACHES THE OUTPUT must be wrapped `CAST(... AS BIGINT)` in
+    * the final projection. Bare `sum(` inside a CTE is fine when the
+    * outer SELECT casts it or folds it into float math (`// x / y.0`),
+    * and `sum(` over DOUBLE inputs is already float64. This is machine
+    * -enforced: `tools/check.py` fails any int-vs-float dtype-kind
+    * mismatch per column, and preflight runs it over every query. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """WITH g AS (SELECT l_returnflag, l_linestatus,
@@ -2089,6 +2101,19 @@ object SparkEntry {
     // the indexed variant must return byte-identical results — an
     // index is an optimization, never a semantic
     "text_bm25_indexed" -> bm25Oracle,
+    // the index BUILD summary: postings cardinality, vocabulary size,
+    // corpus stats — the two tx commits text_bm25_indexed serves from
+    "text_fts_build" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         p AS (SELECT tok, doc_id FROM tok GROUP BY 1, 2)
+         SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_postings,
+                CAST((SELECT count(DISTINCT tok) FROM p) AS BIGINT)
+                  AS n_terms,
+                CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
+                CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS t_toks""",
     // 1-based generate_subscripts vs Spark's 0-based posexplode: −1
     "text_match_phrase" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -2150,7 +2175,7 @@ object SparkEntry {
                FROM fg JOIN fgt USING (lang) JOIN bg USING (tok)
                CROSS JOIN bgt),
          j AS (SELECT lang, tok, f, b,
-                 ((fg_e6 - bg_e6) * fg_e6) // bg_e6 AS jlh
+                 ((fg_e6 - bg_e6) * fg_e6) // greatest(bg_e6, 1) AS jlh
                FROM s WHERE fg_e6 > bg_e6),
          r AS (SELECT lang, tok, f, b, jlh,
                  row_number() OVER (PARTITION BY lang

@@ -451,6 +451,47 @@ final case class TxTable(spark: SparkSession, root: String) {
     base.filter(col(column) === value)
   }
 
+  /** Multi-value Bloom point read — one log snapshot, ONE probe job
+    * covering every (value, bitmap-size) pair, one scan over the union
+    * of maybe-containing files: a q-term search costs one index
+    * access, not q (q × [[readWhereEq]] would launch q probe jobs and
+    * union q scan plans). Equals `read().filter(column IN values)` by
+    * construction; a file is read iff its bitmap may contain ANY of
+    * the values (or it carries no bitmap — skipping is an
+    * optimization, never a correctness filter). */
+  def readWhereIn(column: String, values: Seq[Column]): DataFrame = {
+    val snap = latest().getOrElse(
+      throw new IllegalStateException(s"empty tx table at $root"))
+    if (values.isEmpty) return emptyLike(snap)
+    val pin = pinnedSchemaOf(snap.version)
+    val lengths = snap.files
+      .flatMap(e => entryBlooms(e).get(column).map(_.length)).distinct
+    val k = bloomSeeds.length
+    val pairs = for { w <- lengths; vi <- values.indices } yield (w, vi)
+    val pos: Map[(Int, Int), Seq[Long]] =
+      if (pairs.isEmpty) Map.empty
+      else {
+        val row = spark.range(1).select(pairs.flatMap { case (w, vi) =>
+          bloomSeeds.map(s => bloomPos(values(vi), s, w * 64))
+        }: _*).head() // k·|values|·|sizes| tiny hashes — metadata
+        pairs.zipWithIndex.map { case ((w, vi), i) =>
+          (w, vi) -> (0 until k).map(j => row.getLong(i * k + j))
+        }.toMap
+      }
+    val hit = snap.files.filter { e =>
+      entryBlooms(e).get(column) match {
+        case Some(w) => values.indices.exists(vi =>
+          pos((w.length, vi)).forall(p =>
+            ((w(p.toInt / 64) >>> (p.toInt % 64)) & 1L) == 1L))
+        case None => true
+      }
+    }
+    val base =
+      if (hit.nonEmpty) readEntries(hit, pin)
+      else emptyLike(snap)
+    base.filter(values.map(col(column) === _).reduce(_ || _))
+  }
+
   /** Entries whose Bloom bitmap may contain `value` in `column` (or
     * that carry no bitmap for it). Public for pruning assertions. */
   def bloomLiveEntries(snap: Snapshot, column: String,

@@ -316,8 +316,12 @@ object Similarity {
     val kk =
       if (k > 0) k
       else math.ceil(math.sqrt(nd.getLong(0).toDouble)).toInt
-    val bounded = (k > 0) || // caller-fixed k is bounded by construction
-      kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
+    // the proven k·d·24B ≤ 32MB bound applies to BOTH paths: k is a
+    // public parameter, so a caller-supplied k is NOT bounded by
+    // construction — a large k must fall back to the shuffle join just
+    // like a large ⌈√N⌉ (the d read costs one limit-1-style aggregate
+    // that the default path already pays).
+    val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
     assignTo(qe, lloydCentroids(qe, kk, iters, bounded), bounded)
       .orderBy(col("vec_id"))
   }

@@ -352,32 +352,96 @@ object TextAnalysis {
     * build is one pass, appends are incremental
     * (`TxTable.append`), and per-query work is proportional to the
     * query terms' postings, not the corpus. */
+  /** A standing FTS index: tx-table roots plus the corpus stats PINNED
+    * at build time (the ES semantic — index-wide statistics live with
+    * the index and serve from memory; queries never re-aggregate the
+    * corpus). */
+  final case class FtsIndex(postings: String, stats: String,
+      nDocs: Long, tToks: Long)
+
+  /** Standing FTS index registry: corpus dir → index. One build per
+    * corpus per process; `text_fts_build` refreshes it (last build
+    * wins), `bm25Indexed` get-or-builds. */
+  private val ftsStanding =
+    new java.util.concurrent.ConcurrentHashMap[String, FtsIndex]()
+
+  /** One pass over the corpus into the standing postings + stats
+    * tables: (tok, doc_id, dl, tf, df) term-range-partitioned with a
+    * Bloom bitmap on `tok` per file, and the one-row (n_docs, Σdl)
+    * stats table. `df` is the term-dictionary statistic denormalized
+    * onto each posting at build (what Lucene keeps per term) so a
+    * query reads its postings ONCE — no second per-query pass to
+    * re-count document frequency. The window that computes it runs on
+    * the same range partitioning the layout needs anyway (range on
+    * `tok` satisfies the window's clustering), so it costs a sort, not
+    * a shuffle. Returns the registered standing index for `dir`. */
+  private def buildFts(spark: SparkSession, dir: String): FtsIndex = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val docs = Tables(spark, dir).documents.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val pDir = Scratch.fresh("tx_fts")
+    TxTable(spark, pDir).append(
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .repartitionByRange(8, col("tok"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+        ,
+      bloomCols = Seq("tok"))
+    val sDir = Scratch.fresh("tx_fts_stats")
+    val txStats = TxTable(spark, sDir)
+    txStats.append(docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_toks")))
+    val st = txStats.read().head() // two scalars, paid once at build
+    val idx = FtsIndex(pDir, sDir,
+      st.getLong(st.fieldIndex("n_docs")), st.getLong(st.fieldIndex("t_toks")))
+    ftsStanding.put(dir, idx)
+    idx
+  }
+
+  /** Get-or-build the standing index (idempotent; used by Bench's
+    * warm-up so the serving query times point reads, not the build —
+    * what a deployment pays per query). */
+  def ensureFts(spark: SparkSession, dir: String): FtsIndex = {
+    val hit = ftsStanding.get(dir)
+    if (hit != null) hit else buildFts(spark, dir)
+  }
+
+  /** The BUILD half of the indexed-BM25 story as its own declared
+    * query — it owns the two tx commits (the one-pass tokenize +
+    * postings write `bm25Indexed` serves from) and returns the index
+    * summary for the oracle: postings count, vocabulary size, and the
+    * corpus stats row. Always builds fresh (it is the build-cost
+    * measurement) and re-registers the standing index. */
+  def ftsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.TxTable
+    val idx = buildFts(spark, dir)
+    val posts = TxTable(spark, idx.postings).read()
+    posts
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("tok")).as("n_terms"))
+      .crossJoin(TxTable(spark, idx.stats).read())
+      .select(col("n_postings"), col("n_terms"), col("n_docs"),
+        col("t_toks"))
+  }
+
   def bm25Indexed(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("spark", "join", "vector"),
       topK: Int = 10): DataFrame = {
     import graft.lake.TxTable
-    import graft.core.Scratch
-    val t = Tables(spark, dir)
-    val docs = t.documents.select(col("doc_id"),
-      split(col("text"), " ").as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
-    // build (once per corpus; here per run, the demonstration)
-    val tx = TxTable(spark, Scratch.fresh("tx_fts"))
-    tx.append(
-      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-        .groupBy(col("tok"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .repartitionByRange(8, col("tok")),
-      bloomCols = Seq("tok"))
-    val txStats = TxTable(spark, Scratch.fresh("tx_fts_stats"))
-    txStats.append(docs.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("t_toks")))
-    // query: Bloom-pruned per-term point reads — the posting lists
-    val posts = terms.map(q => tx.readWhereEq("tok", lit(q)))
-      .reduce(_.unionByName(_))
-    val dfc = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    posts.join(broadcast(dfc), Seq("tok"))
-      .crossJoin(broadcast(txStats.read()))
+    val idx = ensureFts(spark, dir)
+    val tx = TxTable(spark, idx.postings)
+    // query: ONE Bloom-pruned multi-term point read — the posting
+    // lists of all query terms in a single index access. df travels ON
+    // the postings (term-dictionary stat, see [[buildFts]]) and the
+    // corpus stats are the build-time-pinned scalars, so serving is a
+    // single pass: no per-query stats scan, no df re-aggregation.
+    val posts = tx.readWhereIn("tok", terms.map(lit(_)))
+    posts
+      .withColumn("n_docs", lit(idx.nDocs))
+      .withColumn("t_toks", lit(idx.tToks))
       .withColumn("idf_e4", expr("(10000 * n_docs) div df"))
       .withColumn("dlr_e3", expr("(1000 * dl * n_docs) div t_toks"))
       .withColumn("sat_e4", expr("12 * (250 + (750 * dlr_e3) div 1000)"))
@@ -470,7 +534,14 @@ object TextAnalysis {
       .withColumn("fg_e6", expr("(1000000 * f) div ft"))
       .withColumn("bg_e6", expr("(1000000 * b) div bt"))
       .filter(col("fg_e6") > col("bg_e6"))
-      .withColumn("jlh", expr("((fg_e6 - bg_e6) * fg_e6) div bg_e6"))
+      // clamp the divisor: a term rarer than 1e-6 of the background
+      // floors bg_e6 to 0, and integer div-by-zero would NULL out
+      // exactly the highest-lift terms (inverting the ranking on any
+      // corpus past ~1M tokens). greatest(bg_e6,1) scores them as
+      // "smallest representable background share" — maximal lift,
+      // the ES semantic.
+      .withColumn("jlh",
+        expr("((fg_e6 - bg_e6) * fg_e6) div greatest(bg_e6, 1)"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("lang"), col("rn"), col("tok"), col("f"), col("b"),

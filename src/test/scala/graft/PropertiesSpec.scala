@@ -245,6 +245,15 @@ class PropertiesSpec extends SparkSpec {
         assert(viaBloom === plain,
           s"seed=$seed probe=$probe: bloom read diverged from the filter")
       }
+      // the multi-value read must equal the union of the per-value
+      // filters (mixed present/absent probe set, one index access)
+      val probeSet = (present.take(3) ++ absent.take(2))
+      val viaIn = t.readWhereIn("k", probeSet.map(lit(_)))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      val plainIn = all.filter(r => probeSet.contains(r._1)).sorted
+      assert(viaIn === plainIn,
+        s"seed=$seed: readWhereIn diverged from the IN filter")
+      assert(t.readWhereIn("k", Nil).count() === 0L)
       // the bitmaps must actually prune for at least one probe — a
       // bloom that never skips is dead weight, not an index
       val snap = t.latest().get
