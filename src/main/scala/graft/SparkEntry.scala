@@ -176,6 +176,8 @@ object SparkEntry {
       TextAnalysis.bm25Indexed(s, dir)),
     "text_fts_build" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.ftsBuild(s, dir)),
+    "stream_fts_serve" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamFts.streamFtsServe(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
@@ -2101,6 +2103,10 @@ object SparkEntry {
     // the indexed variant must return byte-identical results — an
     // index is an optimization, never a semantic
     "text_bm25_indexed" -> bm25Oracle,
+    // ... and so must the STREAM-MAINTAINED index (seed commit + late
+    // micro-batch commits + merged-snapshot serving) — the full-corpus
+    // scan oracle verifies the whole pipeline end to end
+    "stream_fts_serve" -> bm25Oracle,
     // the index BUILD summary: postings cardinality, vocabulary size,
     // corpus stats — the two tx commits text_bm25_indexed serves from
     "text_fts_build" ->

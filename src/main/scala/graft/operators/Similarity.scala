@@ -405,6 +405,40 @@ object Similarity {
       nprobe: Int = 3): DataFrame =
     recallOf(spark, dir, annIvfMultiprobe(spark, dir, k, nprobe), k)
 
+  /** Auto-tuned nprobe — the recall/cost dial resolved from a TARGET
+    * instead of a hard-coded probe count: calibrate mean recall@k of
+    * the multi-probe path on the query sample against exact search
+    * (the standard IVF tuning loop — calibration touches the query
+    * sample's candidates, never the corpus), walking nprobe up until
+    * the target is met. Per-query monotonicity (more probes never lose
+    * a hit — `AnalyticsSamplingSpec`) makes the first nprobe meeting
+    * the target THE answer; no backtracking.
+    *
+    * Measured curve (recall@5): sf0.01, structureless embeddings —
+    * the honest worst case — nprobe=1 → 0.16, nprobe=3 → 0.52; the
+    * 10× replica with real cluster structure: nprobe=1 → 0.52,
+    * nprobe=3 → 0.84 (BASELINE.md). With the default 0.5 target the
+    * dial lands nprobe≈3 on structureless data and nprobe=1 once
+    * cells align with real structure — it adapts instead of paying
+    * 3× candidates unconditionally.
+    *
+    * Returns (chosen nprobe, the measured (nprobe, mean recall_e6)
+    * curve walked to get there). */
+  def autoNprobe(spark: SparkSession, dir: String, k: Int = 5,
+      targetE6: Long = 500000L, maxProbe: Int = 8): (Int, Seq[(Int, Long)]) = {
+    val curve = Seq.newBuilder[(Int, Long)]
+    var p = 1
+    while (p <= maxProbe) {
+      val meanE6 = annRecallMultiprobe(spark, dir, k, p)
+        .agg(expr("sum(recall_e6) div count(1)").as("m"))
+        .head().getLong(0)
+      curve += ((p, meanE6))
+      if (meanE6 >= targetE6) return (p, curve.result())
+      p += 1
+    }
+    (maxProbe, curve.result())
+  }
+
   private def recallOf(spark: SparkSession, dir: String,
       approxDf: DataFrame, k: Int): DataFrame = {
     val approx = approxDf.select(col("qid"), col("nid"))

@@ -438,10 +438,19 @@ object TextAnalysis {
     // the postings (term-dictionary stat, see [[buildFts]]) and the
     // corpus stats are the build-time-pinned scalars, so serving is a
     // single pass: no per-query stats scan, no df re-aggregation.
-    val posts = tx.readWhereIn("tok", terms.map(lit(_)))
+    bm25ScoreTail(tx.readWhereIn("tok", terms.map(lit(_))),
+      idx.nDocs, idx.tToks, topK)
+  }
+
+  /** Shared exact-integer BM25 scoring tail over postings that already
+    * carry `df` (denormalized at build, or segment-merged at read by
+    * the incremental path — [[graft.streaming.StreamFts]]): saturation
+    * in e-units, partial top-k, rank window over topK rows. */
+  private[graft] def bm25ScoreTail(posts: DataFrame, nDocs: Long,
+      tToks: Long, topK: Int): DataFrame =
     posts
-      .withColumn("n_docs", lit(idx.nDocs))
-      .withColumn("t_toks", lit(idx.tToks))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("t_toks", lit(tToks))
       .withColumn("idf_e4", expr("(10000 * n_docs) div df"))
       .withColumn("dlr_e3", expr("(1000 * dl * n_docs) div t_toks"))
       .withColumn("sat_e4", expr("12 * (250 + (750 * dlr_e3) div 1000)"))
@@ -456,7 +465,7 @@ object TextAnalysis {
         Window.orderBy(col("score_e7").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("score_e7"), col("n_terms"))
       .orderBy(col("rank"))
-  }
+
 
   /** ES `bool` query — the workhorse composite of real ES traffic:
     * filter context (term + range clauses, unscored, cacheable) gating

@@ -134,6 +134,26 @@ class AnalyticsSamplingSpec extends SparkSpec {
     }
   }
 
+  test("auto-nprobe walks a monotone curve and meets the 0.5 target " +
+      "at sf0.01") {
+    // the verdict-measured scale: nprobe=1 → 0.16, nprobe=3 → 0.52
+    val (chosen, curve) = graft.operators.Similarity.autoNprobe(
+      spark, "/root/testdata/sf0.01", k = 5)
+    // monotone: mean recall never drops as probes increase
+    curve.sliding(2).foreach {
+      case Seq((p1, r1), (p2, r2)) =>
+        assert(p2 == p1 + 1 && r2 >= r1,
+          s"curve not monotone: nprobe $p1→$p2 recall $r1→$r2")
+      case _ =>
+    }
+    // the chosen default meets the 0.5 target, and is the FIRST that does
+    assert(curve.last._1 == chosen && curve.last._2 >= 500000L,
+      s"chosen nprobe=$chosen recall=${curve.last._2} misses the target")
+    curve.init.foreach { case (p, r) =>
+      assert(r < 500000L, s"nprobe=$p already met the target before $chosen")
+    }
+  }
+
   test("multi-probe recall dominates single-probe per query") {
     // probing more cells yields a candidate SUPERSET; a true top-k hit
     // can only be displaced by a globally-closer candidate, which is
