@@ -178,6 +178,8 @@ object SparkEntry {
       TextAnalysis.ftsBuild(s, dir)),
     "stream_fts_serve" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamFts.streamFtsServe(s, dir)),
+    "search_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.hybridRrf(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
@@ -2107,6 +2109,65 @@ object SparkEntry {
     // micro-batch commits + merged-snapshot serving) — the full-corpus
     // scan oracle verifies the whole pipeline end to end
     "stream_fts_serve" -> bm25Oracle,
+    // hybrid RRF: BM25 top-20 ∪ exact-cosine top-20 for query vector 0,
+    // fused as Σ 1000000 // (60 + rank) — rank 0 sentinel = absent arm
+    "search_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM tok WHERE tok IN ('spark', 'join', 'vector')
+                GROUP BY 1, 2),
+         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+         sbm AS (SELECT tf.doc_id, tf.tf,
+                  (10000 * st.n_docs) // dfc.df AS idf_e4,
+                  (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
+                FROM tf JOIN dl USING (doc_id) JOIN dfc USING (tok)
+                CROSS JOIN st),
+         sc AS (SELECT doc_id,
+                  sum(idf_e4 * ((tf * 2200 * 10000)
+                    // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
+                    AS score_e7
+                FROM sbm GROUP BY 1),
+         lex AS (SELECT doc_id, row_number() OVER (
+                   ORDER BY score_e7 DESC, doc_id) AS lex_rank
+                 FROM sc QUALIFY lex_rank <= 20),
+         e AS (SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+               FROM embeddings),
+         n AS (SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT)
+                   AS nrm FROM e),
+         p AS (SELECT t.vec_id AS nid, q.nrm AS qn, t.nrm AS tn,
+                 CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                   CAST(t.qv AS DOUBLE[])) AS BIGINT) AS dot
+               FROM n q JOIN n t ON t.vec_id != q.vec_id
+               WHERE q.vec_id = 0),
+         s2 AS (SELECT nid, CAST(floor(CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(tn AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS cos_e6
+                FROM p),
+         sem AS (SELECT nid AS doc_id, row_number() OVER (
+                   ORDER BY cos_e6 DESC, nid) AS sem_rank
+                 FROM s2 QUALIFY sem_rank <= 20),
+         f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                 coalesce(1000000 // (60 + lex_rank), 0)
+                   + coalesce(1000000 // (60 + sem_rank), 0) AS rrf_e6,
+                 coalesce(lex_rank, 0) AS lex_rank,
+                 coalesce(sem_rank, 0) AS sem_rank
+               FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+         o AS (SELECT row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
+                 AS rank, f.* FROM f)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+                CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+                CAST(lex_rank AS BIGINT) AS lex_rank,
+                CAST(sem_rank AS BIGINT) AS sem_rank
+         FROM o WHERE rank <= 10 ORDER BY rank""",
     // the index BUILD summary: postings cardinality, vocabulary size,
     // corpus stats — the two tx commits text_bm25_indexed serves from
     "text_fts_build" ->

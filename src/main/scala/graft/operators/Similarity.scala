@@ -25,7 +25,7 @@ import graft.core.Tables
   */
 object Similarity {
 
-  private def topk(spark: SparkSession, dir: String, k: Int,
+  private[operators] def topk(spark: SparkSession, dir: String, k: Int,
       sameLabelOnly: Boolean): DataFrame = {
     val base = Tables(spark, dir).embeddings
     val queries = base.filter(col("vec_id") < 5)

@@ -467,6 +467,40 @@ object TextAnalysis {
       .orderBy(col("rank"))
 
 
+  /** Hybrid retrieval — the lexical arm ([[bm25Search]]) fused with
+    * the semantic arm (exact cosine top-k for a query embedding) by
+    * Reciprocal Rank Fusion, the standard score-free fusion of a
+    * modern retrieval/RAG pipeline: RRF(d) = Σ_arms 1/(60 + rank_d),
+    * here in exact e6 integers (`1000000 div (60 + rank)`) so both
+    * engines agree bit-for-bit. A document missing from an arm
+    * contributes nothing (its rank surfaces as the 0 sentinel).
+    *
+    * Scale shape: each arm is an already-top-k result — the arms carry
+    * the corpus-scale story (indexed BM25 point reads, IVF ANN); the
+    * fusion itself joins two ≤kArm-row frames and ranks ≤2·kArm rows —
+    * metadata-sized at ANY corpus size, exactly like ES's own
+    * `rrf` retriever which fuses per-shard top-k lists. */
+  def hybridRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "vector"),
+      qid: Long = 0L, kArm: Int = 20, topK: Int = 10): DataFrame = {
+    val lex = bm25Search(spark, dir, terms, kArm)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = Similarity.topk(spark, dir, kArm, sameLabelOnly = false)
+      .filter(col("qid") === qid)
+      .select(col("nid").as("doc_id"), col("rn").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_e6").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("doc_id"), col("rrf_e6"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .orderBy(col("rank"))
+  }
+
   /** ES `bool` query — the workhorse composite of real ES traffic:
     * filter context (term + range clauses, unscored, cacheable) gating
     * a scored `match` clause. The ES semantic detail that matters:
