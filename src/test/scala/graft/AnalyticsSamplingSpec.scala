@@ -134,6 +134,30 @@ class AnalyticsSamplingSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF equals the driver-side fusion of its two arms") {
+    val terms = Seq("spark", "join", "vector")
+    val lex = TextAnalysis.bm25Search(spark, sf, terms, 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    val sem = graft.operators.Similarity.cosineTopk(spark, sf).collect()
+      .filter(_.getAs[Long]("qid") == 0L)
+      .map(r => r.getAs[Long]("nid") -> r.getAs[Long]("rn")).toMap
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { d =>
+      val rrf = lex.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        sem.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (d, rrf, lex.getOrElse(d, 0L), sem.getOrElse(d, 0L))
+    }.sortBy { case (d, rrf, _, _) => (-rrf, d) }.take(10)
+    val got = TextAnalysis.hybridRrf(spark, sf, terms, qid = 0L,
+        kArm = 10, topK = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_e6"),
+        r.getAs[Long]("lex_rank"), r.getAs[Long]("sem_rank"))).toSeq
+    assert(got === expected)
+    // a doc present in both arms scores the sum of both contributions
+    val both = got.filter(t => t._3 > 0 && t._4 > 0)
+    both.foreach { case (_, rrf, lr, sr) =>
+      assert(rrf === 1000000L / (60 + lr) + 1000000L / (60 + sr))
+    }
+  }
+
   test("auto-nprobe walks a monotone curve and meets the 0.5 target " +
       "at sf0.01") {
     // the verdict-measured scale: nprobe=1 → 0.16, nprobe=3 → 0.52
