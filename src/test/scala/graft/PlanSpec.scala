@@ -90,6 +90,11 @@ class PlanSpec extends SparkSpec {
       "text_bm25_search", "a12_date_histogram_dense",
       // 1-row global-total aggregate crossed into the term scores
       "text_significant_terms", "text_bool_search", "text_bm25_indexed",
+      // index summary: 1-row postings aggregate × 1-row stats table
+      "text_fts_build",
+      // lexical leg embeds text_bm25_search's 1-row stats cross join;
+      // semantic leg embeds sim_cosine_topk's broadcast-queries cross
+      "search_hybrid_rrf",
       // contain sim_cosine_topk's broadcast-queries cross join
       "sim_ann_recall", "sim_ann_recall_mp")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
