@@ -23,6 +23,7 @@ object SparkEntry {
     "q1_agg" -> Relational.q1Agg _,
     "q3_shipping" -> Relational.q3Shipping _,
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
+    "q10_returned_items" -> Relational.q10ReturnedItems _,
     "q18_volume_customer" -> ((s: SparkSession, dir: String) =>
       Relational.q18VolumeCustomer(s, dir)),
     "q_subqueries" -> Relational.qSubqueries _,
@@ -164,6 +165,8 @@ object SparkEntry {
     "dedup_chunk" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.chunkDedup(s, dir)),
     "text_repetition" -> TextAnalysis.repetition _,
+    "text_boilerplate" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.boilerplate(s, dir)),
     "text_bm25_search" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bm25Search(s, dir)),
     "text_match_phrase" -> ((s: SparkSession, dir: String) =>
@@ -181,6 +184,7 @@ object SparkEntry {
     "search_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.hybridRrf(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
+    "sample_shuffle" -> Sampling.sampleShuffle _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
     "lake_cdc_diff" -> graft.lake.LakeOps.lakeCdcDiff _,
@@ -190,6 +194,8 @@ object SparkEntry {
     "f_zorder" -> FunctionSuites.fZorder _,
     "dq_profile" -> DataQuality.dqProfile _,
     "dq_expectations" -> DataQuality.dqExpectations _,
+    "dq_drift" -> ((s: SparkSession, dir: String) =>
+      DataQuality.dqDrift(s, dir)),
     // NOTE: the spark.ml KMeans view (Views.kmeansCenters) is a LIBRARY
     // CROSS-CHECK covered by ViewsSpec, not a declared query — its hash-
     // verified twin is `view_kmeans_det` (COVERAGE.md D11 policy), so
@@ -866,6 +872,21 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON n_nationkey = c_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1, 2, 3, round(c_acctbal * 100)
+         ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""",
     "q18_volume_customer" ->
       """WITH big AS (SELECT l_orderkey,
              CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
@@ -2101,6 +2122,26 @@ object SparkEntry {
                 (1000000 * (CAST(sum(c) AS BIGINT) - count(*)))
                   // CAST(sum(c) AS BIGINT) AS rep_e6
          FROM g GROUP BY 1 ORDER BY 1""",
+    // segment-level boilerplate removal: df over md5(seg), kept
+    // segments reassembled in position order, content pinned by md5
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents),
+         seg AS (SELECT doc_id, CAST(s AS BIGINT) AS seg_id,
+                   array_to_string(t[(s*10+1):(s*10+10)], ' ') AS seg
+                 FROM (SELECT doc_id, t,
+                         unnest(range((len(t)+9)//10)) AS s FROM d)),
+         sh AS (SELECT doc_id, seg_id, seg, md5(seg) AS seg_h FROM seg),
+         df AS (SELECT seg_h, count(DISTINCT doc_id) AS docfreq
+                FROM sh GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+                CAST(sum(CASE WHEN df.docfreq >= 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler,
+                md5(coalesce(string_agg(
+                  CASE WHEN df.docfreq < 3 THEN g.seg END, ' '
+                  ORDER BY g.seg_id), '')) AS clean_md5
+         FROM sh g JOIN df USING (seg_h)
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
     "text_bm25_search" -> bm25Oracle,
     // the indexed variant must return byte-identical results — an
     // index is an optimization, never a semantic
@@ -2267,6 +2308,19 @@ object SparkEntry {
                 CAST(sum(doc_id * copies) AS BIGINT) AS id_checksum
          FROM c WHERE copies > 0 GROUP BY 1 ORDER BY 1"""
     },
+    // deterministic shuffle: the engine's sharded-rank position is
+    // exactly this single global window by construction
+    "sample_shuffle" -> {
+      val h = phashSql("CAST(doc_id AS VARCHAR)",
+        graft.operators.Sampling.shuffleSalt)
+      s"""WITH h AS (SELECT doc_id, $h AS h FROM documents),
+          s AS (SELECT doc_id, h,
+                  h % ${graft.operators.Sampling.shuffleShards} AS shard
+                FROM h)
+          SELECT CAST(row_number() OVER (ORDER BY shard, h, doc_id)
+                   AS BIGINT) AS pos, doc_id, h
+          FROM s ORDER BY pos"""
+    },
     // bloom-indexed point lookup == the plain IN-list filter
     "lake_point_read" ->
       """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
@@ -2332,5 +2386,23 @@ object SparkEntry {
                               AND n_chars <> length(text)
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
          FROM documents""",
+    // drift audit: one scan, shares in exact e6, totals via window
+    // over the per-lang aggregate (integer sums promote to HUGEINT in
+    // DuckDB, hence the output CASTs)
+    "dq_drift" ->
+      """WITH a AS (SELECT coalesce(lang, 'unknown') AS lang,
+                count(*) AS n_all,
+                sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS n_gated
+              FROM documents GROUP BY 1)
+         SELECT lang, CAST(n_all AS BIGINT) AS n_all,
+                CAST(n_gated AS BIGINT) AS n_gated,
+                CAST((1000000 * n_all) // (sum(n_all) OVER ())
+                  AS BIGINT) AS share_all_e6,
+                CAST((1000000 * n_gated) // (sum(n_gated) OVER ())
+                  AS BIGINT) AS share_gated_e6,
+                CAST(abs((1000000 * n_all) // (sum(n_all) OVER ())
+                  - (1000000 * n_gated) // (sum(n_gated) OVER ()))
+                  AS BIGINT) AS drift_e6
+         FROM a ORDER BY lang""",
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -53,5 +54,36 @@ object DataQuality {
       sum(when(col("text").isNotNull && col("n_chars").isNotNull &&
           col("n_chars") =!= length(col("text")), 1L)
         .otherwise(0L)).as("n_len_mismatch"))
+  }
+
+  /** Distribution drift under a processing step — "did my quality gate
+    * change the language mix?", the per-release audit every training
+    * pipeline runs. Before-vs-after class counts come out of ONE scan
+    * (after = conditional sum, not a second pass); totals come from a
+    * window over the per-class aggregate (bounded by the class count —
+    * languages here), never a cross join. Shares are exact e6
+    * integers; `drift_e6` is the per-class absolute share shift, whose
+    * half-sum across classes is the total variation distance between
+    * the two distributions. */
+  def dqDrift(spark: SparkSession, dir: String,
+      minChars: Long = 300L): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    t.documents
+      .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("n_chars") >= minChars, 1L).otherwise(0L))
+          .as("n_gated"))
+      .withColumn("t_all", sum(col("n_all")).over(w))
+      .withColumn("t_gated", sum(col("n_gated")).over(w))
+      .withColumn("share_all_e6", expr("(1000000 * n_all) div t_all"))
+      .withColumn("share_gated_e6",
+        expr("(1000000 * n_gated) div t_gated"))
+      .withColumn("drift_e6",
+        abs(col("share_all_e6") - col("share_gated_e6")))
+      .select(col("lang"), col("n_all"), col("n_gated"),
+        col("share_all_e6"), col("share_gated_e6"), col("drift_e6"))
+      .orderBy(col("lang"))
   }
 }

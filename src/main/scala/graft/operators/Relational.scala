@@ -281,6 +281,43 @@ object Relational {
       .limit(20)
   }
 
+  /** Q10-shape returned-item losses: which customers returned the
+    * most revenue in a year window. Both fact filters (returnflag,
+    * order-date window) push to their scans before any join; customer
+    * is SF-proportional so AQE decides that join from measured sizes;
+    * nation — constant — is the only static broadcast. The customer
+    * account balance rides IN the group key as exact cents (one value
+    * per customer, so the key is no wider), revenue in exact 1e-4
+    * units, top-20 via TakeOrderedAndProject with the unique custkey
+    * tie-break. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        col("acctbal_cents"))
+      .agg(sum(col("rev4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_e4"), col("acctbal_cents"))
+  }
+
   /** Set operations beyond union: INTERSECT / EXCEPT over key sets
     * (customers with vs without orders by key arithmetic). Spark plans
     * both as aggregates/semi-anti joins — no materialized temp sets. */

@@ -59,6 +59,44 @@ object Sampling {
       .orderBy(col("lang"), col("rn"))
   }
 
+  val shuffleSalt: Int = 17
+  val shuffleShards: Int = 32
+
+  /** Deterministic global corpus shuffle — the "shuffle the training
+    * corpus identically on every run, engine, and cluster size" step
+    * every pretraining pipeline needs before packing. The ordering key
+    * is the portable salted hash of the doc id (ties broken by id), so
+    * the permutation is a pure function of ids — no seed, no
+    * partitioning dependence.
+    *
+    * The global position is computed WITHOUT a single-partition
+    * window: rows shard by pmod(h, 32); each shard ranks locally (one
+    * 32-way shuffle); shard offsets are a running sum over the 32-ROW
+    * shard-count aggregate (driver-size, the only global object) and
+    * join back broadcast. pos is therefore exactly
+    * row_number() OVER (ORDER BY shard, h, doc_id) — what the oracle
+    * computes with the single window this plan refuses to use — while
+    * every data-sized sort stays per-shard. At 100 TB the same plan
+    * holds with shards sized to executors. */
+  def sampleShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hashed = t.documents
+      .withColumn("h", phash(col("doc_id").cast("string"), shuffleSalt))
+      .withColumn("shard", pmod(col("h"), lit(shuffleShards.toLong)))
+    val offsets = hashed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum(col("n")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("offset"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    hashed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), Seq("shard")) // 32 rows by construction
+      .select((col("offset") + col("rn")).as("pos"), col("doc_id"), col("h"))
+      .orderBy(col("pos"))
+  }
+
   /** Mixture weights for [[sampleMixture]] in milli-epochs per lang:
     * 2500 = every doc appears 2–3 times (2 guaranteed + hash-gated
     * third), 250 = 1-in-4 downsample. The single source of truth for

@@ -592,6 +592,54 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Corpus-wide boilerplate removal — the RefinedWeb/C4 line-dedup
+    * rule at segment granularity: a fixed-width token segment that
+    * appears in >= `minDf` DISTINCT documents is boilerplate (nav
+    * bars, cookie banners, license headers) and is dropped from EVERY
+    * document, survivors reassembling in original order. The corpus
+    * is space-separated tokens with no newlines, so "lines" are the
+    * zero-overlap `segTokens`-token segments ([[chunk]]'s stride =
+    * size family). Differs from [[chunkDedup]] (first occurrence
+    * kept) — boilerplate is removed everywhere, including its first
+    * occurrence, which is the C4 rule for nav/banner text.
+    *
+    * Scale shape: one explode to segments, the df aggregate and the
+    * join back both keyed on md5(seg) — a 32-char key regardless of
+    * segment width, so the df shuffle ships hashes, not text. The
+    * per-doc reassembly sorts each doc's kept segments by position
+    * inside the rollup (sort_array over the collected struct —
+    * per-doc bounded, no extra shuffle) and pins the cleaned text as
+    * an md5 so the oracle compares content without shipping megabyte
+    * strings through the checker. */
+  def boilerplate(spark: SparkSession, dir: String,
+      segTokens: Int = 10, minDf: Int = 3): DataFrame = {
+    val t = Tables(spark, dir)
+    val seg = t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), explode(expr(
+        s"sequence(0, CAST((n + ${segTokens - 1}) div $segTokens AS INT) - 1)"))
+        .as("seg_id"))
+      .select(col("doc_id"), col("seg_id").cast("long").as("seg_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("seg_id") * segTokens + 1, lit(segTokens)))
+          .as("seg"))
+      .withColumn("seg_h", md5(col("seg")))
+    val df = seg.groupBy(col("seg_h"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("docfreq"))
+    seg.join(df, Seq("seg_h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("docfreq") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        sort_array(collect_list(when(col("docfreq") < minDf,
+          struct(col("seg_id"), col("seg"))))).as("kept"))
+      .select(col("doc_id"), col("n_segments"), col("n_boiler"),
+        md5(concat_ws(" ", expr("transform(kept, x -> x.seg)")))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Positional phrase matching — ES `match_phrase` semantics: count
     * occurrences of consecutive tokens t₁ t₂ (adjacent positions in the
     * ORIGINAL token stream), per document. This is the positional

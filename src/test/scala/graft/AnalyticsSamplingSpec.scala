@@ -324,4 +324,48 @@ class AnalyticsSamplingSpec extends SparkSpec {
       l => assert(a.exists(_.getString(0) == l), s"lang $l missing")
     }
   }
+
+  test("deterministic shuffle is a rerun-stable permutation equal to " +
+      "its single-window definition") {
+    val a = Sampling.sampleShuffle(spark, sf).collect()
+    assert(a.toSeq === Sampling.sampleShuffle(spark, sf).collect().toSeq)
+    val n = graft.core.Tables(spark, sf).documents.count()
+    assert(a.length === n.toInt)
+    assert(a.map(_.getAs[Long]("pos")).toSeq === (1L to n).toSeq)
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length === n.toInt)
+    // the sharded-offset position must equal the rank a single global
+    // ORDER BY (shard, h, doc_id) window would assign
+    val byDef = a.sortBy(r => (r.getAs[Long]("h") % Sampling.shuffleShards,
+      r.getAs[Long]("h"), r.getAs[Long]("doc_id")))
+    assert(byDef.map(_.getAs[Long]("pos")).toSeq === (1L to n).toSeq)
+  }
+
+  test("drift audit conserves counts with shares summing to one") {
+    val rows = graft.operators.DataQuality.dqDrift(spark, sf).collect()
+    val docs = graft.core.Tables(spark, sf).documents.count()
+    assert(rows.map(_.getAs[Long]("n_all")).sum === docs)
+    val k = rows.length
+    val sa = rows.map(_.getAs[Long]("share_all_e6")).sum
+    val sg = rows.map(_.getAs[Long]("share_gated_e6")).sum
+    // integer div floors, so each share undershoots by < 1
+    assert(sa > 1000000L - k && sa <= 1000000L)
+    assert(sg > 1000000L - k && sg <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gated") <= r.getAs[Long]("n_all"))
+      assert(r.getAs[Long]("drift_e6") >= 0L)
+    }
+    // Σ|Δshare| = 2·TVD ∈ [0, 2e6]
+    assert(rows.map(_.getAs[Long]("drift_e6")).sum <= 2000000L)
+  }
+
+  test("q10 returns a descending exact-revenue top-20 with unique " +
+      "customers") {
+    val rows = graft.operators.Relational.q10ReturnedItems(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Long]("revenue_e4"))
+    assert(revs.zip(revs.tail).forall { case (x, y) => x >= y })
+    assert(rows.map(_.getAs[Long]("c_custkey")).distinct.length ===
+      rows.length)
+  }
 }

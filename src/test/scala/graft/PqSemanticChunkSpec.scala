@@ -141,6 +141,40 @@ class PqSemanticChunkSpec extends SparkSpec {
     assert(bounded == expected)
   }
 
+  test("text_boilerplate matches an independent in-memory recomputation " +
+      "and untouched docs hash to their original text") {
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent oracle: same segmentation, df, and reassembly rules
+    val segs = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(10).zipWithIndex
+        .map { case (g, i) => (id, i, g.mkString(" ")) }
+    }
+    val df = segs.groupBy(_._3).map { case (s, xs) =>
+      s -> xs.map(_._1).distinct.size }
+    val expBoiler = segs.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.count(x => df(x._3) >= 3).toLong }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = TextAnalysis.boilerplate(spark, sf).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nSeg, nBoil) =
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_boiler"))
+      assert(nSeg === segs.count(_._1 == id).toLong)
+      assert(nBoil === expBoiler(id))
+      val keptText = segs.filter(x => x._1 == id && df(x._3) < 3)
+        .sortBy(_._2).map(_._3).mkString(" ")
+      assert(r.getAs[String]("clean_md5") === md5hex(keptText))
+      // a doc with no boilerplate reassembles to exactly its own text
+      if (nBoil == 0L)
+        assert(r.getAs[String]("clean_md5") === md5hex(docs(id)))
+    }
+  }
+
   test("s4_orc_roundtrip equals the same aggregate computed on parquet") {
     val viaOrc = Roundtrip.s4OrcRoundtrip(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
