@@ -14,6 +14,10 @@ object Bench {
     // point-read SERVING path (what a deployment pays per query);
     // text_fts_build still owns the build cost as its own timed entry
     graft.operators.TextAnalysis.ensureFts(spark, sfDir)
+    // likewise the standing IVF index: sim_ann_indexed times the
+    // Bloom-pruned point-read serving path; sim_ivf_build owns the
+    // build cost as its own timed entry
+    graft.operators.Similarity.ensureIvf(spark, sfDir)
     // dev knob: comma-separated query names (unset = full suite, what
     // the driver runs); lets a perf investigation time one query in
     // the same warmed-session conditions as the real bench

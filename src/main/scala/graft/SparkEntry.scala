@@ -136,6 +136,10 @@ object SparkEntry {
       Similarity.annIvfMultiprobe(s, dir)),
     "sim_ann_recall_mp" -> ((s: SparkSession, dir: String) =>
       Similarity.annRecallMultiprobe(s, dir)),
+    "sim_ivf_build" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfBuild(s, dir)),
+    "sim_ann_indexed" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIndexed(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -1305,6 +1309,19 @@ object SparkEntry {
     "sim_ann_recall" -> annRecallOracleFor(1),
     "sim_ann_multiprobe" -> annIvfOracle(3),
     "sim_ann_recall_mp" -> annRecallOracleFor(3),
+    // the standing IVF index never changes the answer: serving shares
+    // the re-clustering path's oracle verbatim
+    "sim_ann_indexed" -> annIvfOracle(3),
+    // build summary: cell-population audit of the argmin assignment
+    "sim_ivf_build" ->
+      s"""WITH $ivfAssignCtes,
+          pop AS (SELECT cell, count(*) AS n FROM asg
+                  WHERE arn = 1 GROUP BY 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS n_vecs,
+                 CAST(min(n) AS BIGINT) AS min_cell_pop,
+                 CAST(max(n) AS BIGINT) AS max_cell_pop
+          FROM pop""",
     "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->
       """SELECT event_type,

@@ -118,19 +118,35 @@ object Similarity {
     * candidate cells. Shared by [[ivfAssign]] and
     * [[annIvfMultiprobe]]. */
   def ivfAssignRanked(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+    val qe = qe4(spark, dir)
+    rankedAgainst(qe, labelCentroids(qe))
+  }
+
+  /** (vec_id, label, dim, q): embeddings e4-quantized, one row per
+    * coordinate — the shared front of the label-seeded IVF family. */
+  private def qe4(spark: SparkSession, dir: String): DataFrame = {
     val q4 = "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
-    val qe = t.embeddings
+    Tables(spark, dir).embeddings
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
         expr(q4).as("q"))
-    val cents = qe
-      .groupBy(col("label").as("cell"), col("dim"))
+  }
+
+  /** Label-seeded centroid table (cell, dim, c) — the half-up integer
+    * mean per (label, dim). k·d rows, bounded by the label alphabet. */
+  private def labelCentroids(qe: DataFrame): DataFrame =
+    qe.groupBy(col("label").as("cell"), col("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .select(col("cell"), col("dim"),
         expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
           .as("c"))
+
+  /** Rank every vector in `qe` against every centroid in `cents`
+    * (vec_id, cell, dist2, crn): exact-integer squared distance,
+    * (dist2, cell) tie-break. `cents` is k·d — bounded by
+    * construction — hence the static broadcast. */
+  private def rankedAgainst(qe: DataFrame, cents: DataFrame): DataFrame = {
     val dists = qe.select(col("vec_id"), col("dim"), col("q"))
       .join(broadcast(cents), Seq("dim"))
       .groupBy(col("vec_id"), col("cell"))
@@ -465,6 +481,112 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("cell").as("q_cell"))
     val scored = base.join(broadcast(queries), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_e6"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** A standing IVF-ANN index — the vector twin of [[TextAnalysis]]'s
+    * FTS index: cell-clustered postings (cell, vec_id, embedding) in
+    * tx-table format with a per-file Bloom bitmap on `cell`, plus the
+    * centroid table (cell, dim, c) pinned at build time. Serving
+    * reads ONLY the probed cells' files; the corpus is never
+    * re-clustered per query. */
+  final case class IvfIndex(postings: String, centroids: String)
+
+  /** Standing IVF index registry: corpus dir → index. Process-scoped
+    * like the FTS registry (README "swap points") — a deployment pins
+    * the tx tables at real paths and this becomes a catalog lookup;
+    * the serving plan is unchanged by that swap. */
+  private val ivfStanding =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  /** One pass over the corpus into the standing postings + centroid
+    * tables: train the quantizer, assign every vector to its argmin
+    * cell, lay the postings out cell-range-partitioned so a probe's
+    * point read touches a contiguous file subset, Bloom bitmap on
+    * `cell` per file. Registers and returns the index (last build
+    * wins). */
+  private def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val qe = qe4(spark, dir)
+    val cents = labelCentroids(qe)
+    val member = rankedAgainst(qe, cents).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val pDir = Scratch.fresh("tx_ivf")
+    TxTable(spark, pDir).append(
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+        .join(member, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val cDir = Scratch.fresh("tx_ivf_cents")
+    TxTable(spark, cDir).append(cents)
+    val idx = IvfIndex(pDir, cDir)
+    ivfStanding.put(dir, idx)
+    idx
+  }
+
+  /** Get-or-build the standing IVF index (idempotent; Bench warms it
+    * so `sim_ann_indexed` times the point-read serving path — what a
+    * deployment pays per query). */
+  def ensureIvf(spark: SparkSession, dir: String): IvfIndex = {
+    val hit = ivfStanding.get(dir)
+    if (hit != null) hit else buildIvfIndex(spark, dir)
+  }
+
+  /** The BUILD half as its own declared query — owns the quantizer
+    * training and the two tx commits, and returns the cell-population
+    * audit (count, total, min/max occupancy: the balance signal that
+    * decides whether cells need splitting at scale). Always builds
+    * fresh and re-registers the standing index. */
+  def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.TxTable
+    val idx = buildIvfIndex(spark, dir)
+    TxTable(spark, idx.postings).read()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).cast("long").as("n_vecs"),
+        min(col("n")).cast("long").as("min_cell_pop"),
+        max(col("n")).cast("long").as("max_cell_pop"))
+  }
+
+  /** Multi-probe ANN served FROM THE STANDING INDEX — semantically
+    * identical to [[annIvfMultiprobe]] (same probe ranking, same
+    * exact-cosine scoring; an index never changes the answer — it
+    * shares that query's oracle), but the per-query work is one
+    * Bloom-pruned point read of the probed cells' postings instead of
+    * a corpus re-cluster: probe ranking touches the build-pinned k·d
+    * centroid table, and the |Q|·nprobe probe-cell ids — the IVF
+    * analogue of the FTS query's term list, metadata-sized by
+    * definition — drive the postings read. Per-query cost scales with
+    * the probed cells' population, not the corpus. */
+  def annIndexed(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    import graft.lake.TxTable
+    val idx = ensureIvf(spark, dir)
+    val cents = TxTable(spark, idx.centroids).read()
+    val qe = qe4(spark, dir).filter(col("vec_id") < 5)
+    val probes = rankedAgainst(qe, cents).filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    val cellIds = probes.select(col("q_cell")).distinct()
+      .collect().map(r => lit(r.get(0))).toSeq
+    val members = TxTable(spark, idx.postings).readWhereIn("cell", cellIds)
+    val queries = probes.join(
+      Tables(spark, dir).embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")),
+      Seq("qid"))
+    val scored = members
+      .join(broadcast(queries), col("cell") === col("q_cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_e6",
         graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("embedding")))

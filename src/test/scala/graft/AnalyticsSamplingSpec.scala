@@ -358,6 +358,30 @@ class AnalyticsSamplingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("drift_e6")).sum <= 2000000L)
   }
 
+  test("indexed ANN equals the re-clustering multiprobe path, Bloom-" +
+      "prunes postings files, and the build audit is consistent") {
+    import graft.operators.Similarity
+    val served = Similarity.annIndexed(spark, sf).collect().toSeq
+    val direct = Similarity.annIvfMultiprobe(spark, sf).collect().toSeq
+    assert(served === direct, "an index must never change the answer")
+    // a cell probe must touch a strict subset of the postings files
+    val idx = Similarity.ensureIvf(spark, sf)
+    val tx = graft.lake.TxTable(spark, idx.postings)
+    val snap = tx.latest().get
+    val aCell = tx.read().select(col("cell")).head().get(0)
+    val live = tx.bloomLiveEntries(snap, "cell", lit(aCell))
+    assert(live.nonEmpty && live.size < snap.files.size,
+      s"bloom pruned nothing: ${live.size} of ${snap.files.size} files live")
+    // build audit: every vector in exactly one cell
+    val audit = Similarity.ivfBuild(spark, sf).head()
+    val nVecs = graft.core.Tables(spark, sf).embeddings.count()
+    assert(audit.getAs[Long]("n_vecs") === nVecs)
+    assert(audit.getAs[Long]("n_cells") >= 1L)
+    assert(audit.getAs[Long]("min_cell_pop") >= 1L)
+    assert(audit.getAs[Long]("min_cell_pop") <=
+      audit.getAs[Long]("max_cell_pop"))
+  }
+
   test("q10 returns a descending exact-revenue top-20 with unique " +
       "customers") {
     val rows = graft.operators.Relational.q10ReturnedItems(spark, sf)
