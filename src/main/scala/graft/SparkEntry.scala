@@ -140,6 +140,8 @@ object SparkEntry {
       Similarity.ivfBuild(s, dir)),
     "sim_ann_indexed" -> ((s: SparkSession, dir: String) =>
       Similarity.annIndexed(s, dir)),
+    "sim_ivf_append" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfAppendServe(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -570,20 +572,25 @@ object SparkEntry {
   /** Shared IVF-assignment CTEs (mirror `Similarity.ivfAssign`):
     * quantized dims → half-up integer centroids → exact squared
     * distances → argmin cell. */
-  private val ivfAssignCtes: String =
-    """qe AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+  /** IVF assignment CTEs; `centsWhere` restricts the centroid
+    * TRAINING subset (e.g. the pinned-quantizer append lifecycle) —
+    * assignment always covers every vector. */
+  private def ivfAssignCtesWhere(centsWhere: String): String =
+    s"""qe AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
            CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
          FROM (SELECT vec_id, label, embedding,
                  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        cents AS (SELECT label AS cell, dim,
            CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-         FROM qe GROUP BY 1, 2),
+         FROM qe $centsWhere GROUP BY 1, 2),
        dists AS (SELECT qe.vec_id, cents.cell,
            CAST(sum((qe.q - cents.c) * (qe.q - cents.c)) AS BIGINT) AS dist2
          FROM qe JOIN cents ON qe.dim = cents.dim GROUP BY 1, 2),
        asg AS (SELECT vec_id, cell, dist2, row_number() OVER (
                  PARTITION BY vec_id ORDER BY dist2, cell) AS arn
                FROM dists)"""
+
+  private val ivfAssignCtes: String = ivfAssignCtesWhere("")
 
   private val ivfAssignOracle: String =
     s"""WITH $ivfAssignCtes
@@ -646,8 +653,8 @@ object SparkEntry {
 
   /** Shared CTE block for IVF ANN oracles: members live in their
     * argmin cell; the query probes its `nprobe` nearest cells. */
-  private def annIvfCtes(nprobe: Int): String =
-    s"""$ivfAssignCtes,
+  private def annIvfCtes(nprobe: Int, centsWhere: String = ""): String =
+    s"""${ivfAssignCtesWhere(centsWhere)},
         cellof AS (SELECT vec_id, cell FROM asg WHERE arn = 1),
         qvs AS (SELECT vec_id,
                   list_transform(embedding,
@@ -1312,6 +1319,13 @@ object SparkEntry {
     // the standing IVF index never changes the answer: serving shares
     // the re-clustering path's oracle verbatim
     "sim_ann_indexed" -> annIvfOracle(3),
+    // pinned-quantizer append: centroids train on the base subset
+    // only; every vector (base + delta) is assigned against them —
+    // a re-training append would drift from this and fail
+    "sim_ivf_append" ->
+      s"""WITH ${annIvfCtes(3, "WHERE vec_id % 10 != 9")}
+          SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
+          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     // build summary: cell-population audit of the argmin assignment
     "sim_ivf_build" ->
       s"""WITH $ivfAssignCtes,

@@ -560,6 +560,64 @@ object Similarity {
         max(col("n")).cast("long").as("max_cell_pop"))
   }
 
+  /** Incremental IVF maintenance + serve, as one verified lifecycle —
+    * the production pattern every vector store follows: the quantizer
+    * is trained ONCE (here on the base corpus, vec_id % 10 != 9);
+    * appends assign new vectors against those PINNED centroids and
+    * never re-train, so existing cell membership — and every
+    * previously served answer — is immutable, and the append touches
+    * only the delta. Builds the base postings, commits the delta as a
+    * second tx append (cell-clustered, Bloom on `cell`), then serves
+    * multi-probe ANN from the merged snapshot. The oracle recomputes
+    * the same pinned-centroid semantics (centroids from the base
+    * subset, every vector assigned against them), so a drifted
+    * assignment — accidentally re-training on append — fails the
+    * gate. */
+  def ivfAppendServe(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val qe = qe4(spark, dir)
+    val isDelta = pmod(col("vec_id"), lit(10L)) === 9L
+    // quantizer pinned at build: centroids from the BASE subset only,
+    // checkpointed once so build, append, and serve share one frame
+    val cents = labelCentroids(qe.filter(!isDelta)).localCheckpoint()
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    def commit(tx: TxTable, part: DataFrame): Unit = tx.append(
+      emb.join(rankedAgainst(part, cents).filter(col("crn") === 1)
+          .select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val tx = TxTable(spark, Scratch.fresh("tx_ivf_inc"))
+    commit(tx, qe.filter(!isDelta)) // base build
+    commit(tx, qe.filter(isDelta)) // delta append, centroids pinned
+    // serve from the merged snapshot, probes ranked on the same
+    // pinned centroid table
+    val probes = rankedAgainst(qe.filter(col("vec_id") < 5), cents)
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    val cellIds = probes.select(col("q_cell")).distinct()
+      .collect().map(r => lit(r.get(0))).toSeq
+    val queries = probes.join(
+      Tables(spark, dir).embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")),
+      Seq("qid"))
+    val scored = tx.readWhereIn("cell", cellIds)
+      .join(broadcast(queries), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_e6"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Multi-probe ANN served FROM THE STANDING INDEX — semantically
     * identical to [[annIvfMultiprobe]] (same probe ranking, same
     * exact-cosine scoring; an index never changes the answer — it

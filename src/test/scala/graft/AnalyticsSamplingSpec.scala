@@ -382,6 +382,22 @@ class AnalyticsSamplingSpec extends SparkSpec {
       audit.getAs[Long]("max_cell_pop"))
   }
 
+  test("pinned-quantizer IVF append lifecycle is deterministic and " +
+      "serves complete ranked lists") {
+    import graft.operators.Similarity
+    val served = Similarity.ivfAppendServe(spark, sf).collect()
+    assert(served.nonEmpty)
+    // every query serves a full ranked 1..k list
+    served.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq ===
+        (1L to rows.length).toSeq)
+    }
+    // the lifecycle (build → append → merged serve) is a pure function
+    // of the corpus: rebuilding must reproduce it exactly
+    assert(served.toSeq ===
+      Similarity.ivfAppendServe(spark, sf).collect().toSeq)
+  }
+
   test("q10 returns a descending exact-revenue top-20 with unique " +
       "customers") {
     val rows = graft.operators.Relational.q10ReturnedItems(spark, sf)
