@@ -18,6 +18,10 @@ object Bench {
     // Bloom-pruned point-read serving path; sim_ivf_build owns the
     // build cost as its own timed entry
     graft.operators.Similarity.ensureIvf(spark, sfDir)
+    // and its √N-cell sibling: sim_ann_indexed_sqrt times serving
+    // under the shrinking-fraction quantizer; sim_ivf_build_sqrt owns
+    // that build cost
+    graft.operators.Similarity.ensureIvfSqrt(spark, sfDir)
     // dev knob: comma-separated query names (unset = full suite, what
     // the driver runs); lets a perf investigation time one query in
     // the same warmed-session conditions as the real bench

@@ -24,6 +24,8 @@ object SparkEntry {
     "q3_shipping" -> Relational.q3Shipping _,
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "q21_waiting_supplier" -> ((s: SparkSession, dir: String) =>
+      Relational.q21WaitingSupplier(s, dir)),
     "q18_volume_customer" -> ((s: SparkSession, dir: String) =>
       Relational.q18VolumeCustomer(s, dir)),
     "q_subqueries" -> Relational.qSubqueries _,
@@ -142,6 +144,12 @@ object SparkEntry {
       Similarity.annIndexed(s, dir)),
     "sim_ivf_append" -> ((s: SparkSession, dir: String) =>
       Similarity.ivfAppendServe(s, dir)),
+    "sim_ann_sqrtk" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfSqrtK(s, dir)),
+    "sim_ivf_build_sqrt" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfBuildSqrt(s, dir)),
+    "sim_ann_indexed_sqrt" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIndexedSqrt(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -189,6 +197,8 @@ object SparkEntry {
       graft.streaming.StreamFts.streamFtsServe(s, dir)),
     "search_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.hybridRrf(s, dir)),
+    "search_eval" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.searchEval(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "sample_shuffle" -> Sampling.sampleShuffle _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
@@ -196,6 +206,7 @@ object SparkEntry {
     "lake_cdc_diff" -> graft.lake.LakeOps.lakeCdcDiff _,
     "lake_skip_read" -> graft.lake.LakeOps.lakeSkipRead _,
     "lake_delete" -> graft.lake.LakeOps.lakeDelete _,
+    "lake_time_travel" -> graft.lake.LakeOps.lakeTimeTravel _,
     "lake_point_read" -> graft.lake.LakeOps.lakePointRead _,
     "f_zorder" -> FunctionSuites.fZorder _,
     "dq_profile" -> DataQuality.dqProfile _,
@@ -682,6 +693,45 @@ object SparkEntry {
         SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
 
+  /** k = ⌈√N⌉ as a scalar subquery — the SemDeDup/IVF scale rule,
+    * feeding [[lloydCtes]] so the oracle trains the same √N-cell
+    * quantizer the engine does. */
+  private val sqrtKSql = "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings"
+
+  /** CTE block for the √N-quantizer ANN oracles: [[lloydCtes]]'s
+    * ranked assignment `asgk` (hash-seeded deterministic Lloyd,
+    * k=⌈√N⌉) plays the role [[annIvfCtes]]'s label-seeded `asg` plays
+    * for the fixed-k family — members at arn=1, probes at
+    * arn ≤ nprobe, exact-cosine scoring identical. */
+  private def annSqrtCtes(nprobe: Int): String =
+    s"""${lloydCtes(sqrtKSql)},
+        cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
+        qvs AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+                FROM embeddings),
+        nn AS (SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
+               FROM qvs),
+        qs AS (SELECT vec_id AS qid, cell FROM asgk
+               WHERE arn <= $nprobe AND vec_id < 5),
+        scored AS (SELECT qs.qid, m.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                             CAST(b.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM qs
+          JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
+          JOIN nn a ON a.vec_id = qs.qid
+          JOIN nn b ON b.vec_id = m.vec_id),
+        ranked AS (SELECT qid, nid, cos_e6, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
+                   FROM scored)"""
+
+  private def annSqrtOracle(nprobe: Int): String =
+    s"""WITH ${annSqrtCtes(nprobe)}
+        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
   private val annIvfTrueOracle: String = annIvfOracle(1)
 
   /** Recall@5 of an IVF ANN path vs the brute-force top-5: the approx
@@ -898,6 +948,29 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1996-01-01'
          GROUP BY 1, 2, 3, round(c_acctbal * 100)
          ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""",
+    // Q21 shape: "late" adapted to l_shipdate > o_orderdate + 60 days
+    // (trimmed schema has no receipt/commit dates); EXISTS another
+    // supplier in the order, NOT EXISTS another LATE supplier
+    "q21_waiting_supplier" ->
+      """WITH ordF AS (SELECT o_orderkey, o_orderdate FROM orders
+              WHERE o_orderstatus = 'F'),
+         l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+               FROM lineitem JOIN ordF ON l_orderkey = o_orderkey),
+         late AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                  FROM l WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+         alls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                  FROM l),
+         cand AS (SELECT c.ok, c.sk FROM late c
+                  WHERE EXISTS (SELECT 1 FROM alls a
+                                WHERE a.ok = c.ok AND a.sk != c.sk)
+                    AND NOT EXISTS (SELECT 1 FROM late x
+                                    WHERE x.ok = c.ok AND x.sk != c.sk)),
+         ns AS (SELECT s_suppkey, s_name FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_9')
+         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM cand JOIN ns ON cand.sk = ns.s_suppkey
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
     "q18_volume_customer" ->
       """WITH big AS (SELECT l_orderkey,
              CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
@@ -1330,6 +1403,21 @@ object SparkEntry {
     "sim_ivf_build" ->
       s"""WITH $ivfAssignCtes,
           pop AS (SELECT cell, count(*) AS n FROM asg
+                  WHERE arn = 1 GROUP BY 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS n_vecs,
+                 CAST(min(n) AS BIGINT) AS min_cell_pop,
+                 CAST(max(n) AS BIGINT) AS max_cell_pop
+          FROM pop""",
+    // √N-quantizer family: re-clustering path and standing-index
+    // serving share one oracle (an index never changes the answer)
+    "sim_ann_sqrtk" -> annSqrtOracle(3),
+    "sim_ann_indexed_sqrt" -> annSqrtOracle(3),
+    // build summary: cell-population audit under the √N quantizer —
+    // n_cells grows as ⌈√N⌉ with the corpus, the scale rule itself
+    "sim_ivf_build_sqrt" ->
+      s"""WITH ${lloydCtes(sqrtKSql)},
+          pop AS (SELECT cell, count(*) AS n FROM asgk
                   WHERE arn = 1 GROUP BY 1)
           SELECT CAST(count(*) AS BIGINT) AS n_cells,
                  CAST(sum(n) AS BIGINT) AS n_vecs,
@@ -2240,6 +2328,73 @@ object SparkEntry {
                 CAST(lex_rank AS BIGINT) AS lex_rank,
                 CAST(sem_rank AS BIGINT) AS sem_rank
          FROM o WHERE rank <= 10 ORDER BY rank""",
+    // retrieval-quality eval: BM25 top-10 per query vs term-containment
+    // graded relevance; harmonic-discount NDCG + full-match MRR, all
+    // exact-integer (floor per rank term, e6 ratio)
+    "search_eval" ->
+      """WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, tok FROM (VALUES
+              (0,'spark'),(0,'join'),(0,'vector'),
+              (1,'stream'),(1,'window'),
+              (2,'hash'),(2,'merge'),(2,'batch'),(2,'scan')) t(qid, tok)),
+         nq AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_q
+                FROM q GROUP BY 1),
+         d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+         tokt AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         tf AS (SELECT q.qid, tokt.doc_id, q.tok,
+                  CAST(count(*) AS BIGINT) AS tf
+                FROM tokt JOIN q USING (tok) GROUP BY 1, 2, 3),
+         dfc AS (SELECT qid, tok, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1, 2),
+         sbm AS (SELECT tf.qid, tf.doc_id, tf.tf,
+                  (10000 * st.n_docs) // dfc.df AS idf_e4,
+                  (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
+                FROM tf JOIN dl USING (doc_id)
+                JOIN dfc ON dfc.qid = tf.qid AND dfc.tok = tf.tok
+                CROSS JOIN st),
+         sc AS (SELECT qid, doc_id,
+                  CAST(sum(idf_e4 * ((tf * 2200 * 10000)
+                    // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
+                    AS BIGINT) AS score_e7
+                FROM sbm GROUP BY 1, 2),
+         rk AS (SELECT qid, doc_id, row_number() OVER (
+                  PARTITION BY qid ORDER BY score_e7 DESC, doc_id) AS rank
+                FROM sc QUALIFY rank <= 10),
+         rel AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS rel
+                 FROM tf GROUP BY 1, 2),
+         dcg AS (SELECT rk.qid,
+                   CAST(sum((1000000 * rel.rel) // (rk.rank + 1)) AS BIGINT)
+                     AS dcg_e6
+                 FROM rk JOIN rel ON rel.qid = rk.qid
+                   AND rel.doc_id = rk.doc_id
+                 GROUP BY 1),
+         irk AS (SELECT qid, doc_id, rel, row_number() OVER (
+                   PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+                 FROM rel QUALIFY irank <= 10),
+         idcg AS (SELECT qid,
+                    CAST(sum((1000000 * rel) // (irank + 1)) AS BIGINT)
+                      AS idcg_e6
+                  FROM irk GROUP BY 1),
+         mrr AS (SELECT rk.qid, 1000000 // min(rk.rank) AS mrr_e6
+                 FROM rk JOIN rel ON rel.qid = rk.qid
+                   AND rel.doc_id = rk.doc_id
+                 JOIN nq ON nq.qid = rk.qid
+                 WHERE rel.rel = nq.n_q GROUP BY 1),
+         nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+                  FROM rel GROUP BY 1)
+         SELECT nq.qid, CAST(COALESCE(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+                CAST(COALESCE(mrr.mrr_e6, 0) AS BIGINT) AS mrr_e6,
+                CAST(COALESCE(dcg.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+                CAST(COALESCE(idcg.idcg_e6, 0) AS BIGINT) AS idcg_e6,
+                CAST(CASE WHEN COALESCE(idcg.idcg_e6, 0) > 0
+                     THEN (1000000 * COALESCE(dcg.dcg_e6, 0)) // idcg.idcg_e6
+                     ELSE 0 END AS BIGINT) AS ndcg_e6
+         FROM nq LEFT JOIN nrel USING (qid) LEFT JOIN dcg USING (qid)
+         LEFT JOIN idcg USING (qid) LEFT JOIN mrr USING (qid)
+         ORDER BY qid""",
     // the index BUILD summary: postings cardinality, vocabulary size,
     // corpus stats — the two tx commits text_bm25_indexed serves from
     "text_fts_build" ->
@@ -2373,6 +2528,40 @@ object SparkEntry {
                   AS sum_cents
          FROM orders, b WHERE o_orderkey NOT BETWEEN b.lo AND b.hi
          GROUP BY 1 ORDER BY 1""",
+    // time travel: three committed states recomputed relationally —
+    // v0 base customers, v1 after the urgent-order upsert, v2 after
+    // the disjoint-key supplier insert
+    "lake_time_travel" ->
+      """WITH base AS (SELECT c_custkey AS k,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS val_cents
+              FROM customer),
+         upd AS (SELECT o_custkey AS k,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS val_cents
+                 FROM orders WHERE o_orderpriority = '1-URGENT'
+                 GROUP BY 1),
+         v1 AS (SELECT base.k,
+                  COALESCE(upd.val_cents, base.val_cents) AS val_cents,
+                  CASE WHEN upd.k IS NOT NULL THEN 1 ELSE 0 END AS updated
+                FROM base LEFT JOIN upd USING (k)),
+         ins AS (SELECT 20000000 + s_suppkey AS k,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS val_cents
+                 FROM supplier),
+         v2 AS (SELECT k, val_cents, updated FROM v1
+                UNION ALL SELECT k, val_cents, 0 FROM ins)
+         SELECT 'v0' AS state, count(*) AS n_rows,
+                CAST(sum(val_cents) AS BIGINT) AS sum_cents,
+                CAST(0 AS BIGINT) AS n_updated
+         FROM base
+         UNION ALL
+         SELECT 'v1', count(*), CAST(sum(val_cents) AS BIGINT),
+                CAST(sum(updated) AS BIGINT)
+         FROM v1
+         UNION ALL
+         SELECT 'v2', count(*), CAST(sum(val_cents) AS BIGINT),
+                CAST(sum(updated) AS BIGINT)
+         FROM v2
+         ORDER BY state""",
     // identical magic-mask bit-spreading pipeline as ZOrder.spread16
     "f_zorder" ->
       """WITH t AS (SELECT o_custkey % 1024 AS a, o_orderkey % 1024 AS b

@@ -144,4 +144,37 @@ object LakeOps {
         .as("sum_cents"))
       .orderBy(col("prio"))
   }
+
+  /** Time travel: every commit's snapshot stays readable forever (the
+    * manifest log is immutable; only `vacuum` reclaims replaced
+    * files), so `read(Some(v))` reconstructs any historical state —
+    * the audit/reproducibility feature Delta calls VERSION AS OF.
+    * Three commits build three states (base customers → urgent-order
+    * upsert → disjoint-key insert), then each PINNED VERSION is
+    * summarized from its own manifest. The oracle recomputes all
+    * three states relationally from the source tables — a reader that
+    * leaked rows across versions (e.g. read latest files for an old
+    * version) fails the gate. Version reads list one manifest each;
+    * no data beyond the summarized snapshots is touched. */
+  def lakeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tx = TxTable(spark, Scratch.fresh("tx_tt"))
+    val v0 = tx.append(baseRows(t).repartitionByRange(8, col("k")),
+      statsCols = Seq("k"))
+    val v1 = tx.merge(updateRows(t, urgentOnly = true), "k",
+      statsCols = Seq("k"), targetFiles = 8)
+    val v2 = tx.merge(insertRows(t), "k", statsCols = Seq("k"),
+      targetFiles = 2)
+    def summarize(v: Long, name: String): DataFrame =
+      tx.read(Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("val_cents")).cast("long").as("sum_cents"),
+          count(when(col("seg") === "updated", lit(1))).as("n_updated"))
+        .select(lit(name).as("state"), col("n_rows"), col("sum_cents"),
+          col("n_updated"))
+    summarize(v0, "v0")
+      .unionByName(summarize(v1, "v1"))
+      .unionByName(summarize(v2, "v2"))
+      .orderBy(col("state"))
+  }
 }

@@ -318,6 +318,55 @@ object Relational {
         col("revenue_e4"), col("acctbal_cents"))
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    * heaviest classic join-order stress: a DOUBLE-correlated
+    * existence test on the same fact table. Adapted to this schema
+    * ("late" := l_shipdate > o_orderdate + 60 days, the trimmed
+    * tables carry no receipt/commit dates): a supplier is counted for
+    * an F-status order when its line was late, ANOTHER supplier also
+    * supplied the order (EXISTS), and NO other supplier was late on
+    * it (NOT EXISTS).
+    *
+    * Spark-first form: both correlated subqueries become one
+    * LEFT SEMI and one LEFT ANTI join against the same (order,
+    * supplier) frames — Catalyst's own decorrelation target — so the
+    * plan is three hash joins sharing the l_orderkey shuffle, never a
+    * per-row subquery. The nation dim is the only static broadcast
+    * (constant-size); the SF-scaled supplier side is AQE-decided, and
+    * the nation filter SEMI-prunes candidates before the count. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String,
+      nationName: String = "NATION_9", lateDays: Int = 60): DataFrame = {
+    val t = Tables(spark, dir)
+    val ordF = t.orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+    val lLate = l
+      .filter(col("l_shipdate") > expr(s"o_orderdate + INTERVAL $lateDays DAY"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val oth = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val othLate = lLate.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val natSupp = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    lLate
+      .join(oth, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        "left_semi")
+      .join(othLate, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        "left_anti")
+      .join(natSupp.select(col("s_suppkey").as("sk")), Seq("sk"), "left_semi")
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(natSupp, col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** Set operations beyond union: INTERSECT / EXCEPT over key sets
     * (customers with vs without orders by key arithmetic). Spark plans
     * both as aggregates/semi-anti joins — no materialized temp sets. */

@@ -618,6 +618,94 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Ranked nearest-centroid assignment — [[assignTo]] without the
+    * argmin filter: every (vec_id, cell) pair with its exact integer
+    * squared distance and per-vector rank `crn`. The multiprobe
+    * front-end of the trained-quantizer family (crn = 1 is membership,
+    * crn ≤ nprobe is the probe list). Hint policy follows the caller's
+    * k-provenance, exactly as in [[assignTo]]. */
+  private def rankedTo(qe: DataFrame, cents: DataFrame,
+      boundedK: Boolean = false): DataFrame = {
+    val centSide = if (boundedK) broadcast(cents) else cents
+    val dists = qe.select(col("vec_id"), col("dim"), col("q"))
+      .join(centSide, Seq("dim"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    dists.withColumn("crn", row_number().over(w))
+  }
+
+  /** The √N-rule coarse quantizer as one shared front: quantized
+    * coordinates (checkpointed once — Lloyd re-reads them every
+    * round), the Lloyd-trained k=⌈√N⌉ centroid table, and the proven
+    * broadcast bound for that k (k·d·24 B ≤ 32 MB; at N=10¹⁰, d=768
+    * the bound fails and every join below falls back to shuffle, as
+    * it must). This is the scale path BASELINE.md's round-8 vector
+    * measurements call for: with k ∝ √N the probed corpus fraction is
+    * nprobe/√N — it SHRINKS as the corpus grows — where any fixed k
+    * leaves serving Θ(nprobe/k · N) forever. */
+  private def sqrtQuantizer(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Boolean) = {
+    val qe = quantized(spark, dir).localCheckpoint()
+    val nd = Tables(spark, dir).embeddings
+      .agg(count(lit(1)).as("n"),
+        max(size(col("embedding"))).cast("long").as("d"))
+      .head
+    val kk = math.ceil(math.sqrt(nd.getLong(0).toDouble)).toInt
+    val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
+    (qe, lloydCentroids(qe, kk, 2, bounded).localCheckpoint(), bounded)
+  }
+
+  /** Exact-cosine top-k of each probe list's member cells — the shared
+    * back half of every cell-partitioned ANN path: join the probe list
+    * (qid, q_cell — |Q|·nprobe rows, metadata-sized by definition, the
+    * broadcast side together with the |Q| query vectors) against the
+    * member rows (cell, vec_id, embedding), score with the codegen'd
+    * [[graft.functions.CosineSimQ]], rank within query. */
+  private def topkByCell(spark: SparkSession, dir: String,
+      members: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val queries = probes.join(
+      Tables(spark, dir).embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")),
+      Seq("qid"))
+    val scored = members
+      .join(broadcast(queries), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_e6"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Multi-probe ANN under the √N-cell TRAINED quantizer — the scale
+    * path the fixed-k measurements point at (BASELINE.md r8): members
+    * live in their argmin cell among k=⌈√N⌉ Lloyd cells, the query
+    * probes its nprobe nearest, so the candidate set is
+    * nprobe/⌈√N⌉ of the corpus — a fraction that SHRINKS as the
+    * corpus grows (nprobe·√N candidates total), against Θ(N) for any
+    * quantizer whose k is pinned. Same deterministic Lloyd as
+    * [[kmeansAssign]] (hash-seeded init, exact-integer argmin,
+    * half-up integer means), so every step stays oracle-expressible.
+    */
+  def annIvfSqrtK(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    val (qe, cents, bounded) = sqrtQuantizer(spark, dir)
+    val ranked = rankedTo(qe, cents, bounded)
+    val member = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val members = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+      .join(member, Seq("vec_id"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    topkByCell(spark, dir, members, probes, k)
+  }
+
   /** Multi-probe ANN served FROM THE STANDING INDEX — semantically
     * identical to [[annIvfMultiprobe]] (same probe ranking, same
     * exact-cosine scoring; an index never changes the answer — it
@@ -655,5 +743,85 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cos_e6"),
         col("rn").cast("long").as("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** One pass into a standing √N-cell index: train the ⌈√N⌉ Lloyd
+    * quantizer, lay the postings out cell-range-partitioned with a
+    * Bloom bitmap on `cell`, pin the centroid table. Identical
+    * mechanics to [[buildIvfIndex]] — the index machinery is
+    * orthogonal to the quantizer, which is the point: swapping the
+    * fixed-k quantizer for the √N rule changes ONLY the cell
+    * alphabet, and turns the served fraction from nprobe/k (constant)
+    * into nprobe/√N (shrinking). Registered under its own key so the
+    * fixed-k and √N indices coexist in one session. */
+  private def buildIvfSqrtIndex(spark: SparkSession, dir: String): IvfIndex = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val (qe, cents, bounded) = sqrtQuantizer(spark, dir)
+    val member = rankedTo(qe, cents, bounded).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val pDir = Scratch.fresh("tx_ivf_sqrt")
+    TxTable(spark, pDir).append(
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+        .join(member, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val cDir = Scratch.fresh("tx_ivf_sqrt_cents")
+    TxTable(spark, cDir).append(cents)
+    val idx = IvfIndex(pDir, cDir)
+    ivfStanding.put(dir + "#sqrt", idx)
+    idx
+  }
+
+  /** Get-or-build the standing √N-cell IVF index (Bench warms it so
+    * `sim_ann_indexed_sqrt` times the point-read serving path). */
+  def ensureIvfSqrt(spark: SparkSession, dir: String): IvfIndex = {
+    val hit = ivfStanding.get(dir + "#sqrt")
+    if (hit != null) hit else buildIvfSqrtIndex(spark, dir)
+  }
+
+  /** The √N-index BUILD as its own declared query: owns the quantizer
+    * training and both tx commits, returns the cell-population audit.
+    * n_cells here GROWS with the corpus (⌈√N⌉) — the audit row is the
+    * measurable witness of the scale rule, where [[ivfBuild]]'s stays
+    * pinned at the label alphabet. */
+  def ivfBuildSqrt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.TxTable
+    val idx = buildIvfSqrtIndex(spark, dir)
+    TxTable(spark, idx.postings).read()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).cast("long").as("n_vecs"),
+        min(col("n")).cast("long").as("min_cell_pop"),
+        max(col("n")).cast("long").as("max_cell_pop"))
+  }
+
+  /** Multi-probe ANN served from the STANDING √N index — the
+    * composition of the two scale levers, and the serving path that
+    * actually survives a growing corpus: per-query candidates are
+    * nprobe/⌈√N⌉ of the postings (shrinking fraction, [[annIvfSqrtK]])
+    * AND the read is a Bloom-pruned point read of just the probed
+    * cells' files ([[annIndexed]]'s mechanics). Probe ranking touches
+    * the build-pinned centroid table only — ⌈√N⌉·d rows, read from
+    * its tx table with stats known to the planner, so no static hint
+    * is needed or given (the √N side GROWS with the corpus; AQE keeps
+    * broadcasting it while it measures small and stops when it
+    * doesn't — the PlanSpec rule). Deterministic Lloyd ⇒ identical
+    * centroids to a fresh [[annIvfSqrtK]] train, so the index never
+    * changes the answer and the two paths share one oracle. */
+  def annIndexedSqrt(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    import graft.lake.TxTable
+    val idx = ensureIvfSqrt(spark, dir)
+    val cents = TxTable(spark, idx.centroids).read()
+    val qeQ = quantized(spark, dir).filter(col("vec_id") < 5)
+    val probes = rankedTo(qeQ, cents).filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    val cellIds = probes.select(col("q_cell")).distinct()
+      .collect().map(r => lit(r.get(0))).toSeq
+    val members = TxTable(spark, idx.postings).readWhereIn("cell", cellIds)
+    topkByCell(spark, dir, members, probes, k)
   }
 }

@@ -668,4 +668,95 @@ object TextAnalysis {
         min(col("pos")).cast("long").as("first_pos"))
       .orderBy(col("doc_id"))
   }
+
+  /** Retrieval-quality evaluation — the measuring half every search
+    * stack needs (BM25, ANN, RRF are answer-producers; this scores the
+    * answers): per query, MRR and NDCG@k of the BM25 ranking against a
+    * deterministic graded ground truth. Relevance of a document is the
+    * number of DISTINCT query terms it contains (0..|q| — the standard
+    * term-containment grade when no human labels exist), the ideal
+    * ranking sorts by that grade, and MRR looks for the first FULL
+    * match (rel = |q|; "first hit" under any-term relevance is vacuous
+    * for a ranker that only retrieves matching docs).
+    *
+    * Numerics: the discount is harmonic (gain/(rank+1), the
+    * Burges-family alternative to 1/log₂(rank+1)) so every per-rank
+    * term is one exact integer division — floor(10⁶·rel/(rank+1)) —
+    * and DCG, IDCG, and their e6 ratio are bit-identical across
+    * engines; a log₂ discount would put a transcendental in the hash
+    * path for no methodological gain.
+    *
+    * Scale shape: the query list is metadata (|Q| terms, broadcast);
+    * the corpus contributes one tokenize-filter-aggregate pass shared
+    * by scoring AND grading (the tf frame feeds both), the per-query
+    * candidate sets are top-k (k rows per query), and the metric
+    * reduction is |Q|-sized. Nothing here outgrows the BM25 scan it
+    * evaluates. */
+  def searchEval(spark: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])] = Seq(
+        0L -> Seq("spark", "join", "vector"),
+        1L -> Seq("stream", "window"),
+        2L -> Seq("hash", "merge", "batch", "scan")),
+      topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val q = queries.flatMap { case (qid, ts) => ts.map(tk => (qid, tk)) }
+      .toDF("qid", "tok")
+    val nq = q.groupBy(col("qid")).agg(count(lit(1)).as("n_q"))
+    val docs = t.documents.select(col("doc_id"),
+        split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_toks"))
+    // one shared pass: (qid, doc, tok) term frequencies drive BOTH the
+    // BM25 score and the relevance grade
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .join(broadcast(q), Seq("tok"))
+      .groupBy(col("qid"), col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("qid"), col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfc), Seq("qid", "tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_e4", expr("(10000 * n_docs) div df"))
+      .withColumn("dlr_e3", expr("(1000 * dl * n_docs) div t_toks"))
+      .withColumn("sat_e4", expr("12 * (250 + (750 * dlr_e3) div 1000)"))
+      .withColumn("ratio_e3",
+        expr("(tf * 2200 * 10000) div (tf * 10000 + sat_e4)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("idf_e4") * col("ratio_e3")).as("score_e7"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score_e7").desc, col("doc_id"))
+    val rk = scored.withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= topK)
+    val rel = tf.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("rel")) // rows are distinct terms present
+    val dcg = rk.join(rel, Seq("qid", "doc_id"))
+      .groupBy(col("qid"))
+      .agg(sum(expr("(1000000 * rel) div (rank + 1)")).as("dcg_e6"))
+    val wi = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.withColumn("irank", row_number().over(wi).cast("long"))
+      .filter(col("irank") <= topK)
+      .groupBy(col("qid"))
+      .agg(sum(expr("(1000000 * rel) div (irank + 1)")).as("idcg_e6"))
+    val mrr = rk.join(rel, Seq("qid", "doc_id")).join(nq, Seq("qid"))
+      .filter(col("rel") === col("n_q"))
+      .groupBy(col("qid"))
+      .agg(expr("1000000 div min(rank)").as("mrr_e6"))
+    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    nq.select(col("qid"))
+      .join(nrel, Seq("qid"), "left")
+      .join(dcg, Seq("qid"), "left")
+      .join(idcg, Seq("qid"), "left")
+      .join(mrr, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("mrr_e6"), lit(0L)).as("mrr_e6"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        coalesce(col("idcg_e6"), lit(0L)).as("idcg_e6"),
+        expr("CASE WHEN coalesce(idcg_e6, 0) > 0 THEN" +
+          " (1000000 * coalesce(dcg_e6, 0)) div idcg_e6" +
+          " ELSE 0 END").as("ndcg_e6"))
+      .orderBy(col("qid"))
+  }
 }

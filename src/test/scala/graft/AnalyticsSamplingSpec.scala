@@ -382,6 +382,58 @@ class AnalyticsSamplingSpec extends SparkSpec {
       audit.getAs[Long]("max_cell_pop"))
   }
 
+  test("√N-cell ANN: indexed serving equals the re-clustering path, " +
+      "the cell alphabet follows ⌈√N⌉, and probing is a strict prune") {
+    import graft.operators.Similarity
+    val served = Similarity.annIndexedSqrt(spark, sf).collect().toSeq
+    val direct = Similarity.annIvfSqrtK(spark, sf).collect().toSeq
+    assert(served === direct, "an index must never change the answer")
+    // every query serves a full ranked 1..k list
+    served.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq ===
+        (1L to rows.length).toSeq)
+    }
+    val audit = Similarity.ivfBuildSqrt(spark, sf).head()
+    val nVecs = graft.core.Tables(spark, sf).embeddings.count()
+    assert(audit.getAs[Long]("n_vecs") === nVecs,
+      "every vector lives in exactly one cell")
+    // Lloyd may empty a cell but can never mint one: 1 < cells ≤ ⌈√N⌉
+    val kTarget = math.ceil(math.sqrt(nVecs.toDouble)).toLong
+    assert(audit.getAs[Long]("n_cells") > 1L)
+    assert(audit.getAs[Long]("n_cells") <= kTarget)
+    // the scale claim itself: a probe touches < the whole corpus even
+    // summed over all queries (nprobe·√N candidates, not Θ(N) per q)
+    assert(audit.getAs[Long]("max_cell_pop") * 3 < nVecs,
+      "3 probes of the fattest cell must still strictly prune")
+    // a cell point read must Bloom-prune to a strict file subset
+    val idx = Similarity.ensureIvfSqrt(spark, sf)
+    val tx = graft.lake.TxTable(spark, idx.postings)
+    val snap = tx.latest().get
+    val aCell = tx.read().select(col("cell")).head().get(0)
+    val live = tx.bloomLiveEntries(snap, "cell", lit(aCell))
+    assert(live.nonEmpty && live.size < snap.files.size,
+      s"bloom pruned nothing: ${live.size} of ${snap.files.size} files live")
+  }
+
+  test("search eval: NDCG and MRR obey their bounds and the ideal " +
+      "ranking dominates the served one") {
+    val rows = TextAnalysis.searchEval(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (dcg, idcg) = (r.getAs[Long]("dcg_e6"), r.getAs[Long]("idcg_e6"))
+      assert(r.getAs[Long]("n_rel") > 0L, "fixture queries must match")
+      // IDCG is the max over orderings, so it dominates the served DCG
+      assert(dcg <= idcg)
+      val ndcg = r.getAs[Long]("ndcg_e6")
+      assert(ndcg > 0L && ndcg <= 1000000L)
+      // integer-floor consistency: ndcg = (1e6·dcg) div idcg exactly
+      assert(ndcg === (1000000L * dcg) / idcg)
+      val mrr = r.getAs[Long]("mrr_e6")
+      assert(mrr == 0L || (mrr >= 1000000L / 10 && mrr <= 1000000L),
+        s"mrr out of the rank-1..10 band: $mrr")
+    }
+  }
+
   test("pinned-quantizer IVF append lifecycle is deterministic and " +
       "serves complete ranked lists") {
     import graft.operators.Similarity
@@ -396,6 +448,42 @@ class AnalyticsSamplingSpec extends SparkSpec {
     // of the corpus: rebuilding must reproduce it exactly
     assert(served.toSeq ===
       Similarity.ivfAppendServe(spark, sf).collect().toSeq)
+  }
+
+  test("q21 semi/anti form equals Spark SQL's own EXISTS decorrelation") {
+    val t = graft.core.Tables(spark, sf)
+    t.orders.createOrReplaceTempView("q21_orders")
+    t.lineitem.createOrReplaceTempView("q21_lineitem")
+    t.supplier.createOrReplaceTempView("q21_supplier")
+    t.nation.createOrReplaceTempView("q21_nation")
+    val sqlForm = spark.sql(
+      """WITH ordF AS (SELECT o_orderkey, o_orderdate FROM q21_orders
+             WHERE o_orderstatus = 'F'),
+         l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+               FROM q21_lineitem JOIN ordF ON l_orderkey = o_orderkey),
+         late AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                  FROM l WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+         alls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM l),
+         cand AS (SELECT c.ok, c.sk FROM late c
+                  WHERE EXISTS (SELECT 1 FROM alls a
+                                WHERE a.ok = c.ok AND a.sk != c.sk)
+                    AND NOT EXISTS (SELECT 1 FROM late x
+                                    WHERE x.ok = c.ok AND x.sk != c.sk)),
+         ns AS (SELECT s_suppkey, s_name FROM q21_supplier
+                JOIN q21_nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_19')
+         SELECT s_name, count(*) AS numwait
+         FROM cand JOIN ns ON cand.sk = ns.s_suppkey
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""").collect()
+    val manual = graft.operators.Relational
+      .q21WaitingSupplier(spark, sf, nationName = "NATION_19").collect()
+    assert(manual.nonEmpty, "fixture nation must have waiting suppliers")
+    assert(manual.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      sqlForm.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // counts descend; suppliers unique
+    val counts = manual.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(manual.map(_.getString(0)).distinct.length === manual.length)
   }
 
   test("q10 returns a descending exact-revenue top-20 with unique " +

@@ -96,7 +96,10 @@ class PlanSpec extends SparkSpec {
       // semantic leg embeds sim_cosine_topk's broadcast-queries cross
       "search_hybrid_rrf",
       // contain sim_cosine_topk's broadcast-queries cross join
-      "sim_ann_recall", "sim_ann_recall_mp")
+      "sim_ann_recall", "sim_ann_recall_mp",
+      // crosses in the same 1-row (N, Σdl) corpus-stats aggregate as
+      // text_bm25_search, per evaluated query
+      "search_eval")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
