@@ -87,6 +87,8 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) =>
       Dedup.embeddingCosineOn(plantedEmbeddings(s, d))),
     "skew_salted_agg" -> Skew.skewSaltedAgg _,
+    "skew_salted_join" -> ((s: SparkSession, dir: String) =>
+      Skew.skewSaltedJoin(s, dir)),
     "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
     "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
     "domain_retail_enrich" -> DomainBridge2.retailEnrich _,
@@ -1430,6 +1432,14 @@ object SparkEntry {
                 count(DISTINCT user_id) AS n_distinct,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    // salting is a layout choice, never a semantic: the salted join's
+    // aggregate equals the plain join's
+    "skew_salted_join" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "domain_people_enrich" -> peopleEnrichOracle,
     "domain_safety_enrich" -> safetyEnrichOracle,
     "view_people_es" -> peopleEsOracle,

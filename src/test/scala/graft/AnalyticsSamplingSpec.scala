@@ -450,6 +450,23 @@ class AnalyticsSamplingSpec extends SparkSpec {
       Similarity.ivfAppendServe(spark, sf).collect().toSeq)
   }
 
+  test("salted join is row-identical to the plain join") {
+    import graft.operators.Skew
+    val t = graft.core.Tables(spark, sf)
+    val fact = t.events.select(col("user_id"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("val_cents"))
+    val dim = t.customer.select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("seg"))
+    val salted = Skew.saltedJoin(fact, col("event_id"), dim, "user_id", 8)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("seg")))
+      .sorted.toSeq
+    val plain = fact.join(dim, Seq("user_id"))
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("seg")))
+      .sorted.toSeq
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
   test("q21 semi/anti form equals Spark SQL's own EXISTS decorrelation") {
     val t = graft.core.Tables(spark, sf)
     t.orders.createOrReplaceTempView("q21_orders")
