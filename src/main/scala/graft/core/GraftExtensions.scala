@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimQ
+import graft.functions.{CosineSimQ, Dist2Q}
 
 /** Session extensions registering the engine's native Catalyst
   * expressions, activated via `spark.sql.extensions` (see [[Sessions]]).
@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimQ].getName, "cosine_sim_e6"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimQ(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("dist2_q"),
+      new ExpressionInfo(classOf[Dist2Q].getName, "dist2_q"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Dist2Q(exprs.head, exprs(1))))
   }
 }

@@ -644,16 +644,105 @@ object Similarity {
     * measurements call for: with k ∝ √N the probed corpus fraction is
     * nprobe/√N — it SHRINKS as the corpus grows — where any fixed k
     * leaves serving Θ(nprobe/k · N) forever. */
+  /** Centroid table (cell, dim, c) → one row per cell with the
+    * dim-ordered quantized vector — the broadcast side of the codegen
+    * assignment kernel. k rows; the HOF transform is interpreted but
+    * touches only k·d elements once. */
+  private def centRows(cents: DataFrame): DataFrame =
+    cents.groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cvec"))
+
+  /** Ranked nearest-centroid assignment as N·k SCORED ROWS: embeddings
+    * cross the broadcast per-cell centroid vectors, the native
+    * [[graft.functions.Dist2Q]] computes each exact integer squared
+    * distance in a whole-stage-codegen loop, and the (dist2, cell)
+    * window ranks per vector. This is the bounded-k fast path — the
+    * relational dim-join ([[rankedTo]]) materializes N·d·k rows
+    * through a hash aggregate for the same answer (measured 55.7 s vs
+    * ~4 s on the 10× replica's 142-cell training) but carries no
+    * broadcast, so it remains the over-bound fallback. */
+  private def rankedByDist(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(centRows(cents)))
+      .withColumn("dist2",
+        graft.functions.Dist2Q.dist2Q(col("embedding"), col("cvec")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    scored.select(col("vec_id"), col("cell"), col("dist2"))
+      .withColumn("crn", row_number().over(w))
+  }
+
+  /** Ranked assignment under the proven-bound hint policy: the
+    * broadcast-kernel form while k·d·24 B fits the 32 MB bound, the
+    * hint-free dim-join shuffle beyond it. */
+  private def rankedCells(spark: SparkSession, dir: String, cents: DataFrame,
+      bounded: Boolean): DataFrame =
+    if (bounded)
+      rankedByDist(Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding")), cents)
+    else rankedTo(quantized(spark, dir), cents)
+
+  /** Deterministic Lloyd training with the codegen assignment kernel:
+    * per round, assignment is N·k scored rows ([[rankedByDist]]) and
+    * the mean update one N·d-row aggregate — identical integers to
+    * [[lloydCentroids]] (same hash-seeded init, same argmin tie-break,
+    * same half-up integer means), only the assignment's physical shape
+    * changes. Bounded-k callers only (seeds and centroids broadcast). */
+  private def lloydCentroidsFast(spark: SparkSession, dir: String,
+      qe: DataFrame, k: Int, iters: Int): DataFrame = {
+    val hashOrder = Seq(
+      graft.functions.PortableHash.phash(col("vec_id").cast("string"), 11).asc,
+      col("vec_id").asc)
+    val seedIds = qe.select(col("vec_id")).distinct()
+      .orderBy(hashOrder: _*).limit(k)
+    val wSeed = Window.orderBy(hashOrder: _*) // over k rows only
+    val seeds0 = seedIds
+      .withColumn("cell", (row_number().over(wSeed) - 1).cast("long"))
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    var cents = qe.join(broadcast(seeds0), Seq("vec_id"))
+      .select(col("cell"), col("dim"), col("q").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val asg = rankedByDist(emb, cents).filter(col("crn") === 1)
+        .select(col("vec_id"), col("cell"))
+      cents = qe.join(asg, Seq("vec_id"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+            .as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   private def sqrtQuantizer(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Boolean) = {
-    val qe = quantized(spark, dir).localCheckpoint()
+      : (DataFrame, Boolean) = {
+    // persist (NOT localCheckpoint) the training input: Lloyd re-reads
+    // it ~2·iters+1 times, but the block must be FREEABLE — a
+    // localCheckpoint block can neither be evicted safely (lineage is
+    // truncated) nor unpersisted through the DataFrame API, so
+    // repeated √N trainings in one JVM would pin block-manager memory
+    // until exit (measured: a 10× bench run with the leaked blocks ran
+    // unrelated queries 10-20× slower from heap pressure).
+    val qeT = quantized(spark, dir).persist()
     val nd = Tables(spark, dir).embeddings
       .agg(count(lit(1)).as("n"),
         max(size(col("embedding"))).cast("long").as("d"))
       .head
     val kk = math.ceil(math.sqrt(nd.getLong(0).toDouble)).toInt
     val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
-    (qe, lloydCentroids(qe, kk, 2, bounded).localCheckpoint(), bounded)
+    // eager: the k·d-row centroid checkpoint materializes the whole
+    // training against the hot cache and cuts its lineage...
+    val cents =
+      (if (bounded) lloydCentroidsFast(spark, dir, qeT, kk, 2)
+       else lloydCentroids(qeT, kk, 2, boundedK = false))
+        .localCheckpoint()
+    // ...so the training input frees immediately; callers' final
+    // assignment runs the codegen kernel over a fresh narrow scan
+    // instead of holding N·d rows hostage
+    qeT.unpersist(blocking = false)
+    (cents, bounded)
   }
 
   /** Exact-cosine top-k of each probe list's member cells — the shared
@@ -694,8 +783,8 @@ object Similarity {
     */
   def annIvfSqrtK(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
-    val (qe, cents, bounded) = sqrtQuantizer(spark, dir)
-    val ranked = rankedTo(qe, cents, bounded)
+    val (cents, bounded) = sqrtQuantizer(spark, dir)
+    val ranked = rankedCells(spark, dir, cents, bounded)
     val member = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"))
     val members = Tables(spark, dir).embeddings
@@ -757,8 +846,9 @@ object Similarity {
   private def buildIvfSqrtIndex(spark: SparkSession, dir: String): IvfIndex = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val (qe, cents, bounded) = sqrtQuantizer(spark, dir)
-    val member = rankedTo(qe, cents, bounded).filter(col("crn") === 1)
+    val (cents, bounded) = sqrtQuantizer(spark, dir)
+    val member = rankedCells(spark, dir, cents, bounded)
+      .filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"))
     val pDir = Scratch.fresh("tx_ivf_sqrt")
     TxTable(spark, pDir).append(
@@ -816,8 +906,15 @@ object Similarity {
     import graft.lake.TxTable
     val idx = ensureIvfSqrt(spark, dir)
     val cents = TxTable(spark, idx.centroids).read()
-    val qeQ = quantized(spark, dir).filter(col("vec_id") < 5)
-    val probes = rankedTo(qeQ, cents).filter(col("crn") <= nprobe)
+    // the build-pinned centroid table is k·d rows — metadata-sized, so
+    // counting it to prove the broadcast bound costs one point read
+    val bounded = cents.count() * 24L <= (32L << 20)
+    val probes = (if (bounded)
+        rankedByDist(Tables(spark, dir).embeddings
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")), cents)
+      else rankedTo(quantized(spark, dir).filter(col("vec_id") < 5), cents))
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
     val cellIds = probes.select(col("q_cell")).distinct()
       .collect().map(r => lit(r.get(0))).toSeq

@@ -99,7 +99,12 @@ class PlanSpec extends SparkSpec {
       "sim_ann_recall", "sim_ann_recall_mp",
       // crosses in the same 1-row (N, Σdl) corpus-stats aggregate as
       // text_bm25_search, per evaluated query
-      "search_eval")
+      "search_eval",
+      // √N IVF assignment kernel: embeddings × the k-row quantized
+      // centroid table through the codegen Dist2Q scorer — broadcast
+      // only under the PROVEN k·d·24 B ≤ 32 MB bound (driver scalars),
+      // with the hint-free dim-join shuffle as the over-bound fallback
+      "sim_ann_sqrtk", "sim_ivf_build_sqrt", "sim_ann_indexed_sqrt")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
