@@ -111,6 +111,7 @@ object SparkEntry {
     "w_rank_suite" -> Analytics.wRankSuite _,
     "w_range_frame" -> Analytics.wRangeFrame _,
     "a_corr_cov" -> Analytics.aCorrCov _,
+    "a_hll_distinct" -> ApproxDistinct.aHllDistinct _,
     "j_asof" -> Temporal.jAsof _,
     "j_range" -> Temporal.jRange _,
     "dedup_cc" -> Cluster.dedupCc _,
@@ -1793,6 +1794,53 @@ object SparkEntry {
                 CASE WHEN dx = 0 OR dy = 0 THEN NULL
                      ELSE (n * sxy - sx * sy) / (sqrt(dx) * sqrt(dy)) END AS corr
          FROM d ORDER BY l_returnflag""",
+    "a_hll_distinct" ->
+      """WITH h AS (SELECT event_type,
+                    md5(CAST(user_id AS VARCHAR) || '#hll') AS d FROM events),
+         b AS (SELECT event_type,
+                      (strpos('0123456789abcdef', substr(d,1,1))-1)*16
+                      + strpos('0123456789abcdef', substr(d,2,1))-1 AS reg,
+                      substr(d,3,30) AS tail,
+                      30 - length(ltrim(substr(d,3,30), '0')) AS z
+               FROM h),
+         c AS (SELECT event_type, reg, z,
+                      CASE WHEN z >= 30 THEN 0
+                           ELSE strpos('0123456789abcdef', substr(tail, z+1, 1))-1
+                      END AS nz
+               FROM b),
+         r AS (SELECT event_type, reg,
+                      CASE WHEN z >= 30 THEN 121
+                           ELSE 4*z + (CASE WHEN nz >= 8 THEN 0 WHEN nz >= 4 THEN 1
+                                            WHEN nz >= 2 THEN 2 ELSE 3 END) + 1
+                      END AS rho
+               FROM c),
+         s AS (SELECT event_type, reg, max(rho) AS mrho FROM r GROUP BY 1, 2),
+         e AS (SELECT event_type,
+                      CAST(sum(CASE WHEN mrho <= 40
+                                    THEN (CAST(1 AS BIGINT) << (40 - mrho))
+                                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s_hit,
+                      count(*) AS nreg
+               FROM s GROUP BY 1),
+         f AS (SELECT event_type, 256 - nreg AS v_zero,
+                      s_hit + (256 - nreg) * (CAST(1 AS BIGINT) << 40) AS s40
+               FROM e),
+         g AS (SELECT event_type, v_zero, s40,
+                      (7182 * ((CAST(1 AS BIGINT) << 56) // greatest(s40, 256)))
+                        // 10000 AS est_raw
+               FROM f),
+         x AS (SELECT event_type,
+                      CAST(CASE WHEN s40 < 256
+                                THEN (7182 * (CAST(1 AS BIGINT) << 48)) // 10000
+                                WHEN est_raw <= 640 AND v_zero > 0
+                                THEN CAST(floor(256.0 * ln(256.0 / v_zero) + 0.5) AS BIGINT)
+                                ELSE est_raw END AS BIGINT) AS est_distinct,
+                      CAST(v_zero AS BIGINT) AS empty_regs
+               FROM g)
+         SELECT x.event_type, est_distinct, empty_regs,
+                CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+         FROM x JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+                      FROM events GROUP BY 1) ex ON x.event_type = ex.event_type
+         ORDER BY x.event_type""",
     "j_asof" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
                     FROM events),

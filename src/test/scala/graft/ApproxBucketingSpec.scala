@@ -72,4 +72,35 @@ class ApproxBucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
   }
+
+  test("portable HLL estimates within its error bound at high cardinality") {
+    import graft.operators.ApproxDistinct
+    // 60 000 distinct keys — well past the linear-counting switch
+    // (2.5·m = 640), so this exercises the raw harmonic-sum estimator,
+    // where σ = 1.04/√256 ≈ 6.5%; assert 3σ
+    val df = spark.range(0, 60000)
+      .selectExpr("'g' AS grp", "CAST(id AS STRING) AS v")
+    val est = ApproxDistinct.hllEstimate(
+      ApproxDistinct.hllSketch(df, Seq("grp"), "v"), Seq("grp"))
+      .head().getAs[Long]("est")
+    assert(math.abs(est - 60000.0) / 60000.0 <= 0.20, s"est=$est")
+  }
+
+  test("HLL sketch merge: union of partial sketches equals sketch of union") {
+    import graft.operators.ApproxDistinct
+    val a = spark.range(0, 3000)
+      .selectExpr("'g' AS grp", "CAST(id AS STRING) AS v")
+    val b = spark.range(2000, 5000) // overlapping key space
+      .selectExpr("'g' AS grp", "CAST(id AS STRING) AS v")
+    val merged = ApproxDistinct.hllSketch(a, Seq("grp"), "v")
+      .union(ApproxDistinct.hllSketch(b, Seq("grp"), "v"))
+      .groupBy(col("grp"), col("reg"))
+      .agg(max(col("mrho")).cast("int").as("mrho"))
+    val whole = ApproxDistinct.hllSketch(a.union(b), Seq("grp"), "v")
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    // and the merged estimate sees the union's cardinality (5 000)
+    val est = ApproxDistinct.hllEstimate(merged, Seq("grp"))
+      .head().getAs[Long]("est")
+    assert(math.abs(est - 5000.0) / 5000.0 <= 0.20, s"est=$est")
+  }
 }
