@@ -112,6 +112,9 @@ object SparkEntry {
     "w_range_frame" -> Analytics.wRangeFrame _,
     "a_corr_cov" -> Analytics.aCorrCov _,
     "a_hll_distinct" -> ApproxDistinct.aHllDistinct _,
+    "a_cms_freq" -> FreqSketch.aCmsFreq _,
+    "ts_gapfill_interp" -> ((s: SparkSession, dir: String) =>
+      TimeSeries.gapFillInterpolate(s, dir)),
     "j_asof" -> Temporal.jAsof _,
     "j_range" -> Temporal.jRange _,
     "dedup_cc" -> Cluster.dedupCc _,
@@ -1794,6 +1797,60 @@ object SparkEntry {
                 CASE WHEN dx = 0 OR dy = 0 THEN NULL
                      ELSE (n * sxy - sx * sy) / (sqrt(dx) * sqrt(dy)) END AS corr
          FROM d ORDER BY l_returnflag""",
+    "a_cms_freq" -> {
+      val md5e = "md5(CAST(user_id AS VARCHAR) || '#cms')"
+      def cellSql(r: Int) =
+        s"""(strpos('0123456789abcdef', substr($md5e, ${8 * r + 1}, 1)) - 1) * 16
+           | + strpos('0123456789abcdef', substr($md5e, ${8 * r + 2}, 1)) - 1"""
+          .stripMargin
+      val rows = (0 until 4).map(r =>
+        s"SELECT user_id, $r AS r, ${cellSql(r)} AS cell FROM events")
+        .mkString("\n         UNION ALL ")
+      s"""WITH g AS ($rows),
+         sk AS (SELECT r, cell, count(*) AS c FROM g GROUP BY 1, 2),
+         k AS (SELECT DISTINCT user_id, r, cell FROM g),
+         est AS (SELECT k.user_id, CAST(min(sk.c) AS BIGINT) AS est_count
+                 FROM k JOIN sk ON k.r = sk.r AND k.cell = sk.cell
+                 GROUP BY k.user_id),
+         ex AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1)
+         SELECT est.user_id, est_count, CAST(exact_count AS BIGINT) AS exact_count
+         FROM est JOIN ex ON est.user_id = ex.user_id
+         ORDER BY exact_count DESC, est.user_id LIMIT 20"""
+    },
+    "ts_gapfill_interp" ->
+      """WITH p AS (SELECT user_id,
+                    CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS h_us,
+                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM events WHERE user_id < 25 GROUP BY 1, 2),
+         b AS (SELECT user_id, min(h_us) AS lo, max(h_us) AS hi
+               FROM p GROUP BY 1),
+         sp AS (SELECT user_id, lo,
+                       unnest(generate_series(lo, hi, 3600000000)) AS h_us
+                FROM b),
+         s2 AS (SELECT user_id, h_us,
+                       (h_us - lo) // 3600000000 AS idx FROM sp),
+         j AS (SELECT s2.user_id, s2.h_us, s2.idx, p.v
+               FROM s2 LEFT JOIN p
+                 ON s2.user_id = p.user_id AND s2.h_us = p.h_us),
+         w AS (SELECT user_id, h_us, idx, v,
+                      last_value(v IGNORE NULLS) OVER pw AS pv,
+                      last_value(CASE WHEN v IS NOT NULL THEN idx END
+                                 IGNORE NULLS) OVER pw AS pi,
+                      first_value(v IGNORE NULLS) OVER nw AS nv,
+                      first_value(CASE WHEN v IS NOT NULL THEN idx END
+                                  IGNORE NULLS) OVER nw AS ni
+               FROM j
+               WINDOW pw AS (PARTITION BY user_id ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      nw AS (PARTITION BY user_id ORDER BY idx
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, h_us,
+                CAST(CASE WHEN v IS NOT NULL THEN v
+                     ELSE pv + CAST(floor(CAST((nv - pv) * (idx - pi) AS DOUBLE)
+                                          / CAST(ni - pi AS DOUBLE)) AS BIGINT)
+                     END AS BIGINT) AS cents,
+                CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+         FROM w ORDER BY user_id, h_us""",
     "a_hll_distinct" ->
       """WITH h AS (SELECT event_type,
                     md5(CAST(user_id AS VARCHAR) || '#hll') AS d FROM events),

@@ -103,4 +103,33 @@ class ApproxBucketingSpec extends SparkSpec {
       .head().getAs[Long]("est")
     assert(math.abs(est - 5000.0) / 5000.0 <= 0.20, s"est=$est")
   }
+
+  test("CMS never under-counts and stays near exact at uniform spread") {
+    import graft.operators.FreqSketch
+    val r = FreqSketch.aCmsFreq(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (est, exact) = (row.getAs[Long]("est_count"),
+        row.getAs[Long]("exact_count"))
+      assert(est >= exact, s"CMS under-counted: est=$est exact=$exact")
+    }
+    // the 2-nibble cells are uniform: the MEDIAN overcount must be far
+    // below the ~3x medians the power-of-two-modded phash produced
+    val overs = r.map(row => row.getAs[Long]("est_count")
+      - row.getAs[Long]("exact_count")).sorted
+    assert(overs(overs.length / 2) <= 20,
+      s"median overcount ${overs(overs.length / 2)} — cells not uniform?")
+  }
+
+  test("CMS sketches over disjoint splits merge by cell-wise sum") {
+    import graft.operators.FreqSketch
+    val t = graft.core.Tables(spark, sf)
+    val (a, b) = (t.events.filter(col("event_id") % 2 === 0),
+      t.events.filter(col("event_id") % 2 === 1))
+    val merged = FreqSketch.cmsSketch(a, "user_id")
+      .union(FreqSketch.cmsSketch(b, "user_id"))
+      .groupBy(col("r"), col("cell")).agg(sum(col("c")).as("c"))
+    val whole = FreqSketch.cmsSketch(t.events, "user_id")
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
 }
