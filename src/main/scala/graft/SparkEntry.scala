@@ -23,6 +23,10 @@ object SparkEntry {
     "q1_agg" -> Relational.q1Agg _,
     "q3_shipping" -> Relational.q3Shipping _,
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
+    "q7_volume_shipping" -> ((s: SparkSession, dir: String) =>
+      Relational.q7VolumeShipping(s, dir)),
+    "q8_market_share" -> ((s: SparkSession, dir: String) =>
+      Relational.q8MarketShare(s, dir)),
     "q10_returned_items" -> Relational.q10ReturnedItems _,
     "q21_waiting_supplier" -> ((s: SparkSession, dir: String) =>
       Relational.q21WaitingSupplier(s, dir)),
@@ -939,6 +943,47 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""",
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name <> n2.n_name
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q8_market_share" ->
+      """WITH rev AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                  n1.n_name AS supp_nation,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region ON n2.n_regionkey = r_regionkey
+           WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+         SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                              THEN rev4 ELSE 0 END) AS BIGINT) AS nation_e4,
+                CAST(sum(rev4) AS BIGINT) AS total_e4,
+                CAST((sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN rev4 ELSE 0 END) * 10000)
+                     // sum(rev4) AS BIGINT) AS share_bp
+         FROM rev GROUP BY 1 ORDER BY 1""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -397,6 +397,95 @@ object Relational {
       .orderBy(col("l_orderkey"), col("metric"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between two
+    * nations, by supplier nation × customer nation × ship year.
+    *
+    * Plan: the two tiny nation legs broadcast into supplier and
+    * customer; lineitem's shipdate filter pushes to the scan; the only
+    * data-sized shuffles are the two fact equi-joins
+    * (lineitem⋈orders on orderkey, then ⋈customer on custkey). The
+    * (n1, n2) pair filter lands after both joins as a residual
+    * condition on broadcast-provided columns — no extra pass. Revenue
+    * in exact 1e-4 integer units, year via extract — both
+    * engine-portable. */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val t = Tables(spark, dir)
+    val nations = t.nation.filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t.supplier.join(broadcast(nations),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t.customer.join(broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev4"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev4")).as("revenue_e4"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (national market share): of all 'PROMO'-part
+    * revenue delivered to customers in one region per order year, the
+    * share supplied by one nation — conditional aggregation over a
+    * six-table join.
+    *
+    * Plan: part (filtered), both nation legs, and region broadcast;
+    * lineitem⋈part prunes the fact FIRST (the selective join), then
+    * orders/customer equi-joins shuffle what's left. The share is
+    * reported in exact basis points via integer division
+    * ((num·10⁴) div den — safe: revenue_e4 ≤ ~1e15 at any bench SF)
+    * rather than a cross-engine float ratio. */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      nation: String = "NATION_1", region: String = "ASIA",
+      pType: String = "PROMO"): DataFrame = {
+    val t = Tables(spark, dir)
+    val parts = t.part.filter(col("p_type") === pType)
+      .select(col("p_partkey"))
+    val regionNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t.customer.join(broadcast(regionNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev4"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === nation, col("rev4"))
+          .otherwise(lit(0L))).as("nation_e4"),
+        sum(col("rev4")).as("total_e4"))
+      .withColumn("share_bp",
+        expr("(nation_e4 * 10000) div total_e4"))
+      .orderBy(col("o_year"))
+  }
+
   /** P5 confidence-threshold filter analog + A3 guard: value > 0.1,
     * counts and sums per type (filter pushed to parquet scan). */
   def pFilterThreshold(spark: SparkSession, dir: String): DataFrame = {

@@ -71,6 +71,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("isnotnull(lang") || p.contains("(lang"))
   }
 
+  test("Q7/Q8 broadcast every dimension leg and push the part filter") {
+    val p7 = executedPlan("q7_volume_shipping")
+    // supplier and customer legs each carry a broadcast nation join
+    assert(p7.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2)
+    assert(p7.contains("l_shipdate"), "shipdate filter lost")
+    val p8 = executedPlan("q8_market_share")
+    assert(p8.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 4,
+      "q8 should broadcast part, supplier-nation, customer-region legs")
+    assert(p8.contains("p_type"), "p_type filter not pushed toward the part scan")
+    assert(!p8.contains("CartesianProduct"))
+  }
+
   test("no query plans an unexpected cartesian or nested-loop join") {
     // intentional exceptions: brute-force similarity broadcasts the tiny
     // query/aggregate side through a BroadcastNestedLoopJoin by design
