@@ -63,6 +63,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minhashLsh _,
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_fuzzy_edit" -> ((s: SparkSession, dir: String) =>
+      Dedup.fuzzyEditPairs(s, dir)),
     "text_langid" -> TextAnalysis.langId _,
     "text_quality" -> TextAnalysis.quality _,
     "text_token_counts" -> TextAnalysis.tokenCounts _,
@@ -1259,6 +1261,17 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> ngramOracle,
+    // ground truth, not a candidate-filter mirror: every pair within
+    // edit distance 4 (the length prefilter is implied by the metric —
+    // |len(a)-len(b)| > maxEd forces dist > maxEd)
+    "dedup_fuzzy_edit" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         FROM d a JOIN d b
+           ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 4
+         WHERE levenshtein(a.text, b.text) <= 4
+         ORDER BY doc_a, doc_b""",
     "text_langid" -> langidOracle,
     "text_quality" ->
       """WITH q AS (SELECT doc_id, length(text) AS n_chars,

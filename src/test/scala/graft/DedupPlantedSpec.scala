@@ -90,4 +90,24 @@ class DedupPlantedSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) <= 4)
     assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(2L)))
   }
+
+  test("fuzzy edit dedup finds exactly the quadratic ground truth") {
+    import org.apache.spark.sql.functions._
+    // the gram candidate filter must lose NOTHING the exhaustive
+    // all-pairs comparison finds (soundness of the Ed-Join filter
+    // under the df cap) and add nothing (levenshtein verify)
+    val sf = "/root/testdata/sf0.01"
+    val got = graft.operators.Dedup.fuzzyEditPairs(spark, sf)
+    val d = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val truth = d.as("a").join(d.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 4)
+      .withColumn("edit_dist",
+        levenshtein(col("a.text"), col("b.text")).cast("long"))
+      .filter(col("edit_dist") <= 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("edit_dist"))
+    assert(got.except(truth).isEmpty && truth.except(got).isEmpty)
+  }
 }
