@@ -65,6 +65,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_fuzzy_edit" -> ((s: SparkSession, dir: String) =>
       Dedup.fuzzyEditPairs(s, dir)),
+    "dedup_substring" -> ((s: SparkSession, dir: String) =>
+      Dedup.substringDup(s, dir)),
+    "dedup_containment" -> Dedup.containment _,
     "text_langid" -> TextAnalysis.langId _,
     "text_quality" -> TextAnalysis.quality _,
     "text_token_counts" -> TextAnalysis.tokenCounts _,
@@ -74,6 +77,8 @@ object SparkEntry {
     "a2_global_wrap" -> Coverage.a2GlobalWrap _,
     "f_map_explode" -> Coverage.fMapExplode _,
     "a12_date_histogram" -> Coverage.a12DateHistogram _,
+    "a_funnel" -> Coverage.aFunnel _,
+    "a_retention" -> Coverage.aRetention _,
     "a12_date_histogram_dense" -> Coverage.a12DateHistogramDense _,
     "a12_topn_per_user" -> Coverage.a12TopnPerUser _,
     "d_running_sum" -> Coverage.dRunningSum _,
@@ -124,12 +129,17 @@ object SparkEntry {
     "j_asof" -> Temporal.jAsof _,
     "j_range" -> Temporal.jRange _,
     "dedup_cc" -> Cluster.dedupCc _,
+    "dedup_canonical" -> Cluster.dedupCanonical _,
     "stream_sessionize" -> graft.streaming.StreamSessionize.streamSessionize _,
     "stream_state_sessionize" ->
       graft.streaming.StreamStateSessionize.streamStateSessionize _,
     "s2_csv_roundtrip" -> graft.sources.Roundtrip.s2CsvRoundtrip _,
     "s3_partitioned_prune" -> graft.sources.Roundtrip.s3PartitionedPrune _,
     "sample_split" -> Sampling.sampleSplit _,
+    "sample_temperature" -> ((s: SparkSession, dir: String) =>
+      Sampling.sampleTemperature(s, dir)),
+    "sample_quality_tiers" -> Sampling.sampleQualityTiers _,
+    "dq_winsorize" -> DataQuality.dqWinsorize _,
     "sample_balanced" -> ((s: SparkSession, dir: String) =>
       Sampling.sampleBalanced(s, dir)),
     "text_tfidf" -> TextAnalysis.tfidf _,
@@ -1272,6 +1282,53 @@ object SparkEntry {
            ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 4
          WHERE levenshtein(a.text, b.text) <= 4
          ORDER BY doc_a, doc_b""",
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id,
+                unnest([substring(text, i, 40)
+                        for i in range(1, greatest(length(text) - 39, 1) + 1)])
+                  AS gram
+              FROM documents),
+         gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
+                FROM w GROUP BY 1),
+         per AS (SELECT w.doc_id, count(*) AS n_win,
+                        CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS dup_win
+                 FROM w JOIN gd USING (gram) GROUP BY 1)
+         SELECT doc_id, n_win, dup_win,
+                CAST((20000 * dup_win + n_win) // (2 * n_win) AS BIGINT)
+                  AS dup_frac_e4,
+                (20000 * dup_win + n_win) // (2 * n_win) >= 2000 AS dup_heavy
+         FROM per ORDER BY doc_id""",
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, lang, t, len(t) AS nt
+                    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+                          FROM documents)
+                    WHERE len(t) >= 3),
+         g0 AS (SELECT doc_id, lang,
+                       t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS shingle
+                FROM (SELECT doc_id, lang, nt, t,
+                             unnest(range(1, nt - 1)) AS pos FROM d)),
+         g1 AS (SELECT DISTINCT doc_id, lang, shingle FROM g0),
+         dfs AS (SELECT lang, shingle FROM g1
+                 GROUP BY 1, 2 HAVING count(*) <= 100),
+         kept AS (SELECT g1.* FROM g1
+                  JOIN dfs ON g1.lang = dfs.lang AND g1.shingle = dfs.shingle),
+         nsh AS (SELECT doc_id, count(*) AS ns FROM kept GROUP BY 1),
+         j AS (SELECT l.lang, l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+               FROM kept l JOIN kept r
+                 ON l.lang = r.lang AND l.shingle = r.shingle
+               WHERE l.doc_id < r.doc_id GROUP BY 1, 2, 3),
+         f AS (SELECT j.lang, j.a, j.b, j.inter, ga.ns AS na, gb.ns AS nb
+               FROM j JOIN nsh ga ON j.a = ga.doc_id
+                      JOIN nsh gb ON j.b = gb.doc_id)
+         SELECT lang, a, b, CAST(inter AS BIGINT) AS inter,
+                CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                CAST((20000 * inter + na) // (2 * na) AS BIGINT) AS cont_a_e4,
+                CAST((20000 * inter + nb) // (2 * nb) AS BIGINT) AS cont_b_e4
+         FROM f
+         WHERE (20000 * inter + na) // (2 * na) >= 8000
+            OR (20000 * inter + nb) // (2 * nb) >= 8000
+         ORDER BY lang, a, b""",
     "text_langid" -> langidOracle,
     "text_quality" ->
       """WITH q AS (SELECT doc_id, length(text) AS n_chars,
@@ -1989,6 +2046,40 @@ object SparkEntry {
           SELECT cc.id AS doc_id, cc.component, sz.n_members
           FROM cc JOIN sz USING (component) ORDER BY doc_id"""
     },
+    "dedup_canonical" -> {
+      val mh = minhashOracle
+      // same recursive hash-min walk as dedup_cc, then: every document
+      // (LEFT JOIN — singletons are their own component) and one
+      // representative per component by (diversity DESC, doc_id)
+      s"""WITH RECURSIVE mh AS (SELECT a, b FROM ($mh)),
+          ed AS (SELECT a AS src, b AS dst FROM mh
+                 UNION SELECT b AS src, a AS dst FROM mh),
+          v AS (SELECT DISTINCT src AS id FROM ed),
+          walk(id, label) AS (
+            SELECT id, id FROM v
+            UNION
+            SELECT ed.dst, walk.label FROM walk JOIN ed ON ed.src = walk.id),
+          cc AS (SELECT id, min(label) AS component FROM walk GROUP BY 1),
+          q AS (SELECT doc_id,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  len(list_distinct(string_split(text, ' '))) AS n_distinct
+                FROM documents),
+          lab AS (SELECT q.doc_id,
+                    coalesce(cc.component, q.doc_id) AS component,
+                    CAST((20000 * n_distinct + n_tokens) // (2 * n_tokens)
+                      AS BIGINT) AS diversity_e4
+                  FROM q LEFT JOIN cc ON cc.id = q.doc_id),
+          reps AS (SELECT component, doc_id AS keep_id FROM (
+                     SELECT component, doc_id,
+                            row_number() OVER (PARTITION BY component
+                              ORDER BY diversity_e4 DESC, doc_id) AS rn
+                     FROM lab) WHERE rn = 1),
+          sz AS (SELECT component, count(*) AS n_members FROM lab GROUP BY 1)
+          SELECT lab.doc_id, lab.component, sz.n_members, reps.keep_id,
+                 lab.doc_id = reps.keep_id AS kept
+          FROM lab JOIN sz USING (component) JOIN reps USING (component)
+          ORDER BY doc_id"""
+    },
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
          w AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id
@@ -2666,6 +2757,118 @@ object SparkEntry {
                 CAST(sum(copies) AS BIGINT) AS n_rows,
                 CAST(sum(doc_id * copies) AS BIGINT) AS id_checksum
          FROM c WHERE copies > 0 GROUP BY 1 ORDER BY 1"""
+    },
+    "sample_quality_tiers" -> {
+      val h = phashSql("CAST(doc_id AS VARCHAR)",
+        graft.operators.Sampling.tierSalt)
+      val rateCase = graft.operators.Sampling.tierRatesE3
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE tier ", " ", " ELSE 0 END")
+      s"""WITH q AS (SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct
+              FROM documents),
+         d AS (SELECT doc_id,
+                 (20000 * n_distinct + n_tokens) // (2 * n_tokens) AS dv
+               FROM q),
+         tr AS (SELECT doc_id,
+                  CASE WHEN dv < 5000 THEN 't1_low'
+                       WHEN dv < 6500 THEN 't2_mid'
+                       WHEN dv < 8000 THEN 't3_good'
+                       ELSE 't4_best' END AS tier
+                FROM d),
+         k AS (SELECT doc_id, tier, $rateCase AS p_e3,
+                      ($h % 1000 < $rateCase) AS kept
+               FROM tr)
+         SELECT tier, CAST(min(p_e3) AS BIGINT) AS p_e3,
+                count(*) AS n_total,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+                  AS id_checksum
+         FROM k GROUP BY 1 ORDER BY 1"""
+    },
+    "dq_winsorize" ->
+      """WITH c AS (SELECT event_type,
+                CAST(round(value * 100) AS BIGINT) AS c, event_id
+              FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY c, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n FROM c),
+         t AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                 max(CASE WHEN rn = (n + 99) // 100 THEN c END) AS p01_c,
+                 max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS p99_c
+               FROM r GROUP BY 1)
+         SELECT c.event_type, CAST(max(t.n) AS BIGINT) AS n,
+                CAST(max(p01_c) AS BIGINT) AS p01_c,
+                CAST(max(p99_c) AS BIGINT) AS p99_c,
+                CAST(sum(c.c) AS BIGINT) AS sum_raw_c,
+                CAST(sum(greatest(p01_c, least(p99_c, c.c))) AS BIGINT)
+                  AS sum_clip_c,
+                CAST(sum(CASE WHEN c.c < p01_c THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_lo,
+                CAST(sum(CASE WHEN c.c > p99_c THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hi
+         FROM c JOIN t USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+    "a_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t_view FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(us) AS t_click FROM e
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(us) AS t_purchase FROM e
+                JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t_click GROUP BY 1),
+         n AS (SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+               UNION ALL SELECT '2_click', count(*) FROM s2
+               UNION ALL SELECT '3_purchase', count(*) FROM s3),
+         f AS (SELECT n_users AS n_first FROM n WHERE stage = '1_view')
+         SELECT stage, n_users,
+                CAST((20000 * n_users + n_first) // (2 * n_first) AS BIGINT)
+                  AS conv_from_first_e4
+         FROM n, f ORDER BY stage""",
+    "a_retention" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day
+                    FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, day FROM e),
+         j AS (SELECT a.user_id,
+                      CAST(c.cohort_day - DATE '1970-01-01' AS BIGINT)
+                        AS cohort_epoch_day,
+                      CAST(a.day - c.cohort_day AS BIGINT) AS day_offset
+               FROM a JOIN c USING (user_id))
+         SELECT cohort_epoch_day, day_offset,
+                count(DISTINCT user_id) AS n_active
+         FROM j WHERE day_offset BETWEEN 0 AND 7
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "sample_temperature" -> {
+      val h = phashSql("CAST(doc_id AS VARCHAR)",
+        graft.operators.Sampling.temperatureSalt)
+      // √ is correctly rounded (IEEE-754) in both engines, so
+      // s_l = floor(sqrt(n)·1e6) is deterministic; everything after
+      // is integer division (HUGEINT = Spark DECIMAL(38,0))
+      s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+         s AS (SELECT lang, n_total,
+                 CAST(floor(sqrt(CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS s_l FROM c),
+         tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS corpus_n,
+                        CAST(sum(s_l) AS BIGINT) AS s_sum FROM s),
+         r AS (SELECT lang, n_total,
+                 least(1000,
+                   (CAST(1000 AS HUGEINT) * ((corpus_n * 400) // 1000) * s_l)
+                   // (CAST(s_sum AS HUGEINT) * n_total)) AS p_e3
+               FROM s, tot),
+         m AS (SELECT d.lang, d.doc_id, r.n_total, r.p_e3
+               FROM documents d JOIN r USING (lang)
+               WHERE $h % 1000 < r.p_e3)
+         SELECT lang, CAST(min(n_total) AS BIGINT) AS n_total,
+                CAST(min(p_e3) AS BIGINT) AS p_e3,
+                count(*) AS n_sampled,
+                CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM m GROUP BY 1 ORDER BY 1"""
     },
     // deterministic shuffle: the engine's sharded-rank position is
     // exactly this single global window by construction

@@ -219,4 +219,38 @@ object Cluster {
         col("n_members"))
       .orderBy(col("doc_id"))
   }
+
+  /** The dedup verdict a training pipeline actually executes: every
+    * document gets a component (MinHash-LSH pair graph CC; singletons
+    * are their own component) and ONE representative per component is
+    * kept — highest token-diversity score, ties to the smallest
+    * doc_id. Scale shape: CC as above (equi-join label propagation);
+    * the representative pick is a single struct-min aggregation on
+    * the component key — no windows, no second pass over text. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.Tables(spark, dir)
+    val pairs = Dedup.minhashCandidates(Dedup.shingles(t))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label"))
+    val docs = t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("diversity_e4",
+        expr("(20000 * n_distinct + n_tokens) div (2 * n_tokens)"))
+    val labeled = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+    val reps = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("diversity_e4")).as("neg_q"),
+          col("doc_id").as("d"))).as("best"))
+      .select(col("component"), col("n_members"),
+        col("best.d").as("keep_id"))
+    labeled.join(reps, Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

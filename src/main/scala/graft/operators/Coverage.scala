@@ -151,4 +151,62 @@ object Coverage {
       .union(t.supplier.select(col("s_suppkey").as("k")))
     u.agg(count(lit(1)).as("n_total"), countDistinct(col("k")).as("n_distinct"))
   }
+
+  /** Ordered funnel (view → click → purchase): each stage counts users
+    * whose FIRST qualifying event strictly follows their previous
+    * stage's anchor time — the product-analytics funnel, not a bag-of-
+    * events intersection. Three per-user conditional min-aggregates,
+    * each one equi-key shuffle on user_id; stage rows + exact e4
+    * conversion ratios. Scale: per-user state is three timestamps, so
+    * the plan is insensitive to events-per-user skew (no windows, no
+    * collect_list). */
+  def aFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+    val n1 = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+    val n2 = s2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click"))
+    val n3 = s3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase"))
+    val stages = n1.unionByName(n2).unionByName(n3)
+    val first = n1.select(col("n").as("n_first"))
+    stages.crossJoin(broadcast(first))
+      .withColumn("conv_from_first_e4",
+        expr("(20000 * n + n_first) div (2 * n_first)"))
+      .select(col("stage"), col("n").as("n_users"),
+        col("conv_from_first_e4"))
+      .orderBy(col("stage"))
+  }
+
+  /** Daily retention cohorts: users grouped by their first-signup day,
+    * counted distinct per (cohort_day, day_offset) for offsets 0-7.
+    * Two equi-key shuffles (per-user anchor, then the cohort rollup);
+    * cohort×offset output is calendar-bounded regardless of corpus
+    * size. */
+  def aRetention(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.events.select(col("user_id"), col("event_type"),
+      to_date(col("ts")).as("day"))
+    val cohorts = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.select(col("user_id"), col("day")).distinct()
+      .join(cohorts, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset").between(0, 7))
+      // epoch-day integers dodge cross-engine date-dtype artifacts
+      // (same policy as fDateSuite)
+      .groupBy(unix_date(col("cohort_day")).cast("long").as("cohort_epoch_day"),
+        col("day_offset").cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_epoch_day"), col("day_offset"))
+  }
 }

@@ -86,4 +86,42 @@ object DataQuality {
         col("share_all_e6"), col("share_gated_e6"), col("drift_e6"))
       .orderBy(col("lang"))
   }
+
+  /** Winsorization audit: per event type, the exact p1/p99 member
+    * values (row_number index pick — interpolation-free, engine-
+    * portable) and the pre/post sums of clipping every value into
+    * [p1, p99], with clipped-row counts both sides. The outlier-
+    * robustness gate a metrics pipeline runs before aggregating raw
+    * values. Scale: the per-type rank sort shards by type (same
+    * per-group-sort caveat as the exact-quantile family — swap the
+    * thresholds to percentile_approx for few giant groups, columns
+    * unchanged); the clip pass is one equi-join on the tiny per-type
+    * threshold table. */
+  def dqWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("c"), col("event_id"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val thr = c.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 99) div 100"), col("c")))
+          .as("p01_c"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("c")))
+          .as("p99_c"))
+    c.join(thr, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("p01_c")).as("p01_c"),
+        max(col("p99_c")).as("p99_c"),
+        sum(col("c")).as("sum_raw_c"),
+        sum(greatest(col("p01_c"), least(col("p99_c"), col("c"))))
+          .as("sum_clip_c"),
+        sum(when(col("c") < col("p01_c"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("c") > col("p99_c"), 1L).otherwise(0L)).as("n_hi"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -422,6 +422,85 @@ object Dedup {
       .orderBy(col("lang"), col("a"), col("b"))
   }
 
+  /** Asymmetric containment dedup — the doc-in-doc case Jaccard
+    * misses: a short document quoted wholesale inside a long one has
+    * tiny Jaccard (union is dominated by the long doc) but
+    * containment |A∩B| / |A| ≈ 1. Blocks on lang, caps shingle df at
+    * 100 (ultra-common shingles carry no signal but drive the
+    * inverted-index fanout — same policy as `ngramJaccard`, mirrored
+    * in the oracle), scores BOTH directions in exact e4 integers,
+    * and keeps pairs where either direction reaches 80%. Scale
+    * shape: one shingle explode, equi-key shuffles only, per-shingle
+    * fanout bounded by the df cap. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val maxDf = 100
+    val g = t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+          .as("shingle"))
+    val wSh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shingle"))
+    val kept = g.withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val ns = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val byShingle = kept.groupBy(col("lang"), col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    byShingle.select(col("lang"), explode(expr(
+        """flatten(transform(sequence(0, size(ids)-2),
+             i -> transform(sequence(i+1, size(ids)-1),
+               j -> struct(ids[i] AS a, ids[j] AS b))))""")).as("p"))
+      .select(col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("lang"), col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(ns.select(col("doc_id").as("a"), col("ns").as("na")), Seq("a"))
+      .join(ns.select(col("doc_id").as("b"), col("ns").as("nb")), Seq("b"))
+      .withColumn("cont_a_e4", expr("(20000 * inter + na) div (2 * na)"))
+      .withColumn("cont_b_e4", expr("(20000 * inter + nb) div (2 * nb)"))
+      .filter(col("cont_a_e4") >= 8000 || col("cont_b_e4") >= 8000)
+      .select(col("lang"), col("a"), col("b"), col("inter"),
+        col("na"), col("nb"), col("cont_a_e4"), col("cont_b_e4"))
+      .orderBy(col("lang"), col("a"), col("b"))
+  }
+
+  /** Exact repeated-substring dedup signal (the "dedup by repeated
+    * spans" step of LLM corpus curation): for every document, the
+    * fraction of its 40-char sliding windows that also occur in at
+    * least one OTHER document. Docs dominated by cross-corpus
+    * repeated spans (boilerplate, licenses, templates) score high
+    * and get dropped by the curation threshold.
+    *
+    * Shape: one explode to the per-position window table, a distinct
+    * + groupBy for the per-window distinct-doc count, an equi-join
+    * back, and a per-doc aggregation — every shuffle is an equi-key
+    * and the window table is O(corpus chars) rows. At deployment
+    * scale the 40-byte window string would shuffle as a 128-bit hash
+    * key instead (collision-negligible); kept raw here for exact
+    * cross-engine oracle parity. */
+  def substringDup(spark: SparkSession, dir: String,
+      k: Int = 40): DataFrame = {
+    val t = Tables(spark, dir)
+    val wins = t.documents.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
+           |  i -> substring(text, i, $k))""".stripMargin)).as("gram"))
+    val gramDocs = wins.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+    wins.join(gramDocs, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_win"))
+      .withColumn("dup_frac_e4",
+        expr("(20000 * dup_win + n_win) div (2 * n_win)"))
+      .withColumn("dup_heavy", col("dup_frac_e4") >= 2000)
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance near-duplicate pairs — the Ed-Join shape: q-gram
     * PREFIX-FILTERED candidate generation, then exact `levenshtein`
     * verification of candidates only.

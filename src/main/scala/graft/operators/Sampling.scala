@@ -138,4 +138,97 @@ object Sampling {
         sum(col("doc_id")).as("id_checksum"))
       .orderBy(col("lang"))
   }
+
+  val temperatureSalt: Int = 29
+
+  /** Temperature-rebalanced language sampling (T = 0.5): sampling
+    * weight ∝ √n_lang instead of ∝ n_lang — the standard multilingual
+    * rebalancing that upweights low-resource languages without
+    * drowning the head. All arithmetic that decides membership is
+    * exact-integer and engine-portable: √ is correctly rounded under
+    * IEEE-754 in every engine, so s_l = ⌊√n_l · 1e6⌋ is deterministic;
+    * rates then come from integer division only (per-lang rate
+    * p_e3 = (1000 · target · s_l) div (S · n_l), capped at 1000), and
+    * membership is the salted hash-mod gate of [[sampleSplit]].
+    * Scale shape: the lang→rate table is one tiny aggregation
+    * (|langs| rows) joined back on the lang key; membership is a
+    * pushed-down filter — no data-sized shuffle anywhere. */
+  def sampleTemperature(spark: SparkSession, dir: String,
+      targetPermille: Long = 400L): DataFrame = {
+    val t = Tables(spark, dir)
+    val counts = t.documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("s_l",
+        floor(sqrt(col("n_total").cast("double")) * 1e6).cast("long"))
+    val totals = counts.agg(sum(col("n_total")).as("corpus_n"),
+      sum(col("s_l")).as("s_sum"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("target_rows",
+        expr(s"(corpus_n * $targetPermille) div 1000"))
+      // 128-bit exact: 1000·target·s_l overflows Int64 for corpora
+      // past ~1e9 docs (s_l carries a 1e6 factor); DECIMAL(38,0)
+      // here = HUGEINT in the oracle, same integral quotient
+      .withColumn("p_e3",
+        least(lit(1000L),
+          expr("""CAST((CAST(1000 AS DECIMAL(38,0)) * target_rows * s_l)
+                 div (CAST(s_sum AS DECIMAL(38,0)) * n_total) AS LONG)""")))
+      .select(col("lang"), col("n_total"), col("p_e3"))
+    t.documents.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(phash(col("doc_id").cast("string"), temperatureSalt),
+        lit(1000L)) < col("p_e3"))
+      .groupBy(col("lang"))
+      .agg(first(col("n_total")).as("n_total"),
+        first(col("p_e3")).as("p_e3"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  val tierSalt: Int = 37
+
+  /** Quality-tier rates in e3: the DCLM-style "sample good data more"
+    * dial — single source of truth for operator and oracle. Tiers cut
+    * by FIXED diversity thresholds (calibrated constants, the
+    * production norm) rather than corpus quantiles: the tier of a doc
+    * then never depends on what else is in the batch, so membership
+    * is stable under corpus growth and needs no global sort. */
+  val tierRatesE3: Seq[(String, Long)] = Seq(
+    "t1_low" -> 100L, "t2_mid" -> 300L, "t3_good" -> 600L,
+    "t4_best" -> 1000L)
+
+  /** Quality-weighted sampling: per-doc token-diversity score →
+    * fixed-threshold tier → per-tier hash-gated keep rate. Everything
+    * is narrow (score, tier, gate are all map-side; the only shuffle
+    * is the |tiers|-row audit rollup), and membership is the same
+    * portable salted-hash discipline as [[sampleSplit]]. */
+  def sampleQualityTiers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rate = tierRatesE3.tail.foldLeft(
+      when(col("tier") === tierRatesE3.head._1, tierRatesE3.head._2)) {
+      case (acc, (l, r)) => acc.when(col("tier") === l, r)
+    }.otherwise(0L)
+    t.documents
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("diversity_e4",
+        expr("(20000 * n_distinct + n_tokens) div (2 * n_tokens)"))
+      .withColumn("tier",
+        when(col("diversity_e4") < 5000, "t1_low")
+          .when(col("diversity_e4") < 6500, "t2_mid")
+          .when(col("diversity_e4") < 8000, "t3_good")
+          .otherwise("t4_best"))
+      .withColumn("p_e3", rate)
+      .withColumn("kept",
+        pmod(phash(col("doc_id").cast("string"), tierSalt),
+          lit(1000L)) < col("p_e3"))
+      .groupBy(col("tier"))
+      .agg(first(col("p_e3")).as("p_e3"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L))
+          .as("id_checksum"))
+      .orderBy(col("tier"))
+  }
 }

@@ -503,6 +503,91 @@ class AnalyticsSamplingSpec extends SparkSpec {
     assert(manual.map(_.getString(0)).distinct.length === manual.length)
   }
 
+  test("winsorize: thresholds ordered, clipped sum bounded, counts sane") {
+    val rows = graft.operators.DataQuality.dqWinsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p01, p99) = (r.getAs[Long]("n"), r.getAs[Long]("p01_c"),
+        r.getAs[Long]("p99_c"))
+      val (raw, clip) = (r.getAs[Long]("sum_raw_c"), r.getAs[Long]("sum_clip_c"))
+      val (lo, hi) = (r.getAs[Long]("n_lo"), r.getAs[Long]("n_hi"))
+      assert(p01 <= p99)
+      assert(clip >= n * p01 && clip <= n * p99)
+      // ~1% clipped each side (rank formula can't exceed 2% + 1 row)
+      assert(lo <= n / 50 + 1 && hi <= n / 50 + 1)
+      // clipping only moves the sum by what the clipped rows lost
+      assert((lo + hi == 0) == (raw == clip))
+    }
+  }
+
+  test("quality tiers partition the corpus; the top tier keeps all") {
+    val rows = graft.operators.Sampling.sampleQualityTiers(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("tier") ->
+        (r.getAs[Long]("p_e3"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("n_kept"))).toMap
+    val totalDocs = graft.core.Tables(spark, sf).documents.count()
+    assert(rows.values.map(_._2).sum === totalDocs)
+    rows.get("t4_best").foreach { case (p, n, k) =>
+      assert(p === 1000L && k === n)
+    }
+    rows.values.foreach { case (p, n, k) =>
+      assert(k <= n)
+      // the hash gate tracks its rate within 10 permille-points on
+      // groups of 100+
+      if (n >= 100) assert(math.abs(1000L * k / n - p) <= 100)
+    }
+  }
+
+  test("funnel stages shrink monotonically; stage 1 converts at 10000") {
+    val rows = graft.operators.Coverage.aFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("conv_from_first_e4")))
+      .toMap
+    assert(rows.keySet === Set("1_view", "2_click", "3_purchase"))
+    assert(rows("1_view")._2 === 10000L)
+    assert(rows("1_view")._1 >= rows("2_click")._1)
+    assert(rows("2_click")._1 >= rows("3_purchase")._1)
+    assert(rows.values.forall { case (n, c) => n >= 0 && c <= 10000L })
+  }
+
+  test("retention: offset-0 count equals the cohort size") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Coverage.aRetention(spark, sf)
+    // a signup IS activity on the cohort day, so offset 0 must count
+    // every cohort member
+    val cohortSizes = graft.core.Tables(spark, sf).events
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d"))
+      .groupBy(unix_date(col("d")).cast("long").as("cohort_epoch_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val z = out.filter(col("day_offset") === 0)
+      .join(cohortSizes, Seq("cohort_epoch_day"), "full")
+    assert(z.filter(col("n_active").isNull || col("n_cohort").isNull ||
+      col("n_active") =!= col("n_cohort")).count() === 0L)
+    // offsets bounded, counts never exceed the cohort
+    val bad = out.join(cohortSizes, Seq("cohort_epoch_day"))
+      .filter(col("day_offset") < 0 || col("day_offset") > 7 ||
+        col("n_active") > col("n_cohort"))
+    assert(bad.count() === 0L)
+  }
+
+  test("temperature sampling: rarer languages get strictly higher rates") {
+    val rows = graft.operators.Sampling.sampleTemperature(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("n_total"), r.getAs[Long]("p_e3"),
+        r.getAs[Long]("n_sampled")))
+    assert(rows.nonEmpty)
+    // p ∝ 1/√n: any lang with more docs must not have a higher rate
+    for (Seq((na, pa, _), (nb, pb, _)) <- rows.toSeq.combinations(2))
+      if (na > nb) assert(pa <= pb) else if (nb > na) assert(pb <= pa)
+    // the hash gate can't exceed its rate by much: n_sampled/n_total
+    // stays below p_e3 + 10% slack in permille terms on 500+ docs
+    rows.filter(_._1 >= 100).foreach { case (n, p, s) =>
+      assert(1000L * s / n <= p + 100)
+    }
+  }
+
   test("q10 returns a descending exact-revenue top-20 with unique " +
       "customers") {
     val rows = graft.operators.Relational.q10ReturnedItems(spark, sf)

@@ -91,6 +91,48 @@ class DedupPlantedSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(2L)))
   }
 
+  test("containment flags the quoted-inside pair in ONE direction only") {
+    import spark.implicits._
+    // B: 60 distinct tokens; A: a 21-token contiguous quote of B — all
+    // of A's shingles appear in B (containment 1.0 A→B) while B is far
+    // from contained in A; C shares nothing
+    val tokens = (0 until 60).map(i => s"tok$i")
+    val b = tokens.mkString(" ")
+    val a = tokens.slice(10, 31).mkString(" ")
+    val c = (0 until 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (0L, a, "en", "s0", a.length.toLong),
+      (1L, b, "en", "s1", b.length.toLong),
+      (2L, c, "en", "s2", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("graft-cont").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.containment(spark, d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("a") === 0L && r.getAs[Long]("b") === 1L)
+    assert(r.getAs[Long]("cont_a_e4") === 10000L) // A fully inside B
+    assert(r.getAs[Long]("cont_b_e4") < 8000L)    // B not inside A
+  }
+
+  test("substring dup: exact copies score 10000, fractions stay bounded") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.operators.Dedup.substringDup(spark, sf)
+    // invariants: dup_win <= n_win, frac in [0, 10000]
+    assert(out.filter(col("dup_win") > col("n_win") ||
+      col("dup_frac_e4") < 0 || col("dup_frac_e4") > 10000).count() === 0L)
+    // any doc with a RAW-identical duplicate elsewhere shares EVERY
+    // window (Dedup.exact normalizes first, so recompute on raw text)
+    val copies = graft.core.Tables(spark, sf).documents
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val joined = out.join(copies, Seq("doc_id"))
+    if (joined.count() > 0)
+      assert(joined.filter(col("dup_frac_e4") =!= 10000).count() === 0L)
+  }
+
   test("fuzzy edit dedup finds exactly the quadratic ground truth") {
     import org.apache.spark.sql.functions._
     // the gram candidate filter must lose NOTHING the exhaustive

@@ -116,7 +116,12 @@ class PlanSpec extends SparkSpec {
       // centroid table through the codegen Dist2Q scorer — broadcast
       // only under the PROVEN k·d·24 B ≤ 32 MB bound (driver scalars),
       // with the hint-free dim-join shuffle as the over-bound fallback
-      "sim_ann_sqrtk", "sim_ivf_build_sqrt", "sim_ann_indexed_sqrt")
+      "sim_ann_sqrtk", "sim_ivf_build_sqrt", "sim_ann_indexed_sqrt",
+      // 1-row (corpus_n, s_sum) totals crossed into the |langs|-row
+      // rate table — both sides are tiny aggregates
+      "sample_temperature",
+      // 1-row first-stage count crossed into the 3-row stage table
+      "a_funnel")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles

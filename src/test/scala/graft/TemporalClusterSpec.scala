@@ -109,4 +109,26 @@ class TemporalClusterSpec extends SparkSpec {
     val (closed2, _) = StreamStateSessionize.advance(1L, Seq(20L + gap), prior)
     assert(closed2 === Seq(StreamStateSessionize.SessionRow(1L, 0L, 10L, 3L)))
   }
+
+  test("dedupCanonical: one keeper per component, singletons keep themselves") {
+    import org.apache.spark.sql.functions._
+    val out = Cluster.dedupCanonical(spark, "/root/testdata/sf0.001")
+    // covers every document exactly once
+    val nDocs = graft.core.Tables(spark, "/root/testdata/sf0.001")
+      .documents.count()
+    assert(out.count() === nDocs)
+    // exactly one kept per component, and it is the declared keep_id
+    val perComp = out.groupBy(col("component"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n"), first(col("n_members")).as("m"))
+      .collect()
+    assert(perComp.forall(r => r.getLong(1) === 1L))
+    assert(perComp.forall(r => r.getLong(2) === r.getLong(3)))
+    // singleton components: the doc IS its own keeper
+    val singles = out.filter(col("n_members") === 1)
+    assert(singles.filter(!col("kept") ||
+      col("keep_id") =!= col("doc_id")).count() === 0L)
+    // multi-doc components exist in the fixture (planted near-dups)
+    assert(out.filter(col("n_members") > 1).count() > 0L)
+  }
 }
