@@ -69,6 +69,8 @@ object SparkEntry {
       Dedup.substringDup(s, dir)),
     "dedup_containment" -> Dedup.containment _,
     "text_langid" -> TextAnalysis.langId _,
+    "text_fuzzy_search" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.fuzzySearch(s, dir)),
     "text_quality" -> TextAnalysis.quality _,
     "text_token_counts" -> TextAnalysis.tokenCounts _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
@@ -2529,6 +2531,43 @@ object SparkEntry {
     // the indexed variant must return byte-identical results — an
     // index is an optimization, never a semantic
     "text_bm25_indexed" -> bm25Oracle,
+    "text_fuzzy_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         q AS (SELECT unnest(['spak', 'joinn', 'vectr']) AS qt),
+         ex AS (SELECT q.qt, v.tok
+                FROM (SELECT DISTINCT tok FROM tok) v, q
+                WHERE levenshtein(q.qt, v.tok) <= 1),
+         tf AS (SELECT t.doc_id, e.qt, e.tok, CAST(count(*) AS BIGINT) AS tf
+                FROM tok t JOIN ex e USING (tok) GROUP BY 1, 2, 3),
+         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY 1),
+         s AS (SELECT tf.doc_id, tf.qt, tf.tok, tf.tf,
+                 (10000 * st.n_docs) // dfc.df AS idf_e4,
+                 (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
+               FROM tf JOIN dl USING (doc_id) JOIN dfc USING (tok)
+               CROSS JOIN st),
+         ts AS (SELECT doc_id, qt, tok,
+                  idf_e4 * ((tf * 2200 * 10000)
+                    // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000)))
+                    AS term_score
+                FROM s),
+         best AS (SELECT doc_id, qt, term_score,
+                    row_number() OVER (PARTITION BY doc_id, qt
+                      ORDER BY term_score DESC, tok) AS rn
+                  FROM ts),
+         sc AS (SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e7,
+                  count(*) AS n_terms
+                FROM best WHERE rn = 1 GROUP BY 1),
+         r AS (SELECT row_number() OVER (ORDER BY score_e7 DESC, doc_id)
+                 AS rank, doc_id, score_e7, n_terms FROM sc)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_e7,
+                CAST(n_terms AS BIGINT) AS n_terms
+         FROM r WHERE rank <= 10 ORDER BY rank""",
     // ... and so must the STREAM-MAINTAINED index (seed commit + late
     // micro-batch commits + merged-snapshot serving) — the full-corpus
     // scan oracle verifies the whole pipeline end to end

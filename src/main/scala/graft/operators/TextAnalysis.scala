@@ -467,6 +467,67 @@ object TextAnalysis {
       .orderBy(col("rank"))
 
 
+  /** Fuzzy full-text search — ES `match` with `fuzziness: 1`: each
+    * query term expands to every VOCABULARY token within edit
+    * distance 1, a doc scores each query term as the BEST of its
+    * matched expansions (ES's dis-max over fuzzy expansions — summing
+    * them would double-count one intent), and per-doc BM25 sums over
+    * query terms. Same exact-integer BM25 pipeline as [[bm25Search]],
+    * with each expansion scored at ITS OWN df (ES behavior: rare
+    * misspellings rank high).
+    *
+    * Scale shape: expansion runs query-terms × vocabulary — the
+    * vocabulary is the corpus's distinct-token table (Heaps-law
+    * sublinear), the query side is literal-bounded, so the cross is
+    * a broadcast of constants over an aggregate-sized table; matched
+    * expansions then equi-join the postings with NO hint (their size
+    * is data-dependent — AQE decides). Tie-breaks are total
+    * (term_score, then token), so both engines agree bit-for-bit. */
+  def fuzzySearch(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spak", "joinn", "vectr"),
+      topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_toks"))
+    val toks = docs.select(col("doc_id"), col("dl"),
+      explode(col("toks")).as("tok"))
+    val qterms = terms.toDF("qt")
+    val expanded = toks.select(col("tok")).distinct()
+      .crossJoin(broadcast(qterms))
+      .filter(levenshtein(col("qt"), col("tok")) <= 1)
+    val tf = toks.join(expanded, Seq("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("qt"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfc, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_e4", expr("(10000 * n_docs) div df"))
+      .withColumn("dlr_e3", expr("(1000 * dl * n_docs) div t_toks"))
+      .withColumn("sat_e4", expr("12 * (250 + (750 * dlr_e3) div 1000)"))
+      .withColumn("ratio_e3",
+        expr("(tf * 2200 * 10000) div (tf * 10000 + sat_e4)"))
+      .withColumn("term_score", col("idf_e4") * col("ratio_e3"))
+    val best = scored.groupBy(col("doc_id"), col("qt"))
+      .agg(min(struct((-col("term_score")).as("neg"), col("tok")))
+        .as("b"))
+      .select(col("doc_id"), col("qt"), (-col("b.neg")).as("term_score"),
+        col("b.tok").as("matched_tok"))
+    best.groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score_e7"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e7").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e7").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_e7"), col("n_terms"))
+      .orderBy(col("rank"))
+  }
+
   /** Hybrid retrieval — the lexical arm ([[bm25Search]]) fused with
     * the semantic arm (exact cosine top-k for a query embedding) by
     * Reciprocal Rank Fusion, the standard score-free fusion of a

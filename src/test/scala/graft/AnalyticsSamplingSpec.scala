@@ -503,6 +503,24 @@ class AnalyticsSamplingSpec extends SparkSpec {
     assert(manual.map(_.getString(0)).distinct.length === manual.length)
   }
 
+  test("fuzzy search: 1-edit typos score exactly like the clean query") {
+    import org.apache.spark.sql.functions._
+    // at sf0.001 each typo expands to exactly its intended token
+    // (verified: no other vocab entry is within distance 1), and with
+    // one expansion per term the dis-max reduces to plain BM25 — the
+    // two queries must be row-identical
+    val fuzzy = graft.operators.TextAnalysis.fuzzySearch(spark, sf,
+      terms = Seq("spak", "joinn", "vectr"))
+    val clean = graft.operators.TextAnalysis.bm25Search(spark, sf,
+      terms = Seq("spark", "join", "vector"))
+    assert(fuzzy.except(clean).isEmpty && clean.except(fuzzy).isEmpty)
+    // and the expansion is doing real work: the typo'd terms match
+    // nothing verbatim
+    val verbatim = graft.operators.TextAnalysis.bm25Search(spark, sf,
+      terms = Seq("spak", "joinn", "vectr"))
+    assert(verbatim.count() === 0L)
+  }
+
   test("winsorize: thresholds ordered, clipped sum bounded, counts sane") {
     val rows = graft.operators.DataQuality.dqWinsorize(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -121,7 +121,10 @@ class PlanSpec extends SparkSpec {
       // rate table — both sides are tiny aggregates
       "sample_temperature",
       // 1-row first-stage count crossed into the 3-row stage table
-      "a_funnel")
+      "a_funnel",
+      // literal-bounded query-term list crossed over the vocabulary
+      // for edit-distance expansion + the 1-row bm25 stats cross
+      "text_fuzzy_search")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
