@@ -510,64 +510,90 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Edit-distance near-duplicate pairs — the Ed-Join shape: q-gram
-    * PREFIX-FILTERED candidate generation, then exact `levenshtein`
-    * verification of candidates only.
+  /** Edit-distance near-duplicate pairs — PassJoin candidate
+    * generation (Li/Deng/Feng's partition scheme), then exact
+    * threshold-banded `levenshtein` verification of candidates only.
     *
-    * Count filter: one edit destroys at most q grams, so strings
-    * within maxEd edits can disagree on at most maxEd·q grams.
-    * Prefix filter (Chaudhuri/Xiao's refinement): under ANY fixed
-    * global total order on grams, a qualifying pair must share a gram
-    * inside both docs' first maxEd·q + 1 = 33 grams — so only those
-    * are indexed. The order MUST be document-frequency-ascending
-    * (Ed-Join's choice), not an order-oblivious hash: template
-    * corpora share ultra-common grams, and a random (md5-ordered)
-    * prefix admits them — measured at sf0.1, the largest md5-order
-    * bucket holds 1225 of 5000 docs (750k pairs in ONE task; 82 s
-    * end-to-end) vs max-bucket 73 / 1.46M candidates under df
-    * order. The df order costs one gram-table aggregation + an
-    * equi-join + one per-doc regroup — groupBy shuffles only, no
-    * windows (a window-rank formulation of the same order measured
-    * 35 s). Soundness is order-independent and verified
-    * exhaustively against the quadratic ground truth in
-    * `DedupPlantedSpec`. Scale shape: the gram table is
-    * O(corpus chars) rows and every shuffle is an equi-key; per-
-    * gram fanout is bounded by the rare-grams-first property; the
-    * threshold-banded O(len·maxEd) levenshtein runs per candidate
-    * pair, never per cross-pair (measured at sf0.1: 22.2 s with the
-    * unbounded O(len²) form, 6.9 s banded — same 251 rows). */
+    * Pigeonhole: cut the SHORTER string of a pair into maxEd + 1 = 5
+    * even segments; at most maxEd edits touch at most maxEd of them,
+    * so one segment survives untouched and appears EXACTLY in the
+    * longer string, start-shifted by at most the net indel drift
+    * (≤ maxEd). So: every doc INDEXES its 5 segments keyed by
+    * (segment#, own length, content); every doc PROBES, for each
+    * possible shorter-length l' within maxEd of its own and each
+    * segment#, the 2·maxEd+1 start-shifted substrings of the matching
+    * segment geometry — ≤ 225 probe rows/doc, joined on the exact
+    * (segment#, l', content) key. ~60-char segments are near-unique,
+    * so buckets stay tiny even on corpora of near-identical
+    * templates, and a qualifying pair is regenerated at most
+    * O(maxEd²) times — not once per shared rare gram: the Ed-Join
+    * 33-gram-prefix form this replaced generated every replica pair
+    * ~54× (145.6M raw for 2.67M distinct candidates on the 10×
+    * replica, 48.6 s total; PassJoin: 249k candidates, 35.0 s,
+    * identical 230,417 pairs — and 6.9 → 3.5 s at sf0.1). Soundness
+    * is verified exhaustively against the quadratic ground truth in
+    * `DedupPlantedSpec`. Scale shape: segment/probe tables are
+    * O(corpus) rows with literal-bounded per-doc fanout, the
+    * candidate join is one exact-key equi-join, and the banded
+    * O(len·maxEd) levenshtein runs per candidate pair, never per
+    * cross-pair. */
   def fuzzyEditPairs(spark: SparkSession, dir: String,
       maxEd: Int = 4): DataFrame = {
     val t = Tables(spark, dir)
-    val q = 8
-    val prefixLen = maxEd * q + 1
+    val nSeg = maxEd + 1
     val d = t.documents.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
-    val grams = d.select(col("doc_id"), col("len"),
+    // index side: the 5 exact segments of every doc, keyed by its own
+    // length (the pigeonhole applies to the shorter side's geometry)
+    val segs = d.select(col("doc_id"), col("len"),
       explode(expr(
-        s"""array_distinct(transform(
-           |  sequence(1, greatest(length(text) - ${q - 1}, 1)),
-           |  i -> substring(text, i, $q)))""".stripMargin)).as("gram"))
-    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val prefix = grams.join(gramDf, Seq("gram"))
-      .groupBy(col("doc_id"), col("len"))
-      .agg(expr(
-        s"""transform(
-           |  slice(array_sort(collect_list(struct(df, gram))), 1, $prefixLen),
-           |  s -> s.gram)""".stripMargin).as("pfx"))
-      .select(col("doc_id"), col("len"), explode(col("pfx")).as("gram"))
-    val cand = prefix.groupBy(col("gram"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("len"))))
-        .as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, size(ids)-2),
-          |  i -> filter(transform(sequence(i+1, size(ids)-1),
-          |         j -> struct(ids[i].doc_id AS a, ids[j].doc_id AS b,
-          |                     ids[i].len AS la, ids[j].len AS lb)),
-          |       p -> abs(p.la - p.lb) <= $maxEd)))""".stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+        s"""transform(sequence(0, ${nSeg - 1}), k -> struct(
+           |  k AS k,
+           |  substring(text, CAST(k * len div $nSeg AS INT) + 1,
+           |    CAST((k + 1) * len div $nSeg - k * len div $nSeg AS INT))
+           |    AS seg))""".stripMargin)).as("s"))
+      .select(col("doc_id").as("ia"), col("len").as("la"),
+        col("s.k").as("k"), col("s.seg").as("seg"))
+    // probe side: for every candidate shorter-length l' (own len −
+    // maxEd … own len) and segment#, the start positions shifted by
+    // −maxEd … +maxEd around that geometry's segment start
+    val probes = d.select(col("doc_id"), col("len"), col("text"),
+      explode(expr(
+        s"""filter(
+           |  flatten(flatten(transform(sequence(0, ${nSeg - 1}), k ->
+           |    transform(sequence(len - $maxEd, len), lp ->
+           |      transform(sequence(-$maxEd, $maxEd), dx -> struct(
+           |        k AS k, lp AS lp,
+           |        CAST(k * lp div $nSeg AS INT) + 1 + dx AS st,
+           |        CAST((k + 1) * lp div $nSeg - k * lp div $nSeg AS INT)
+           |          AS sl)))))),
+           |  p -> p.lp >= 1 AND p.st >= 1
+           |       AND p.st + p.sl - 1 <= len)""".stripMargin)).as("p"))
+      .select(col("doc_id").as("ib"), col("len").as("lb"),
+        col("p.k").as("k"), col("p.lp").as("lp"),
+        expr("substring(text, p.st, p.sl)").as("seg"))
+    val cand = segs.join(probes,
+        segs("k") === probes("k") && segs("la") === probes("lp") &&
+          segs("seg") === probes("seg") && segs("ia") =!= probes("ib"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"))
       .distinct()
+      // materialize + re-spread the candidate list before the verify.
+      // Without the barrier the whole verify chain (broadcast doc
+      // joins + levenshtein — which Catalyst pushes INTO the join
+      // condition) fuses into the post-distinct stage, and AQE
+      // coalesces that stage by BYTES (249k pairs ≈ 4 MB → 1-2
+      // partitions at 10×), blind to the CPU downstream: measured
+      // 73.6 s for the verify on the coalesced layout vs 4.6 s
+      // spread, same rows — a plan-only repartition is either
+      // collapsed into the distinct's exchange or AQE-coalesced
+      // again. The pair list is small BY CONSTRUCTION (it is the
+      // filter's whole point), so the checkpoint is bounded; the
+      // pinned-count repartition then owns the verify parallelism.
+      // Lazy: constructing the frame (plan audits) must stay job-free.
+      .localCheckpoint(false)
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("a"), col("b"))
     cand
       .join(d.select(col("doc_id").as("a"), col("text").as("ta"),
         col("len").as("la")), Seq("a"))
