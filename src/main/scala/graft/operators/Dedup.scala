@@ -567,7 +567,7 @@ object Dedup {
            |        CAST(k * lp div $nSeg AS INT) + 1 + dx AS st,
            |        CAST((k + 1) * lp div $nSeg - k * lp div $nSeg AS INT)
            |          AS sl)))))),
-           |  p -> p.lp >= 1 AND p.st >= 1
+           |  p -> p.lp >= 0 AND p.st >= 1
            |       AND p.st + p.sl - 1 <= len)""".stripMargin)).as("p"))
       .select(col("doc_id").as("ib"), col("len").as("lb"),
         col("p.k").as("k"), col("p.lp").as("lp"),

@@ -133,6 +133,43 @@ class DedupPlantedSpec extends SparkSpec {
       assert(joined.filter(col("dup_frac_e4") =!= 10000).count() === 0L)
   }
 
+  test("fuzzy edit dedup survives adversarial lengths (empty/tiny docs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // fixed-seed corpus: empty strings, strings shorter than the
+    // segment count, near-dups planted at known distances, and long
+    // unrelated text — PassJoin's pigeonhole must hold on ALL of it
+    // (the lp >= 1 probe cut silently dropped every empty-doc pair)
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val base = (0 until 15).map(i => (i.toLong, randStr(rnd.nextInt(12))))
+    val longs = (15 until 25).map(i => (i.toLong, randStr(60 + rnd.nextInt(40))))
+    // planted: empty pair, empty-vs-tiny, 1-edit of a long doc
+    val planted = Seq(
+      (100L, ""), (101L, ""), (102L, "abc"),
+      (103L, longs.head._2.drop(2)))
+    val docs = (base ++ longs ++ planted)
+      .map { case (id, s) => (id, s, "en", "s", s.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-fz-adv").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.fuzzyEditPairs(spark, dir)
+    val d = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val truth = d.as("a").join(d.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 4)
+      .withColumn("edit_dist",
+        levenshtein(col("a.text"), col("b.text")).cast("long"))
+      .filter(col("edit_dist") <= 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("edit_dist"))
+    assert(got.except(truth).isEmpty && truth.except(got).isEmpty)
+    // the planted empty/tiny pairs are actually in the truth set
+    val t = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t.contains((100L, 101L)) && t.contains((100L, 102L)))
+  }
+
   test("fuzzy edit dedup finds exactly the quadratic ground truth") {
     import org.apache.spark.sql.functions._
     // the gram candidate filter must lose NOTHING the exhaustive
