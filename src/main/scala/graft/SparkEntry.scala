@@ -33,6 +33,11 @@ object SparkEntry {
     "q18_volume_customer" -> ((s: SparkSession, dir: String) =>
       Relational.q18VolumeCustomer(s, dir)),
     "q_subqueries" -> Relational.qSubqueries _,
+    "q13_cust_distribution" -> Relational.q13CustDistribution _,
+    "j_bloom_prune" -> ((s: SparkSession, dir: String) =>
+      Relational.jBloomPrune(s, dir)),
+    "sim_sq8_rerank" -> ((s: SparkSession, dir: String) =>
+      Similarity.sq8Rerank(s, dir)),
     "q1_pricing_full" -> Relational.q1Full _,
     "j_left_coalesce" -> Relational.jLeftCoalesce _,
     "j_broadcast_dims" -> Relational.jBroadcastDims _,
@@ -1013,6 +1018,72 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1996-01-01'
          GROUP BY 1, 2, 3, round(c_acctbal * 100)
          ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""",
+    // Q13 shape: the priority predicate must sit in the ON clause so
+    // zero-order customers survive the outer join (c_count = 0 rows
+    // are the point of the query)
+    "q13_cust_distribution" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT CAST(c_count AS BIGINT) AS c_count,
+                CAST(count(*) AS BIGINT) AS custdist
+         FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    // the Bloom-style bucket filter is semantics-preserving by
+    // construction (false positives die in the exact join), so the
+    // oracle is the PLAIN join — any bucket-filter bug that drops a
+    // true match diverges from this
+    "j_bloom_prune" ->
+      """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_e4
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3'
+         GROUP BY 1, 2 ORDER BY revenue_e4 DESC, s_suppkey LIMIT 20""",
+    // SQ8: codes are exact integers ((q-mn)*255 // (mx-mn) over e4
+    // inputs, all non-negative so // == div), so candidate sets match
+    // bit-for-bit; the exact rerank reuses simOracle's cosine algebra
+    "sim_sq8_rerank" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         r AS (SELECT min(u) AS mn, max(u) AS mx
+               FROM (SELECT unnest(qv) AS u FROM e)),
+         c AS (SELECT vec_id,
+                 list_transform(qv, u -> (u - mn) * 255 // greatest(mx - mn, 1)) AS code
+               FROM e CROSS JOIN r),
+         d AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+                 CAST(list_dot_product(CAST(q.code AS DOUBLE[]),
+                   CAST(t.code AS DOUBLE[])) AS BIGINT) AS sq8_dot
+               FROM c q JOIN c t ON t.vec_id != q.vec_id
+               WHERE q.vec_id < 5),
+         top AS (SELECT qid, nid, sq8_dot,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY sq8_dot DESC, nid) AS crn FROM d),
+         n AS (SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
+               FROM e),
+         p AS (SELECT top.qid, top.nid, top.sq8_dot,
+                 CAST(list_dot_product(CAST(nq.qv AS DOUBLE[]),
+                   CAST(nt.qv AS DOUBLE[])) AS BIGINT) AS dot,
+                 nq.nrm AS qn, nt.nrm AS tn
+               FROM top
+               JOIN n nq ON nq.vec_id = top.qid
+               JOIN n nt ON nt.vec_id = top.nid
+               WHERE top.crn <= 20),
+         s AS (SELECT qid, nid, sq8_dot,
+                 CAST(floor(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(tn AS DOUBLE)))
+                   * 1000000.0) AS BIGINT) AS cos_e6 FROM p),
+         rr AS (SELECT qid, nid, sq8_dot, cos_e6,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos_e6 DESC, nid) AS rn FROM s)
+         SELECT qid, nid, sq8_dot, cos_e6, CAST(rn AS BIGINT) AS rn
+         FROM rr WHERE rn <= 5 ORDER BY qid, rn""",
     // Q21 shape: "late" adapted to l_shipdate > o_orderdate + 60 days
     // (trimmed schema has no receipt/commit dates); EXISTS another
     // supplier in the order, NOT EXISTS another LATE supplier

@@ -496,4 +496,77 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
   }
+
+  /** Q13-shape customer order-count distribution — the one classic
+    * relational shape no other declared query exercises: an OUTER join
+    * whose predicate lives in the ON clause (moving it to WHERE would
+    * silently turn the join inner and drop the zero-order customers,
+    * which are the POINT of Q13), then a second aggregation over the
+    * first's results (count-of-counts).
+    *
+    * Plan shape: one customer⟕orders shuffle on custkey, then the
+    * count-of-counts aggregates a CUSTOMER-sized frame down to the
+    * distinct order-count alphabet (≤ hundreds at any SF) — the second
+    * shuffle is aggregate-sized. The priority filter pushes to the
+    * orders scan because it is a single-table predicate even inside
+    * the ON clause. */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"))
+    val perCust = t.customer
+      .join(ord,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Runtime-filter (Bloom-style) join pruning — the semi-join
+    * reduction a 100 TB fact⋈dim join lives on when the filtered
+    * dimension is too large to broadcast AS ROWS but its key
+    * MEMBERSHIP fits in constant space: hash every dim key into one of
+    * 4096 buckets, broadcast the occupied-bucket set (≤4096 rows — a
+    * few KB regardless of dim cardinality, bounded by CONSTRUCTION,
+    * hence the static hint is policy-legal), and LEFT SEMI the fact on
+    * its own key's bucket BEFORE the real join. False positives pass
+    * the filter and die in the exact join — the filter can never
+    * change the answer, only cut the fact rows entering the join
+    * shuffle (here to ~nations-covered/4096 of buckets; at 100 TB this
+    * is the difference between shuffling the whole fact table and
+    * shuffling the matching fraction). Spark's own
+    * `runtime.bloomFilter` optimization makes the same move with a
+    * real Bloom bitmap; this is the declarative, oracle-checkable
+    * form. */
+  def jBloomPrune(spark: SparkSession, dir: String,
+      nationName: String = "NATION_3", nBuckets: Int = 4096): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val occupied = dim
+      .select(pmod(xxhash64(col("s_suppkey")), lit(nBuckets)).as("bkt"))
+      .distinct()
+    val factPruned = t.lineitem
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(occupied),
+        pmod(xxhash64(col("l_suppkey")), lit(nBuckets)) === col("bkt"),
+        "left_semi")
+    factPruned
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("s_suppkey"))
+      .limit(20)
+  }
 }

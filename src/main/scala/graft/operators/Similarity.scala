@@ -921,4 +921,61 @@ object Similarity {
     val members = TxTable(spark, idx.postings).readWhereIn("cell", cellIds)
     topkByCell(spark, dir, members, probes, k)
   }
+
+  /** SQ8 scalar-quantized candidate generation + exact rerank — the
+    * memory-bound serving trick every production vector store ships
+    * (FAISS `SQ8`, Lucene int8 HNSW): compress each float dim to an
+    * 8-bit code against the GLOBAL [min,max] range, score candidates
+    * with the pure-integer code dot product (4 B → 1 B per dim = 4×
+    * less memory bandwidth per scanned vector — at 100 TB the scan IS
+    * the cost), keep the top `candK` per query, and rerank only those
+    * with the exact e4-integer cosine. Quantization is exact integer
+    * arithmetic end-to-end: `code = ((q - mn) * 255) div (mx - mn)`
+    * over e4-quantized inputs, so codes — and therefore the candidate
+    * sets — are bit-identical on every engine; no float ulp can flip a
+    * candidate in or out.
+    *
+    * Plan: the [mn,mx] range is ONE aggregate row (broadcast by the
+    * 1-row cross join), the 5×d query-code table broadcasts (bounded
+    * by construction), the corpus side aggregates map-side into one
+    * (qid, vec_id) shuffle, and the exact rerank touches only
+    * 5·candK rows. */
+  def sq8Rerank(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20): DataFrame = {
+    val qe = quantized(spark, dir)
+    val range = qe.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+    val codes = qe.crossJoin(broadcast(range))
+      .select(col("vec_id"), col("dim"),
+        expr("((q - mn) * 255) div greatest(mx - mn, 1)").as("code"))
+    val qCodes = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dim").as("qdim"),
+        col("code").as("qcode"))
+    val cand = codes
+      .join(broadcast(qCodes),
+        col("dim") === col("qdim") && col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("code") * col("qcode")).as("sq8_dot"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("sq8_dot").desc, col("vec_id"))
+    val top = cand.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= candK)
+      .select(col("qid"), col("vec_id").as("nid"), col("sq8_dot"))
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val rer = top
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("n_emb")),
+        Seq("nid"))
+      .join(broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))),
+        Seq("qid"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("nid"))
+    rer.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sq8_dot"), col("cos_e6"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
 }

@@ -124,7 +124,10 @@ class PlanSpec extends SparkSpec {
       "a_funnel",
       // literal-bounded query-term list crossed over the vocabulary
       // for edit-distance expansion + the 1-row bm25 stats cross
-      "text_fuzzy_search")
+      "text_fuzzy_search",
+      // 1-row global [mn,mx] quantization-range aggregate crossed into
+      // the code table; the candidate dot itself is a dim equi-join
+      "sim_sq8_rerank")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
