@@ -22,6 +22,9 @@ object Bench {
     // under the shrinking-fraction quantizer; sim_ivf_build_sqrt owns
     // that build cost
     graft.operators.Similarity.ensureIvfSqrt(spark, sfDir)
+    // the composed IVF-SQ8 index: sim_ann_ivfsq8 times probe + code
+    // scan + candK exact rerank; sim_ivfsq8_build owns that build cost
+    graft.operators.Similarity.ensureIvfSq8(spark, sfDir)
     // dev knob: comma-separated query names (unset = full suite, what
     // the driver runs); lets a perf investigation time one query in
     // the same warmed-session conditions as the real bench

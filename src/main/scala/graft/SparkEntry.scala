@@ -179,6 +179,10 @@ object SparkEntry {
       Similarity.ivfBuildSqrt(s, dir)),
     "sim_ann_indexed_sqrt" -> ((s: SparkSession, dir: String) =>
       Similarity.annIndexedSqrt(s, dir)),
+    "sim_ivfsq8_build" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfSq8Build(s, dir)),
+    "sim_ann_ivfsq8" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfSq8(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -759,6 +763,52 @@ object SparkEntry {
   private def annSqrtOracle(nprobe: Int): String =
     s"""WITH ${annSqrtCtes(nprobe)}
         SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Mirror of `Similarity.annIvfSq8` — the composed IVF-SQ8 serving
+    * stack: √N Lloyd cell membership/probes ([[lloydCtes]]'s `asgk`),
+    * SQ8 candidate scoring by exact integer code dot against the
+    * global [mn,mx] range, candK=20 survivors, exact cosine rerank.
+    * Every stage is exact integer arithmetic, so candidate sets match
+    * the engine bit-for-bit. */
+  private val annIvfSq8Oracle: String =
+    s"""WITH ${lloydCtes(sqrtKSql)},
+        cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
+        rng AS (SELECT min(q) AS mn, max(q) AS mx FROM qe),
+        cd AS (SELECT vec_id, dim,
+                 (q - mn) * 255 // greatest(mx - mn, 1) AS code
+               FROM qe CROSS JOIN rng),
+        qs AS (SELECT vec_id AS qid, cell FROM asgk
+               WHERE arn <= 3 AND vec_id < 5),
+        cand AS (SELECT qs.qid, m.vec_id AS nid,
+                   CAST(sum(c.code * qc.code) AS BIGINT) AS sq8_dot
+                 FROM qs
+                 JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
+                 JOIN cd c ON c.vec_id = m.vec_id
+                 JOIN cd qc ON qc.vec_id = qs.qid AND qc.dim = c.dim
+                 GROUP BY 1, 2),
+        surv AS (SELECT qid, nid, sq8_dot FROM (
+                   SELECT qid, nid, sq8_dot, row_number() OVER (
+                     PARTITION BY qid ORDER BY sq8_dot DESC, nid) AS crn
+                   FROM cand) WHERE crn <= 20),
+        qvs AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+                FROM embeddings),
+        nn AS (SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
+               FROM qvs),
+        rer AS (SELECT surv.qid, surv.nid, surv.sq8_dot,
+            CAST(floor(CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                             CAST(b.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM surv
+          JOIN nn a ON a.vec_id = surv.qid
+          JOIN nn b ON b.vec_id = surv.nid),
+        ranked AS (SELECT qid, nid, sq8_dot, cos_e6, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
+                   FROM rer)
+        SELECT qid, nid, sq8_dot, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
 
   private val annIvfTrueOracle: String = annIvfOracle(1)
@@ -1618,6 +1668,28 @@ object SparkEntry {
                  CAST(min(n) AS BIGINT) AS min_cell_pop,
                  CAST(max(n) AS BIGINT) AS max_cell_pop
           FROM pop""",
+    // composed IVF-SQ8 build: the √N cell-population audit plus the
+    // pinned global SQ8 range — the two build-time decisions a
+    // deployment monitors for drift
+    "sim_ivfsq8_build" ->
+      s"""WITH ${lloydCtes(sqrtKSql)},
+          pop AS (SELECT cell, count(*) AS n FROM asgk
+                  WHERE arn = 1 GROUP BY 1),
+          rng AS (SELECT min(q) AS mn, max(q) AS mx FROM qe)
+          SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS n_vecs,
+                 CAST(min(n) AS BIGINT) AS min_cell_pop,
+                 CAST(max(n) AS BIGINT) AS max_cell_pop,
+                 CAST(min(mn) AS BIGINT) AS mn,
+                 CAST(max(mx) AS BIGINT) AS mx
+          FROM pop CROSS JOIN rng""",
+    // composed IVF-SQ8 serve: √N Lloyd cells (members at arn=1,
+    // probes at arn<=3) generate candidates by exact-integer SQ8 code
+    // dot against the pinned global range; only the candK=20
+    // survivors get the exact cosine rerank — the index and the codes
+    // never change the answer's algebra, so this oracle IS the
+    // unindexed computation
+    "sim_ann_ivfsq8" -> annIvfSq8Oracle,
     "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->
       """SELECT event_type,

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimQ, Dist2Q}
+import graft.functions.{CosineSimQ, Dist2Q, DotQ}
 
 /** Session extensions registering the engine's native Catalyst
   * expressions, activated via `spark.sql.extensions` (see [[Sessions]]).
@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Dist2Q].getName, "dist2_q"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Dist2Q(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotQ(exprs.head, exprs(1))))
   }
 }

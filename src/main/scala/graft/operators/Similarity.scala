@@ -978,4 +978,172 @@ object Similarity {
         col("rn").cast("long").as("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  // ----------------------------------------------------------------
+  // IVF-SQ8: the composed standing index — √N Lloyd cells carrying
+  // SQ8 compact codes IN the postings, exact rerank on survivors only.
+  // ----------------------------------------------------------------
+
+  /** The composed standing ANN index: cell-clustered postings
+    * (cell, vec_id, codes, embedding) under the ⌈√N⌉ Lloyd quantizer,
+    * where `codes` is the SQ8 scalar quantization of the vector
+    * against the build-pinned GLOBAL [mn,mx] range ([[sq8Rerank]]'s
+    * exact-integer encoding), plus the pinned centroid table and the
+    * one-row range stats table. This is the at-scale ANN serving
+    * layout every production vector store converges on (FAISS
+    * `IVF…,SQ8`): probe 1/√N of the cells, scan their 1-byte-per-dim
+    * codes (4× less memory bandwidth than floats — at 100 TB the scan
+    * IS the cost), exact-rerank only the candK survivors. */
+  final case class IvfSq8Index(postings: String, centroids: String,
+      stats: String)
+
+  private val ivfSq8Standing =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfSq8Index]()
+
+  /** (vec_id, codes): every vector's dim-ordered SQ8 code array
+    * against the broadcast one-row [mn,mx] range — exact integer
+    * `((q - mn) * 255) div greatest(mx - mn, 1)` per element, so the
+    * arrays (and every candidate set scored from them) are
+    * bit-identical cross-engine. One N·d → N aggregate, build-time
+    * only. */
+  private def sq8Codes(qe: DataFrame, range: DataFrame): DataFrame =
+    qe.crossJoin(broadcast(range))
+      .select(col("vec_id"), col("dim"),
+        expr("((q - mn) * 255) div greatest(mx - mn, 1)").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, code))), s -> s.code)")
+        .as("codes"))
+
+  /** One pass into the composed standing index: train the ⌈√N⌉
+    * quantizer (deterministic Lloyd — identical centroids to
+    * [[ensureIvfSqrt]]'s, so the cell alphabet is shared), pin the
+    * global SQ8 range, encode every vector, and lay the postings out
+    * cell-range-partitioned with codes AND exact vectors side by side
+    * (codes serve candidate generation; the exact column serves only
+    * the candK rerank and column-prunes out of the scoring scan).
+    * Bloom bitmap on `cell` drives the probe point reads. */
+  private def buildIvfSq8Index(spark: SparkSession, dir: String): IvfSq8Index = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val (cents, bounded) = sqrtQuantizer(spark, dir)
+    val member = rankedCells(spark, dir, cents, bounded)
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val qe = quantized(spark, dir)
+    val range = qe.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+      .localCheckpoint() // one row, pinned: build and serve must agree
+    val pDir = Scratch.fresh("tx_ivf_sq8")
+    TxTable(spark, pDir).append(
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+        .join(member, Seq("vec_id"))
+        .join(sq8Codes(qe, range), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val cDir = Scratch.fresh("tx_ivf_sq8_cents")
+    TxTable(spark, cDir).append(cents)
+    val sDir = Scratch.fresh("tx_ivf_sq8_stats")
+    TxTable(spark, sDir).append(range)
+    val idx = IvfSq8Index(pDir, cDir, sDir)
+    ivfSq8Standing.put(dir, idx)
+    idx
+  }
+
+  /** Get-or-build the standing IVF-SQ8 index (Bench warms it so
+    * `sim_ann_ivfsq8` times the point-read + code-scan serving path). */
+  def ensureIvfSq8(spark: SparkSession, dir: String): IvfSq8Index = {
+    val hit = ivfSq8Standing.get(dir)
+    if (hit != null) hit else buildIvfSq8Index(spark, dir)
+  }
+
+  /** The IVF-SQ8 BUILD as its own declared query: owns the quantizer
+    * training, the SQ8 range pin, and all three tx commits; returns
+    * the cell-population audit extended with the pinned code range —
+    * the two build-time decisions (cell alphabet, quantization range)
+    * a deployment monitors for drift. */
+  def ivfSq8Build(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.TxTable
+    val idx = buildIvfSq8Index(spark, dir)
+    val range = TxTable(spark, idx.stats).read()
+    TxTable(spark, idx.postings).read()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).cast("long").as("n_vecs"),
+        min(col("n")).cast("long").as("min_cell_pop"),
+        max(col("n")).cast("long").as("max_cell_pop"))
+      .crossJoin(broadcast(range))
+  }
+
+  /** Multi-probe ANN served from the composed IVF-SQ8 index — the
+    * VERDICT-r8 composition that turns four green parts into the
+    * actual at-scale serving stack. Per query:
+    *  1. rank probe cells on the build-pinned centroid table
+    *     ([[annIndexedSqrt]]'s mechanics — nprobe/⌈√N⌉ of the corpus,
+    *     a fraction that SHRINKS as N grows);
+    *  2. Bloom-pruned point read of the probed cells' postings,
+    *     projecting ONLY (cell, vec_id, codes) — the exact-vector
+    *     column stays unread in the scoring scan (1 B/dim vs 4 B/dim
+    *     memory bandwidth, the SQ8 point);
+    *  3. score candidates with the codegen'd integer code dot
+    *     ([[graft.functions.DotQ]]), keep candK per query;
+    *  4. exact-rerank ONLY the survivors with [[graft.functions
+    *     .CosineSimQ]] against vectors fetched from the SAME probed
+    *     cells (5·candK rows — never a corpus join).
+    * Codes are exact integers against the pinned range, so candidate
+    * sets are bit-identical cross-engine and the whole path shares one
+    * oracle with the unindexed algebra. */
+  def annIvfSq8(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame = {
+    import graft.lake.TxTable
+    val idx = ensureIvfSq8(spark, dir)
+    val cents = TxTable(spark, idx.centroids).read()
+    val range = TxTable(spark, idx.stats).read()
+    // build-pinned centroid table is k·d rows — metadata-sized, so
+    // counting it to prove the broadcast bound costs one point read
+    val bounded = cents.count() * 24L <= (32L << 20)
+    val probes = (if (bounded)
+        rankedByDist(Tables(spark, dir).embeddings
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")), cents)
+      else rankedTo(quantized(spark, dir).filter(col("vec_id") < 5), cents))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    val cellIds = probes.select(col("q_cell")).distinct()
+      .collect().map(r => lit(r.get(0))).toSeq
+    val postings = TxTable(spark, idx.postings).readWhereIn("cell", cellIds)
+    // query codes against the PINNED range — |Q| rows, broadcast
+    val qCodes = sq8Codes(
+      quantized(spark, dir).filter(col("vec_id") < 5), range)
+      .select(col("vec_id").as("qid"), col("codes").as("qcodes"))
+    val queries = probes.join(qCodes, Seq("qid"))
+    val cand = postings.select(col("cell"), col("vec_id"), col("codes"))
+      .join(broadcast(queries), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sq8_dot",
+        graft.functions.DotQ.dotQ(col("codes"), col("qcodes")))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("sq8_dot").desc, col("vec_id"))
+    val top = cand.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= candK)
+      .select(col("qid"), col("vec_id").as("nid"), col("sq8_dot"))
+    // exact rerank: survivors' vectors come from the SAME probed-cell
+    // point read (column-pruned to the exact column), never the corpus
+    val rer = top
+      .join(postings.select(col("vec_id").as("nid"),
+        col("embedding").as("n_emb")), Seq("nid"))
+      .join(broadcast(Tables(spark, dir).embeddings
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))),
+        Seq("qid"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("nid"))
+    rer.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sq8_dot"), col("cos_e6"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
 }
