@@ -228,6 +228,8 @@ object SparkEntry {
       TextAnalysis.ftsBuild(s, dir)),
     "stream_fts_serve" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamFts.streamFtsServe(s, dir)),
+    "text_fts_churn" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.ftsChurn(s, dir)),
     "search_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.hybridRrf(s, dir)),
     "search_eval" -> ((s: SparkSession, dir: String) =>
@@ -2715,6 +2717,10 @@ object SparkEntry {
     // micro-batch commits + merged-snapshot serving) — the full-corpus
     // scan oracle verifies the whole pipeline end to end
     "stream_fts_serve" -> bm25Oracle,
+    // churn lifecycle (append→fragment→compact→serve): neither
+    // incremental commits nor compaction may change an answer, so the
+    // compacted index serves the full-corpus scan's exact result
+    "text_fts_churn" -> bm25Oracle,
     // hybrid RRF: BM25 top-20 ∪ exact-cosine top-20 for query vector 0,
     // fused as Σ 1000000 // (60 + rank) — rank 0 sentinel = absent arm
     "search_hybrid_rrf" ->

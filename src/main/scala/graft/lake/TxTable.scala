@@ -732,6 +732,14 @@ final case class TxTable(spark: SparkSession, root: String) {
     * files appended since the read survive verbatim. `beforeCommit` is
     * a test seam for injecting a concurrent writer at the worst moment.
     *
+    * A standing INDEX table compacts with `clusterBy` + `bloomCols`
+    * (and/or `statsCols`): the rewrite range-partitions on the cluster
+    * key and re-records per-file skipping metadata, so the
+    * append→fragment→compact cycle restores the exact build-time
+    * layout — without them a compacted index would still serve
+    * correctly (a file with no bitmap is always read) but every point
+    * read would scan every compacted file, which defeats the index.
+    *
     * Concurrent-compaction conflict is detected, not re-based through:
     * if a racing compactor already replaced this one's inputs, blindly
     * committing `cur.filterNot(inputs) ++ rewritten` would append a
@@ -740,14 +748,19 @@ final case class TxTable(spark: SparkSession, root: String) {
     * snapshot, the loser unstages its rewrite and throws — the caller
     * re-runs against the new snapshot if it still wants a compaction.
     */
-  def compact(targetFiles: Int, beforeCommit: () => Unit = () => ()): Long = {
+  def compact(targetFiles: Int, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      beforeCommit: () => Unit = () => ()): Long = {
     val snap = latest().getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     if (snap.files.isEmpty) return snap.version // empty snapshot: no-op
     val inputs = snap.files.toSet
+    val base = readEntries(snap.files, pinnedSchemaOf(snap.version))
     val rewritten = stage(
-      readEntries(snap.files, pinnedSchemaOf(snap.version))
-        .repartition(targetFiles))
+      if (clusterBy.nonEmpty)
+        base.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+      else base.repartition(targetFiles),
+      statsCols = statsCols, bloomCols = bloomCols)
     beforeCommit()
     val v = commit { cur =>
       if (!inputs.subsetOf(cur.toSet)) None // inputs replaced under us

@@ -467,6 +467,71 @@ object TextAnalysis {
       .orderBy(col("rank"))
 
 
+  /** The standing-index CHURN lifecycle as one verified query —
+    * append → fragment → compact → serve (VERDICT r8 task 3), the
+    * maintenance cycle every production index lives through: the
+    * corpus arrives as `slices` separate commits (each a term-
+    * clustered micro-batch append, fragmenting the table to
+    * slices × files), `TxTable.compact` rewrites the fragments back
+    * into `targetFiles` term-range-clustered files WITH fresh Bloom
+    * bitmaps (the build-time layout — see [[graft.lake.TxTable
+    * .compact]]'s clusterBy/bloomCols), and BM25 serves from the
+    * compacted snapshot with one multi-term point read.
+    *
+    * Scores are byte-equal to the full-corpus scan — every document
+    * lands in exactly one slice, df merges across segments at read
+    * ([[graft.streaming.StreamFts]]'s semantic), stats are the sum of
+    * the per-commit rows — so this query shares [[bm25Search]]'s
+    * oracle: neither incremental commits nor compaction may ever
+    * change an answer. The file-count bound after compaction is
+    * asserted by `TxTableSpec`. */
+  def ftsChurn(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "vector"),
+      topK: Int = 10, slices: Int = 10, targetFiles: Int = 8): DataFrame = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val (idx, st) = ftsChurnTables(spark, dir, slices, targetFiles,
+      Scratch.fresh("tx_fts_churn"), Scratch.fresh("tx_fts_churn_stats"))
+    val stRow = st.read()
+      .agg(sum(col("n_docs")).as("n"), sum(col("t_toks")).as("t")).head()
+    val posts = idx.readWhereIn("tok", terms.map(lit(_)))
+    val dfc = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25ScoreTail(posts.join(broadcast(dfc), Seq("tok")),
+      stRow.getLong(0), stRow.getLong(1), topK)
+  }
+
+  /** The lifecycle's table half, shared with the spec that asserts
+    * the post-compaction file bound: `slices` fragmented appends into
+    * fresh postings + stats tables at the given roots, then a
+    * layout-restoring compaction of both. */
+  private[graft] def ftsChurnTables(spark: SparkSession, dir: String,
+      slices: Int, targetFiles: Int, postingsRoot: String,
+      statsRoot: String): (graft.lake.TxTable, graft.lake.TxTable) = {
+    import graft.lake.TxTable
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    def tokenized(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+    def postings(d: DataFrame): DataFrame =
+      tokenized(d)
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+    val idx = TxTable(spark, postingsRoot)
+    val st = TxTable(spark, statsRoot)
+    for (i <- 0 until slices) {
+      val slice = docs.filter(pmod(col("doc_id"), lit(slices)) === i)
+      idx.append(postings(slice).repartitionByRange(4, col("tok")),
+        bloomCols = Seq("tok"))
+      st.append(tokenized(slice).agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("t_toks")))
+    }
+    idx.compact(targetFiles, bloomCols = Seq("tok"),
+      clusterBy = Seq("tok"))
+    st.compact(1)
+    (idx, st)
+  }
+
   /** Fuzzy full-text search — ES `match` with `fuzziness: 1`: each
     * query term expands to every VOCABULARY token within edit
     * distance 1, a doc scores each query term as the BEST of its
