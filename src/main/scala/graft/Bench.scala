@@ -34,19 +34,33 @@ object Bench {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None => SparkEntry.queries
     }
+    // measurement protocol (BASELINE.md r9): each query runs TWICE and
+    // reports the min. A single-JVM 170-query sweep manufactures 2-4x
+    // singleton outliers from GC pressure and codegen-cache churn
+    // (adjudicated by isolation re-runs every round, r7/r8 verdicts);
+    // min-of-two reflects the PLAN, not transient JVM state, at the
+    // cost of one extra pass. The gc + settle between queries keeps one
+    // query's garbage from billing the next.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY output column (count() would let
-      // Catalyst prune computed expressions and understate the work)
-      val t = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1.0 // sentinel: a failed query must not look like a fast one
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes EVERY output column (count() would
+        // let Catalyst prune computed expressions and understate work)
+        val t = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0 // sentinel: a failed query must not look like a fast one
+        }
+        spark.catalog.clearCache()
+        t
       }
-      spark.catalog.clearCache()
-      name -> t
+      System.gc()
+      Thread.sleep(50)
+      // any failed run fails the query; otherwise the min of the runs
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -221,8 +221,12 @@ object Similarity {
   /** (vec_id, dim, q): every embedding exploded to its e4-quantized
     * integer coordinates — the input shape of the Lloyd iterations. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    quantizedOf(Tables(spark, dir).embeddings)
+
+  /** [[quantized]] over any (vec_id, embedding) frame — the grow-aware
+    * index maintenance path feeds deltas and merged snapshots here. */
+  private def quantizedOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         expr("CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)").as("q"))
 
@@ -687,7 +691,7 @@ object Similarity {
     * [[lloydCentroids]] (same hash-seeded init, same argmin tie-break,
     * same half-up integer means), only the assignment's physical shape
     * changes. Bounded-k callers only (seeds and centroids broadcast). */
-  private def lloydCentroidsFast(spark: SparkSession, dir: String,
+  private def lloydCentroidsFast(emb: DataFrame,
       qe: DataFrame, k: Int, iters: Int): DataFrame = {
     val hashOrder = Seq(
       graft.functions.PortableHash.phash(col("vec_id").cast("string"), 11).asc,
@@ -697,11 +701,18 @@ object Similarity {
     val wSeed = Window.orderBy(hashOrder: _*) // over k rows only
     val seeds0 = seedIds
       .withColumn("cell", (row_number().over(wSeed) - 1).cast("long"))
-    val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"))
-    var cents = qe.join(broadcast(seeds0), Seq("vec_id"))
+    val cents0 = qe.join(broadcast(seeds0), Seq("vec_id"))
       .select(col("cell"), col("dim"), col("q").as("c"))
-      .localCheckpoint()
+    lloydFrom(emb, qe, cents0, iters)
+  }
+
+  /** Lloyd iterations from GIVEN initial centroids (cell, dim, c) —
+    * the shared tail of hash-seeded training and the grow-aware
+    * rebuild (which seeds from the outgrown index's pinned centroids
+    * so cluster structure carries over instead of restarting cold). */
+  private def lloydFrom(emb: DataFrame, qe: DataFrame,
+      cents0: DataFrame, iters: Int): DataFrame = {
+    var cents = cents0.localCheckpoint()
     for (_ <- 1 to iters) {
       val asg = rankedByDist(emb, cents).filter(col("crn") === 1)
         .select(col("vec_id"), col("cell"))
@@ -735,7 +746,9 @@ object Similarity {
     // eager: the k·d-row centroid checkpoint materializes the whole
     // training against the hot cache and cuts its lineage...
     val cents =
-      (if (bounded) lloydCentroidsFast(spark, dir, qeT, kk, 2)
+      (if (bounded) lloydCentroidsFast(
+         Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
+         qeT, kk, 2)
        else lloydCentroids(qeT, kk, 2, boundedK = false))
         .localCheckpoint()
     // ...so the training input frees immediately; callers' final
@@ -1145,5 +1158,172 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sq8_dot"), col("cos_e6"),
         col("rn").cast("long").as("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  // ----------------------------------------------------------------
+  // Grow-aware √N index maintenance: auto re-bucket under appends.
+  // ----------------------------------------------------------------
+
+  /** Handle on a grow-aware √N IVF index: postings + pinned-centroid
+    * tx tables and the pinned cell count k. Immutable — maintenance
+    * returns a NEW handle (a rebuild retires the old roots), so a
+    * reader holding the old handle keeps a consistent snapshot. */
+  final case class IvfGrowIndex(postings: String, centroids: String, k: Int)
+
+  /** Train a fresh ⌈√N⌉-cell index over `emb` (vec_id, embedding) —
+    * the grow-aware lifecycle's t=0. Same deterministic Lloyd as
+    * [[ensureIvfSqrt]]; postings cell-range-partitioned, Bloom on
+    * `cell`. */
+  def ivfGrowInit(spark: SparkSession, emb: DataFrame): IvfGrowIndex = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val qe = quantizedOf(e).persist()
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val cents = lloydCentroidsFast(e, qe, k, 2).localCheckpoint()
+    qe.unpersist(blocking = false)
+    writeGrowIndex(spark, e, cents, k)
+  }
+
+  private def writeGrowIndex(spark: SparkSession, emb: DataFrame,
+      cents: DataFrame, k: Int): IvfGrowIndex = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val member = rankedByDist(emb, cents).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val pDir = Scratch.fresh("tx_ivf_grow")
+    TxTable(spark, pDir).append(
+      emb.join(member, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val cDir = Scratch.fresh("tx_ivf_grow_cents")
+    TxTable(spark, cDir).append(cents)
+    IvfGrowIndex(pDir, cDir, k)
+  }
+
+  /** Append `delta` vectors to a grow-aware index, RE-BUCKETING when
+    * the corpus outgrows the pinned cell alphabet.
+    *
+    * The cheap path assigns the delta against the PINNED centroids
+    * (touches only the delta — [[ivfAppendServe]]'s semantic) and
+    * commits it into the existing postings. The REBUILD TRIGGER is
+    * N > (k·growthFactor)²: the pinned k has fallen behind ⌈√N⌉ by
+    * more than `growthFactor`, so the probed fraction nprobe/k has
+    * drifted a factor growthFactor above the nprobe/√N design point.
+    * A rebuild retrains k′ = ⌈√N⌉ Lloyd cells seeded by SPLITTING THE
+    * PINNED ALPHABET PROPORTIONALLY: each old cell contributes
+    * ⌈k′·pop/N⌋ seeds (largest-remainder allocation), picked as
+    * hash-ranked MEMBER VECTORS of that cell — so dense cells split
+    * into several and cluster structure carries over instead of
+    * restarting cold. Seeding from members, not from the old centroid
+    * means, matters: a mean is central in high-dimensional space, so
+    * mixing mean-seeds with point-seeds makes every new cell collapse
+    * to a singleton (measured on the sf0.01 corpus: 11 of 11 new
+    * cells degenerate); all-point seeding keeps the alphabet
+    * balanced. Postings + centroids rewrite under fresh roots.
+    * Amortization is geometric: rebuild i processes N_i ≈
+    * growthFactor²·N_{i-1} rows, so total rebuild work over any
+    * append sequence is O(N_final · gf²/(gf²−1)) — a constant factor
+    * over one build, the textbook doubling argument.
+    *
+    * Returns the (possibly new) handle; `ivfProbedFraction` measures
+    * the property this maintains — probed fraction non-increasing as
+    * the corpus grows ([[IvfGrowSpec]]). */
+  def ivfGrowAppend(spark: SparkSession, idx: IvfGrowIndex,
+      delta: DataFrame, growthFactor: Double = 2.0): IvfGrowIndex = {
+    import graft.lake.TxTable
+    val cents = TxTable(spark, idx.centroids).read()
+    val d = delta.select(col("vec_id"), col("embedding"))
+    val member = rankedByDist(d, cents).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val tx = TxTable(spark, idx.postings)
+    tx.append(
+      d.join(member, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val n = tx.read().count()
+    val threshold = (idx.k.toDouble * growthFactor) *
+      (idx.k.toDouble * growthFactor)
+    if (n.toDouble <= threshold) idx
+    else {
+      // re-bucket: k' = ceil(sqrt(N)) cells, seeded by splitting the
+      // pinned alphabet proportionally to cell population
+      val kNew = math.ceil(math.sqrt(n.toDouble)).toInt
+      val emb = tx.read().select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // pin the merged snapshot for the rebuild
+      val qe = quantizedOf(emb).persist()
+      // current assignment under the pinned centroids: the merged
+      // postings already carry it (argmin cell at commit time)
+      val memberNow = tx.read().select(col("vec_id"), col("cell"))
+      val pops = memberNow.groupBy(col("cell"))
+        .agg(count(lit(1)).as("pop"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // k rows
+      val seats = allocSeats(pops, kNew)
+      import spark.implicits._
+      val seatDf = broadcast(seats.toSeq.toDF("cell", "seats"))
+      val hashOrder = Seq(
+        graft.functions.PortableHash.phash(col("vec_id").cast("string"), 11).asc,
+        col("vec_id").asc)
+      val wCell = Window.partitionBy(col("cell")).orderBy(hashOrder: _*)
+      val picked = memberNow
+        .withColumn("r", row_number().over(wCell))
+        .join(seatDf, Seq("cell"))
+        .filter(col("r") <= col("seats"))
+      val wAll = Window.orderBy(col("cell"), col("r")) // over k' rows only
+      val seeds = picked
+        .withColumn("newcell", (row_number().over(wAll) - 1).cast("long"))
+        .select(col("vec_id"), col("newcell"))
+      val cents0 = qe.join(broadcast(seeds), Seq("vec_id"))
+        .select(col("newcell").as("cell"), col("dim"), col("q").as("c"))
+      val centsNew = lloydFrom(emb, qe, cents0, 2).localCheckpoint()
+      qe.unpersist(blocking = false)
+      writeGrowIndex(spark, emb, centsNew, kNew)
+    }
+  }
+
+  /** Largest-remainder seat allocation of `k` rebuild seeds across the
+    * old cells, proportional to population and capped by it (a cell
+    * cannot seed more members than it has). Deterministic: remainder
+    * desc, cell asc. Driver-side over k rows — metadata, not data. */
+  private[operators] def allocSeats(pops: Seq[(Long, Long)],
+      k: Int): Map[Long, Int] = {
+    val n = pops.map(_._2).sum.toDouble
+    val base = pops.map { case (c, p) =>
+      val ideal = k * p / n
+      (c, p, math.min(p, ideal.toLong).toInt, ideal - math.floor(ideal))
+    }
+    val seats = scala.collection.mutable.Map(base.map(t => t._1 -> t._3): _*)
+    var rem = k - seats.values.sum
+    while (rem > 0) {
+      val cands = base.filter { case (c, p, _, _) => seats(c) < p }
+        .sortBy { case (c, _, _, f) => (-f, c) }
+      if (cands.isEmpty) rem = 0 // k > N cannot happen (k = ceil(sqrt(N)))
+      else cands.take(rem).foreach { case (c, _, _, _) =>
+        seats(c) += 1; rem -= 1
+      }
+    }
+    seats.toMap
+  }
+
+  /** Mean probed corpus fraction for `queries` (vec_id, embedding) at
+    * `nprobe` — the scale property the grow-aware maintenance keeps:
+    * Σ(probed cells' population) / N per query, averaged. Constant
+    * between rebuilds (appends distribute over the fixed alphabet),
+    * dropping to ≈ nprobe/⌈√N⌉ at each re-bucket. */
+  def ivfProbedFraction(spark: SparkSession, idx: IvfGrowIndex,
+      queries: DataFrame, nprobe: Int = 3): Double = {
+    import graft.lake.TxTable
+    val cents = TxTable(spark, idx.centroids).read()
+    val posts = TxTable(spark, idx.postings).read()
+    val pop = posts.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val n = posts.count().toDouble
+    val probes = rankedByDist(
+        queries.select(col("vec_id"), col("embedding")), cents)
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val perQuery = probes.join(pop, Seq("cell"))
+      .groupBy(col("qid")).agg(sum(col("pop")).as("probed"))
+      .agg(avg(col("probed"))).head().getDouble(0)
+    perQuery / n
   }
 }

@@ -127,7 +127,12 @@ class PlanSpec extends SparkSpec {
       "text_fuzzy_search",
       // 1-row global [mn,mx] quantization-range aggregate crossed into
       // the code table; the candidate dot itself is a dim equi-join
-      "sim_sq8_rerank")
+      "sim_sq8_rerank",
+      // composed IVF-SQ8: the same 1-row [mn,mx] range cross (build
+      // encodes the corpus, serve encodes the |Q| query vectors) plus
+      // the √N centroid kernel cross sim_ann_indexed_sqrt carries;
+      // candidate scoring itself is the cell equi-join
+      "sim_ivfsq8_build", "sim_ann_ivfsq8")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
