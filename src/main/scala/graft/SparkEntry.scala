@@ -183,6 +183,8 @@ object SparkEntry {
       Similarity.ivfSq8Build(s, dir)),
     "sim_ann_ivfsq8" -> ((s: SparkSession, dir: String) =>
       Similarity.annIvfSq8(s, dir)),
+    "sim_ann_ivfsq8_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfSq8Recall(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -773,8 +775,8 @@ object SparkEntry {
     * global [mn,mx] range, candK=20 survivors, exact cosine rerank.
     * Every stage is exact integer arithmetic, so candidate sets match
     * the engine bit-for-bit. */
-  private val annIvfSq8Oracle: String =
-    s"""WITH ${lloydCtes(sqrtKSql)},
+  private val annIvfSq8Ctes: String =
+    s"""${lloydCtes(sqrtKSql)},
         cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
         rng AS (SELECT min(q) AS mn, max(q) AS mx FROM qe),
         cd AS (SELECT vec_id, dim,
@@ -809,9 +811,38 @@ object SparkEntry {
           JOIN nn b ON b.vec_id = surv.nid),
         ranked AS (SELECT qid, nid, sq8_dot, cos_e6, row_number() OVER (
                      PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
-                   FROM rer)
+                   FROM rer)"""
+
+  private val annIvfSq8Oracle: String =
+    s"""WITH $annIvfSq8Ctes
         SELECT qid, nid, sq8_dot, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Recall@5 of the COMPOSED IVF-SQ8 serving path vs the brute-force
+    * exact top-5 — the quality number that prices the composed
+    * index's two approximations (probed-cell candidate loss + SQ8
+    * code-ranking loss before the exact rerank) together, the same
+    * way [[annRecallOracleFor]] prices the plain IVF probe. */
+  private val annIvfSq8RecallOracle: String =
+    s"""WITH $annIvfSq8Ctes,
+        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
+          WHERE q.vec_id < 5),
+        bfr AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
+        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
+        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
+                 FROM approx a LEFT JOIN gt b
+                   ON a.qid = b.qid AND a.nid = b.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
+        FROM (SELECT DISTINCT qid FROM gt) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""
 
   private val annIvfTrueOracle: String = annIvfOracle(1)
 
@@ -1692,6 +1723,9 @@ object SparkEntry {
     // never change the answer's algebra, so this oracle IS the
     // unindexed computation
     "sim_ann_ivfsq8" -> annIvfSq8Oracle,
+    // recall@5 of the composed index: both approximations priced
+    // together against the brute-force exact top-5
+    "sim_ann_ivfsq8_recall" -> annIvfSq8RecallOracle,
     "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->
       """SELECT event_type,

@@ -1160,6 +1160,18 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Recall@k of the composed IVF-SQ8 serving path ([[annIvfSq8]])
+    * against the brute-force exact top-k — the one number that prices
+    * BOTH of the composed index's approximations together: candidate
+    * loss from probing nprobe/⌈√N⌉ cells AND ranking loss from
+    * cutting to candK on the 8-bit code dot before the exact rerank.
+    * Same measured-not-guessed contract as [[annRecall]]: an index
+    * whose recall nobody measured is a wrong-answers generator with
+    * good latency. */
+  def annIvfSq8Recall(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    recallOf(spark, dir, annIvfSq8(spark, dir, k, candK, nprobe), k)
+
   // ----------------------------------------------------------------
   // Grow-aware √N index maintenance: auto re-bucket under appends.
   // ----------------------------------------------------------------

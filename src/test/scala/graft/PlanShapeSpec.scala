@@ -1,0 +1,54 @@
+package graft
+
+import graft.tools.PlanShape
+
+/** EXPLAIN-diff regression guard (round-9 stretch 8): the physical-
+  * plan SHAPE of the driver bench's most expensive batch queries,
+  * pinned as upper bounds. A refactor that silently adds an exchange,
+  * degrades a broadcast join to a sort-merge join, or introduces a
+  * nested-loop join moves a number here and fails — turning the
+  * "plans you'd want at 100×" bar into a machine check instead of a
+  * per-round manual `.explain` audit.
+  *
+  * Bounds are the measured values at sf0.001 (tools/PlanShape prints
+  * them — run it when a plan legitimately changes and re-pin). Upper
+  * bounds, not equalities: fewer exchanges / more broadcasts is an
+  * improvement and must not fail the guard. */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** name -> (max hash exchanges, max sort-merge joins, max broadcast
+    * nested-loop joins). */
+  private val pinned: Map[String, (Int, Int, Int)] = Map(
+    // LSH candidates → connected components → rep pick: 3 real stages
+    "dedup_canonical" -> (6, 3, 0),
+    // SRP banding: hyperplane cross (constant 1024 rows) + band join
+    "dedup_embedding_srp" -> (11, 1, 4),
+    // single-pass window table: ONE shuffle for the window, no self-join
+    "dedup_substring" -> (3, 0, 0),
+    // PassJoin: segment equi-join + banded verify, one key exchange
+    "dedup_fuzzy_edit" -> (1, 0, 0),
+    "dedup_minhash_lsh" -> (6, 1, 0),
+    // bounded bigram model broadcast into the corpus scan
+    "text_lm_score" -> (4, 0, 0),
+    "dedup_ngram_jaccard" -> (6, 0, 0),
+    // shingle → 64-bit sign-agg → hamming buckets: one exchange
+    "dedup_simhash" -> (1, 0, 0),
+    "sim_pq_adc" -> (7, 0, 0),
+    // 1-row corpus-stats cross join (the allowed NLJ) + top-k window
+    "text_bm25_search" -> (4, 0, 1))
+
+  pinned.foreach { case (name, (maxEx, maxSmj, maxNlj)) =>
+    test(s"$name plan shape stays within the pinned bounds") {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val m = PlanShape.metrics(plan)
+      assert(m("exchanges") <= maxEx,
+        s"$name: ${m("exchanges")} hash exchanges (pinned $maxEx) — a new shuffle appeared")
+      assert(m("smj") <= maxSmj,
+        s"$name: ${m("smj")} sort-merge joins (pinned $maxSmj) — a broadcast degraded")
+      assert(m("bnlj") <= maxNlj,
+        s"$name: ${m("bnlj")} nested-loop joins (pinned $maxNlj)")
+    }
+  }
+}
