@@ -179,6 +179,10 @@ object SparkEntry {
       Similarity.ivfBuildSqrt(s, dir)),
     "sim_ann_indexed_sqrt" -> ((s: SparkSession, dir: String) =>
       Similarity.annIndexedSqrt(s, dir)),
+    "sim_ann_filtered" -> ((s: SparkSession, dir: String) =>
+      Similarity.annFilteredSqrt(s, dir)),
+    "sim_ivf_churn" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfChurn(s, dir)),
     "sim_ivfsq8_build" -> ((s: SparkSession, dir: String) =>
       Similarity.ivfSq8Build(s, dir)),
     "sim_ann_ivfsq8" -> ((s: SparkSession, dir: String) =>
@@ -740,7 +744,7 @@ object SparkEntry {
     * k=⌈√N⌉) plays the role [[annIvfCtes]]'s label-seeded `asg` plays
     * for the fixed-k family — members at arn=1, probes at
     * arn ≤ nprobe, exact-cosine scoring identical. */
-  private def annSqrtCtes(nprobe: Int): String =
+  private def annSqrtCtes(nprobe: Int, memberWhere: String = ""): String =
     s"""${lloydCtes(sqrtKSql)},
         cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
         qvs AS (SELECT vec_id,
@@ -758,6 +762,7 @@ object SparkEntry {
               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS cos_e6
           FROM qs
           JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
+          $memberWhere
           JOIN nn a ON a.vec_id = qs.qid
           JOIN nn b ON b.vec_id = m.vec_id),
         ranked AS (SELECT qid, nid, cos_e6, row_number() OVER (
@@ -766,6 +771,16 @@ object SparkEntry {
 
   private def annSqrtOracle(nprobe: Int): String =
     s"""WITH ${annSqrtCtes(nprobe)}
+        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Mirror of `Similarity.annFilteredSqrt`: the same √N-quantizer
+    * probe, with the metadata predicate applied to MEMBERS before the
+    * per-query ranking — the pre-filter semantics (top-k among
+    * matches), not a post-filter of an unfiltered top-k. */
+  private val annSqrtFilteredOracle: String =
+    s"""WITH ${annSqrtCtes(3,
+          "JOIN embeddings e ON e.vec_id = m.vec_id AND (e.label % 2) = 1")}
         SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
 
@@ -1690,6 +1705,11 @@ object SparkEntry {
     // serving share one oracle (an index never changes the answer)
     "sim_ann_sqrtk" -> annSqrtOracle(3),
     "sim_ann_indexed_sqrt" -> annSqrtOracle(3),
+    "sim_ann_filtered" -> annSqrtFilteredOracle,
+    // churn shares the one-shot build's oracle: pinned quantizer +
+    // deterministic assignment means neither incremental commits nor
+    // compaction may ever change an answer
+    "sim_ivf_churn" -> annSqrtOracle(3),
     // build summary: cell-population audit under the √N quantizer —
     // n_cells grows as ⌈√N⌉ with the corpus, the scale rule itself
     "sim_ivf_build_sqrt" ->

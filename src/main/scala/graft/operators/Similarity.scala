@@ -864,11 +864,15 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"))
     val pDir = Scratch.fresh("tx_ivf_sqrt")
+    // `label` rides along in the postings row: attribute columns live
+    // IN the index cells so a filtered serve ([[annFilteredSqrt]])
+    // never joins back to the corpus at query time — at 100 TB the
+    // metadata-fetch join would dwarf the probe itself
     TxTable(spark, pDir).append(
       Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"), col("label"))
         .join(member, Seq("vec_id"))
-        .select(col("cell"), col("vec_id"), col("embedding"))
+        .select(col("cell"), col("vec_id"), col("embedding"), col("label"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
     val cDir = Scratch.fresh("tx_ivf_sqrt_cents")
@@ -933,6 +937,112 @@ object Similarity {
       .collect().map(r => lit(r.get(0))).toSeq
     val members = TxTable(spark, idx.postings).readWhereIn("cell", cellIds)
     topkByCell(spark, dir, members, probes, k)
+  }
+
+  /** Predicate-FILTERED ANN from the standing √N index — vector search
+    * with a WHERE clause (pgvector's `WHERE … ORDER BY embedding`,
+    * ES kNN `filter`), the form every retrieval deployment actually
+    * runs: top-k nearest AMONG the members satisfying a metadata
+    * predicate (here `label % 2 = 1` — the odd-labeled half).
+    *
+    * Pre-filter inside the probed cells: the attribute was written
+    * INTO the postings rows at build ([[buildIvfSqrtIndex]]), so the
+    * serve is probe → Bloom point read → predicate on the postings
+    * row → exact-cosine top-k — no join back to the corpus, and the
+    * predicate prunes BEFORE the distance kernel runs. Post-filtering
+    * a plain top-k would instead return < k (or wrong) rows whenever
+    * the filter is selective — the classic filtered-ANN failure. Probe
+    * ranking is unfiltered (cell geometry doesn't depend on the
+    * predicate), so this shares the quantizer — and the recall
+    * properties — of [[annIndexedSqrt]]. */
+  def annFilteredSqrt(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    import graft.lake.TxTable
+    val idx = ensureIvfSqrt(spark, dir)
+    val cents = TxTable(spark, idx.centroids).read()
+    val bounded = cents.count() * 24L <= (32L << 20)
+    val probes = (if (bounded)
+        rankedByDist(Tables(spark, dir).embeddings
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")), cents)
+      else rankedTo(quantized(spark, dir).filter(col("vec_id") < 5), cents))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    val cellIds = probes.select(col("q_cell")).distinct()
+      .collect().map(r => lit(r.get(0))).toSeq
+    val members = TxTable(spark, idx.postings).readWhereIn("cell", cellIds)
+      .filter(pmod(col("label"), lit(2)) === 1)
+    topkByCell(spark, dir, members, probes, k)
+  }
+
+  /** The standing VECTOR index's churn lifecycle as one verified
+    * query — the IVF twin of [[graft.operators.TextAnalysis.ftsChurn]]
+    * (VERDICT r8 task 3, vector side): the corpus arrives as `slices`
+    * separate commits (each assigned against the BUILD-PINNED √N
+    * quantizer and appended cell-clustered — fragmenting the postings
+    * to slices × files), `TxTable.compact` rewrites the fragments into
+    * `targetFiles` cell-range-clustered files with fresh Bloom bitmaps
+    * (restoring [[buildIvfSqrtIndex]]'s layout), and the multi-probe
+    * serve runs one Bloom-pruned point read of the compacted snapshot.
+    *
+    * Deterministic Lloyd + pinned centroids ⇒ every vector lands in
+    * the same cell it would at a one-shot build, so neither the
+    * incremental commits nor the compaction can change an answer:
+    * this query shares [[annIvfSqrtK]]'s oracle. The layout claims
+    * (bounded file count, restored bitmaps, real pruning) are
+    * asserted by `IvfChurnSpec`. */
+  def ivfChurn(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3, slices: Int = 10, targetFiles: Int = 8): DataFrame = {
+    import graft.core.Scratch
+    val (posts, ct) = ivfChurnTables(spark, dir, slices, targetFiles,
+      Scratch.fresh("tx_ivf_churn"), Scratch.fresh("tx_ivf_churn_cents"))
+    val cents = ct.read()
+    val bounded = cents.count() * 24L <= (32L << 20)
+    val probes = (if (bounded)
+        rankedByDist(Tables(spark, dir).embeddings
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")), cents)
+      else rankedTo(quantized(spark, dir).filter(col("vec_id") < 5), cents))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    val cellIds = probes.select(col("q_cell")).distinct()
+      .collect().map(r => lit(r.get(0))).toSeq
+    topkByCell(spark, dir, posts.readWhereIn("cell", cellIds), probes, k)
+  }
+
+  /** The churn lifecycle's table half, shared with the spec that
+    * asserts the post-compaction layout: train the √N quantizer once,
+    * pin it, append `slices` micro-batch commits of assigned vectors
+    * (the assignment is persisted across the loop — each slice is the
+    * SAME pinned-quantizer assignment a per-arrival delta would get,
+    * without re-running the kernel per slice), then compact both the
+    * fragmented postings and the centroid table back to build layout. */
+  private[graft] def ivfChurnTables(spark: SparkSession, dir: String,
+      slices: Int, targetFiles: Int, postingsRoot: String,
+      centroidsRoot: String): (graft.lake.TxTable, graft.lake.TxTable) = {
+    import graft.lake.TxTable
+    val (cents, bounded) = sqrtQuantizer(spark, dir)
+    val member = rankedCells(spark, dir, cents, bounded)
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val rows = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .join(member, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("label"))
+      .persist()
+    val posts = TxTable(spark, postingsRoot)
+    val ct = TxTable(spark, centroidsRoot)
+    ct.append(cents)
+    try {
+      for (i <- 0 until slices)
+        posts.append(
+          rows.filter(pmod(col("vec_id"), lit(slices)) === i)
+            .repartitionByRange(2, col("cell")),
+          bloomCols = Seq("cell"))
+    } finally rows.unpersist(blocking = false)
+    posts.compact(targetFiles, bloomCols = Seq("cell"),
+      clusterBy = Seq("cell"))
+    (posts, ct)
   }
 
   /** SQ8 scalar-quantized candidate generation + exact rerank — the

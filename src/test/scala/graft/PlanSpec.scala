@@ -132,7 +132,13 @@ class PlanSpec extends SparkSpec {
       // encodes the corpus, serve encodes the |Q| query vectors) plus
       // the √N centroid kernel cross sim_ann_indexed_sqrt carries;
       // candidate scoring itself is the cell equi-join
-      "sim_ivfsq8_build", "sim_ann_ivfsq8")
+      "sim_ivfsq8_build", "sim_ann_ivfsq8",
+      // recall grading embeds sim_cosine_topk's broadcast-queries
+      // cross (|Q|=5 rows) for the exact ground-truth leg
+      "sim_ann_ivfsq8_recall",
+      // churn + filtered serves carry the same proven-bound √N
+      // centroid kernel cross as sim_ann_indexed_sqrt
+      "sim_ivf_churn", "sim_ann_filtered")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
