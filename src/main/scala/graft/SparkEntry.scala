@@ -242,6 +242,8 @@ object SparkEntry {
       TextAnalysis.searchEval(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "sample_shuffle" -> Sampling.sampleShuffle _,
+    "sample_token_budget" -> Sampling.sampleTokenBudget _,
+    "sample_leakage_safe" -> Sampling.sampleLeakageSafe _,
     "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
     "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
     "lake_cdc_diff" -> graft.lake.LakeOps.lakeCdcDiff _,
@@ -3124,6 +3126,62 @@ object SparkEntry {
           SELECT CAST(row_number() OVER (ORDER BY shard, h, doc_id)
                    AS BIGINT) AS pos, doc_id, h
           FROM s ORDER BY pos"""
+    },
+    // token-budget cut: the engine's sharded running total is exactly
+    // this single per-lang window by construction
+    "sample_token_budget" -> {
+      val h = phashSql("CAST(doc_id AS VARCHAR)",
+        graft.operators.Sampling.budgetSalt)
+      val shards = graft.operators.Sampling.shuffleShards
+      val pm = graft.operators.Sampling.budgetPermille
+      s"""WITH d AS (SELECT lang, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                $h AS h
+              FROM documents),
+          s AS (SELECT lang, doc_id, n_toks, h, h % $shards AS shard FROM d),
+          b AS (SELECT lang,
+                  CAST((sum(n_toks) * $pm) // 1000 AS BIGINT) AS budget_toks
+                FROM d GROUP BY 1),
+          c AS (SELECT lang, doc_id, n_toks,
+                  sum(n_toks) OVER (PARTITION BY lang
+                    ORDER BY shard, h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM s),
+          k AS (SELECT c.lang, c.doc_id, c.n_toks, b.budget_toks
+                FROM c JOIN b USING (lang) WHERE c.cum <= b.budget_toks)
+          SELECT lang, CAST(min(budget_toks) AS BIGINT) AS budget_toks,
+                 count(*) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS toks_kept,
+                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          FROM k GROUP BY 1 ORDER BY 1"""
+    },
+    // leakage-safe split: same recursive CC as dedup_cc, split stamped
+    // on the component label — purity holds by construction
+    "sample_leakage_safe" -> {
+      val mh = minhashOracle
+      val hb = phashSql("CAST(component AS VARCHAR)",
+        graft.operators.Sampling.splitSalt)
+      s"""WITH RECURSIVE mh AS (SELECT a, b FROM ($mh)),
+          ed AS (SELECT a AS src, b AS dst FROM mh
+                 UNION SELECT b AS src, a AS dst FROM mh),
+          v AS (SELECT DISTINCT src AS id FROM ed),
+          walk(id, label) AS (
+            SELECT id, id FROM v
+            UNION
+            SELECT ed.dst, walk.label FROM walk JOIN ed ON ed.src = walk.id),
+          cc AS (SELECT id, min(label) AS component FROM walk GROUP BY 1),
+          lab AS (SELECT d.doc_id,
+                    coalesce(cc.component, d.doc_id) AS component
+                  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+          sp AS (SELECT doc_id, component,
+                   CASE WHEN bucket < 8 THEN 'train'
+                        WHEN bucket = 8 THEN 'dev'
+                        ELSE 'test' END AS split
+                 FROM (SELECT doc_id, component, $hb % 10 AS bucket FROM lab))
+          SELECT split, count(*) AS n_docs,
+                 CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          FROM sp GROUP BY 1 ORDER BY 1"""
     },
     // bloom-indexed point lookup == the plain IN-list filter
     "lake_point_read" ->

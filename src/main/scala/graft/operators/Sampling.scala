@@ -184,6 +184,99 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  val budgetSalt: Int = 41
+  val budgetPermille: Long = 400L
+
+  /** Token-budget mixture cut — the "take the first B tokens of each
+    * source" step that turns per-source epoch weights into an actual
+    * token-counted training mix: docs are ordered by the portable
+    * salted hash of their id (stable across runs/engines, unbiased by
+    * ingest order) and kept while the lang's running token total stays
+    * within its budget (40% of the lang's tokens here; any budget
+    * table plugs in). Membership = a prefix of a deterministic
+    * permutation, so re-running with a BIGGER budget strictly extends
+    * the sample — the property curriculum schedules rely on.
+    *
+    * Scale shape: the running total is NEVER a per-lang single
+    * partition. Rows shard by pmod(h, 32); each (lang, shard) cumsums
+    * locally (bounded by shard size), shard token-offsets come from
+    * the |langs|×32-row aggregate (driver-size, broadcast back), and
+    * the global running total is offset + local — exactly the
+    * [[sampleShuffle]] decomposition with SUM in place of COUNT. The
+    * oracle checks it with the single per-lang window this plan
+    * refuses to use. */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("h", phash(col("doc_id").cast("string"), budgetSalt))
+      .withColumn("shard", pmod(col("h"), lit(shuffleShards.toLong)))
+    val budgets = docs.groupBy(col("lang"))
+      .agg(sum(col("n_toks")).as("total_toks"))
+      .withColumn("budget_toks",
+        expr(s"(total_toks * $budgetPermille) div 1000"))
+      .select(col("lang"), col("budget_toks"))
+    val localW = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_toks")).as("sh_toks"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("sh_toks")).over(offW), lit(0L)))
+      .select(col("lang"), col("shard"), col("tok_offset"))
+    docs
+      .withColumn("local_cum", sum(col("n_toks")).over(localW))
+      .join(broadcast(offsets), Seq("lang", "shard")) // |langs|*32 rows
+      .join(broadcast(budgets), Seq("lang"))          // |langs| rows
+      .filter(col("tok_offset") + col("local_cum") <= col("budget_toks"))
+      .groupBy(col("lang"))
+      .agg(first(col("budget_toks")).as("budget_toks"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("toks_kept"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Leakage-safe train/dev/test split: near-duplicate documents must
+    * never straddle a split boundary (a test doc with a train-set
+    * near-twin is contamination, not evaluation), so the split
+    * decision is keyed on the document's DEDUP COMPONENT — MinHash-LSH
+    * pair graph connected components, singletons their own component —
+    * instead of the document id. Split-purity of every component then
+    * holds by construction on any engine: the split is a pure function
+    * of the component label. Output is the per-split audit (docs,
+    * components, id checksum pinning exact membership).
+    *
+    * Scale shape: inherits MinHash-LSH's band-key equi-join and CC's
+    * shuffle-bounded label propagation; the split stamp itself is a
+    * narrow hash of the component label, and the audit is a 3-row
+    * aggregate. */
+  def sampleLeakageSafe(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeStamped(spark, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("split"))
+
+  /** Per-document (doc_id, component, split) frame behind
+    * [[sampleLeakageSafe]] — exposed so the zero-straddler law can be
+    * asserted on the exact frame the audit aggregates. */
+  def leakageSafeStamped(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = Dedup.minhashCandidates(Dedup.shingles(t))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val labels = Cluster.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label"))
+    t.documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .withColumn("split", splitName(splitBucket(col("component"))))
+  }
+
   val tierSalt: Int = 37
 
   /** Quality-tier rates in e3: the DCLM-style "sample good data more"
