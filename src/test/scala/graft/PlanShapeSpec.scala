@@ -14,8 +14,23 @@ import graft.tools.PlanShape
   * them — run it when a plan legitimately changes and re-pin). Upper
   * bounds, not equalities: fewer exchanges / more broadcasts is an
   * improvement and must not fail the guard. */
-class PlanShapeSpec extends SparkSpec {
+class PlanShapeSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
+
+  /** The pins are the plans of a FRESH session. Earlier suites in the
+    * shared-JVM run leave `.cache()`/`.persist()`ed subtrees (minhash
+    * shingle digests, SQ8 quantized frames) in the session-wide
+    * CacheManager; cache substitution swaps a parquet scan's size
+    * stats for an in-memory estimate, which can legitimately flip a
+    * broadcast join to SMJ and shift exchange counts — a property of
+    * the TEST ordering, not of the plans this guard pins. Dropping all
+    * cached data first makes the guard order-independent (later suites
+    * merely recompute; caches here are performance, never semantics). */
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sharedState.cacheManager.clearCache()
+  }
 
   /** name -> (max hash exchanges, max sort-merge joins, max broadcast
     * nested-loop joins). */
