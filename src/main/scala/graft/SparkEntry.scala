@@ -802,12 +802,18 @@ object SparkEntry {
         qs AS (SELECT vec_id AS qid, cell FROM asgk
                WHERE arn <= 3 AND vec_id < 5),
         cand AS (SELECT qs.qid, m.vec_id AS nid,
-                   CAST(sum(c.code * qc.code) AS BIGINT) AS sq8_dot
+                   CAST(greatest(mx - mn, 1) * greatest(mx - mn, 1)
+                          * sum(c.code * qc.code)
+                      + 255 * mn * greatest(mx - mn, 1)
+                          * (sum(c.code) + sum(qc.code))
+                      + count(*) * (255 * mn) * (255 * mn)
+                     AS BIGINT) AS sq8_dot
                  FROM qs
                  JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
                  JOIN cd c ON c.vec_id = m.vec_id
                  JOIN cd qc ON qc.vec_id = qs.qid AND qc.dim = c.dim
-                 GROUP BY 1, 2),
+                 CROSS JOIN rng
+                 GROUP BY qs.qid, m.vec_id, mn, mx),
         surv AS (SELECT qid, nid, sq8_dot FROM (
                    SELECT qid, nid, sq8_dot, row_number() OVER (
                      PARTITION BY qid ORDER BY sq8_dot DESC, nid) AS crn
@@ -1157,9 +1163,15 @@ object SparkEntry {
                  list_transform(qv, u -> (u - mn) * 255 // greatest(mx - mn, 1)) AS code
                FROM e CROSS JOIN r),
          d AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
-                 CAST(list_dot_product(CAST(q.code AS DOUBLE[]),
-                   CAST(t.code AS DOUBLE[])) AS BIGINT) AS sq8_dot
-               FROM c q JOIN c t ON t.vec_id != q.vec_id
+                 CAST(greatest(mx - mn, 1) * greatest(mx - mn, 1)
+                        * CAST(list_dot_product(CAST(q.code AS DOUBLE[]),
+                            CAST(t.code AS DOUBLE[])) AS BIGINT)
+                    + 255 * mn * greatest(mx - mn, 1)
+                        * (CAST(list_sum(q.code) AS BIGINT)
+                           + CAST(list_sum(t.code) AS BIGINT))
+                    + len(q.code) * (255 * mn) * (255 * mn)
+                   AS BIGINT) AS sq8_dot
+               FROM c q JOIN c t ON t.vec_id != q.vec_id CROSS JOIN r
                WHERE q.vec_id < 5),
          top AS (SELECT qid, nid, sq8_dot,
                  row_number() OVER (PARTITION BY qid

@@ -69,8 +69,10 @@ class RelationalSq8Spec extends SparkSpec {
     assert(res.length == 5 * 5, "5 queries x top-5")
     res.foreach { r =>
       val dot = r.getAs[Long]("sq8_dot")
-      // 64 dims x 255^2 max per-dim product
-      assert(dot >= 0 && dot <= 64L * 255 * 255, s"sq8 dot $dot out of range")
+      // DECODED dot: each dec255 element is bounded by 255·|q|max
+      // (|q| ≤ 1e4 for unit-norm inputs), so |Σdec·dec| ≤ d·(255·1e4)²
+      val cap = 64L * 255 * 255 * 10000L * 10000L
+      assert(dot >= -cap && dot <= cap, s"sq8 decoded dot $dot out of range")
     }
   }
 }
