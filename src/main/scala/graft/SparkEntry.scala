@@ -189,6 +189,8 @@ object SparkEntry {
       Similarity.annIvfSq8(s, dir)),
     "sim_ann_ivfsq8_recall" -> ((s: SparkSession, dir: String) =>
       Similarity.annIvfSq8Recall(s, dir)),
+    "sim_ann_recall_sqrt" -> ((s: SparkSession, dir: String) =>
+      Similarity.annSqrtRecall(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -848,6 +850,30 @@ object SparkEntry {
     * way [[annRecallOracleFor]] prices the plain IVF probe. */
   private val annIvfSq8RecallOracle: String =
     s"""WITH $annIvfSq8Ctes,
+        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
+          WHERE q.vec_id < 5),
+        bfr AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
+        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
+        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
+                 FROM approx a LEFT JOIN gt b
+                   ON a.qid = b.qid AND a.nid = b.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
+        FROM (SELECT DISTINCT qid FROM gt) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""
+
+  /** Recall@5 of the EXACT √N-cell probe path — the probe-limited
+    * ceiling: [[annIvfSq8RecallOracle]]'s composed number minus this
+    * one is the 8-bit ranking loss (0 after the decoded-dot fix). */
+  private val annSqrtRecallOracle: String =
+    s"""WITH ${annSqrtCtes(3)},
         approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
         bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
             CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
@@ -1760,6 +1786,7 @@ object SparkEntry {
     // recall@5 of the composed index: both approximations priced
     // together against the brute-force exact top-5
     "sim_ann_ivfsq8_recall" -> annIvfSq8RecallOracle,
+    "sim_ann_recall_sqrt" -> annSqrtRecallOracle,
     "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->
       """SELECT event_type,

@@ -1310,6 +1310,16 @@ object Similarity {
     * Same measured-not-guessed contract as [[annRecall]]: an index
     * whose recall nobody measured is a wrong-answers generator with
     * good latency. */
+  /** Recall@k of the EXACT √N-cell probe path ([[annIvfSqrtK]]) — the
+    * probe-limited ceiling every compressed variant of this index is
+    * graded against: [[annIvfSq8Recall]] minus this number is the
+    * ranking loss the 8-bit codes cost (measured 0 after the
+    * decoded-dot fix), while this number vs 1.0 is pure candidate
+    * loss from the nprobe/⌈√N⌉ dial. */
+  def annSqrtRecall(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3): DataFrame =
+    recallOf(spark, dir, annIvfSqrtK(spark, dir, k, nprobe), k)
+
   def annIvfSq8Recall(spark: SparkSession, dir: String, k: Int = 5,
       candK: Int = 20, nprobe: Int = 3): DataFrame =
     recallOf(spark, dir, annIvfSq8(spark, dir, k, candK, nprobe), k)
