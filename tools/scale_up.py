@@ -13,9 +13,18 @@ DuckDB 1.0 cannot write ns):
 - customer/orders/lineitem/events shift their keys per replica with
   disjoint offsets (user_id tracks c_custkey so event→customer joins
   keep their match rate);
-- documents get a per-replica token appended so replicas are NEAR
-  duplicates (exercises minhash/jaccard realistically instead of
-  exploding exact-dup groups);
+- documents TAG every 2nd word with a per-replica suffix (w -> w_rI),
+  so replicas of one doc are NOT near-duplicates of each other: every
+  word 2-gram/3-gram and every 40-char window contains a tagged
+  position, so cross-replica shingle overlap is ~0 and cross-replica
+  edit distance is ~len/2 >> PassJoin's maxEd, while token COUNT and
+  within-replica dup structure are preserved. Duplicate-FAMILY size
+  stays constant while the corpus grows — a real 100x corpus has 100x
+  more families, not the same families 100x deeper. (The first version
+  only appended a suffix; replicas then formed one big near-dup family
+  per doc and pair-generating queries did C(replicas,2) work —
+  quadratic in the replica count. At x100 that inflated every dedup
+  query ~100x over its true linear growth.);
 - embeddings get a per-replica constant added so replicas are NOT
   near-identical vectors (keeps cosine-pair outputs scale-proportional
   instead of quadratic).
@@ -53,10 +62,24 @@ def replicate(table: pa.Table, name: str, i: int) -> pa.Table:
             col = pa.chunked_array(
                 [pa.compute.add(c, shift * i) for c in col.chunks])
         elif name == "documents" and field.name == "text":
-            col = pa.chunked_array([
-                pa.compute.binary_join_element_wise(
-                    c.cast(pa.string()), f" r{i}", "")
-                for c in col.chunks])
+            # tag every 2nd word with the replica id so cross-replica
+            # shingle overlap and edit-distance links break while token
+            # count and within-replica dup structure are preserved; see
+            # module docstring
+            tag = f"_r{i}"
+            out = []
+            for c in col.chunks:
+                vals = []
+                for s in c.cast(pa.string()).to_pylist():
+                    if s is None:
+                        vals.append(None)
+                        continue
+                    w = s.split(" ")
+                    for j in range(1, len(w), 2):
+                        w[j] = w[j] + tag
+                    vals.append(" ".join(w))
+                out.append(pa.array(vals, type=pa.string()))
+            col = pa.chunked_array(out)
         elif name == "embeddings" and field.name == "embedding":
             # add a per-replica constant: changes direction, so replica
             # vectors are not near-duplicates of the original
