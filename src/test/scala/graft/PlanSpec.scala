@@ -135,7 +135,7 @@ class PlanSpec extends SparkSpec {
       "sim_ivfsq8_build", "sim_ann_ivfsq8",
       // recall grading embeds sim_cosine_topk's broadcast-queries
       // cross (|Q|=5 rows) for the exact ground-truth leg
-      "sim_ann_ivfsq8_recall",
+      "sim_ann_ivfsq8_recall", "sim_ann_recall_sqrt",
       // churn + filtered serves carry the same proven-bound √N
       // centroid kernel cross as sim_ann_indexed_sqrt
       "sim_ivf_churn", "sim_ann_filtered")
