@@ -22,6 +22,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
+  /** `documents`, re-spread to the session's parallelism before an
+    * expansion-heavy consumer (shingle / substring-window / PassJoin
+    * segment explodes multiply rows 100–300× per doc). Scan
+    * parallelism follows input SPLITS (`files.maxPartitionBytes`) —
+    * right for plain scans, but it starves a CPU-bound expansion when
+    * the corpus arrives in few files: the 100× decade replica is ONE
+    * 71 MB parquet file = one split, and `dedup_substring`'s entire
+    * 130M-row window table was generated and map-side aggregated by a
+    * single task (measured 835 s; the same stage spread 32-wide is
+    * bounded by the shuffle, not the explode). The exchange moved here
+    * shuffles only the compact source rows — bytes = corpus size —
+    * and is the same rebalance a multi-thousand-file 100 TB corpus
+    * wants against skewed file sizes. Same plan lesson as the
+    * PassJoin verify barrier (BASELINE.md r8): a stage's parallelism
+    * must be owned by its CPU cost, not its input bytes. */
+  def documentsSpread: DataFrame = documents
+    .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   /** `events.ts` is written as parquet timestamp[ns] (no TZ). With
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
     * [[Sessions]]) it reads as LongType nanos; convert to a proper

@@ -40,9 +40,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** 3-token shingles per doc, deduped within doc. */
+  /** 3-token shingles per doc, deduped within doc. Reads the spread
+    * form: the ~100× shingle expansion must run at session
+    * parallelism, not input-split parallelism (see
+    * [[Tables.documentsSpread]]). */
   private[operators] def shingles(t: Tables): DataFrame =
-    t.documents
+    t.documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -336,7 +339,7 @@ object Dedup {
     * Single explode + one hash aggregation — no joins. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val toks = t.documents
+    val toks = t.documentsSpread
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", phash(col("tok"), 0))
     val bitSums = (0 until 16).map { b =>
@@ -381,7 +384,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val maxDf = 100
-    val g = t.documents
+    val g = t.documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"),
@@ -435,7 +438,7 @@ object Dedup {
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val maxDf = 100
-    val g = t.documents
+    val g = t.documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"),
@@ -486,7 +489,9 @@ object Dedup {
   def substringDup(spark: SparkSession, dir: String,
       k: Int = 40): DataFrame = {
     val t = Tables(spark, dir)
-    val wins = t.documents.select(col("doc_id"),
+    // spread first: the ~260×/doc window explode is CPU-bound and
+    // must not inherit single-split scan parallelism (documentsSpread)
+    val wins = t.documentsSpread.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
            |  i -> substring(text, i, $k))""".stripMargin)).as("gram"))
@@ -541,7 +546,9 @@ object Dedup {
       maxEd: Int = 4): DataFrame = {
     val t = Tables(spark, dir)
     val nSeg = maxEd + 1
-    val d = t.documents.select(col("doc_id"), col("text"),
+    // spread: segment/probe generation explodes ~230 rows/doc of
+    // substring arithmetic — session-parallel, not split-parallel
+    val d = t.documentsSpread.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
     // index side: the 5 exact segments of every doc, keyed by its own
     // length (the pigeonhole applies to the shorter side's geometry)

@@ -34,21 +34,31 @@ class PlanShapeSpec extends SparkSpec
 
   /** name -> (max hash exchanges, max sort-merge joins, max broadcast
     * nested-loop joins). */
+  // The increase on every documents-exploding dedup entry (vs the r9
+  // first pins) is the documentsSpread exchange: expansion-heavy
+  // operators repartition the compact source rows to session
+  // parallelism before the 100-300×/doc explode
+  // (Tables.documentsSpread — the x100 single-input-split lesson,
+  // BASELINE.md r9). The pre-execution plan prints that exchange once
+  // PER REFERENCE to the spread scan (minhash's signature + both
+  // intersection sides, PassJoin's segs/probes/verify); the subtrees
+  // are identical, so Spark's ReuseExchange collapses them to one
+  // shuffle of corpus-size bytes at runtime.
   private val pinned: Map[String, (Int, Int, Int)] = Map(
     // LSH candidates → connected components → rep pick: 3 real stages
-    "dedup_canonical" -> (6, 3, 0),
+    "dedup_canonical" -> (7, 3, 0),
     // SRP banding: hyperplane cross (constant 1024 rows) + band join
     "dedup_embedding_srp" -> (11, 1, 4),
-    // single-pass window table: ONE shuffle for the window, no self-join
-    "dedup_substring" -> (3, 0, 0),
-    // PassJoin: segment equi-join + banded verify, one key exchange
-    "dedup_fuzzy_edit" -> (1, 0, 0),
-    "dedup_minhash_lsh" -> (6, 1, 0),
+    // single-pass window table: spread + ONE window shuffle, no self-join
+    "dedup_substring" -> (4, 0, 0),
+    // PassJoin: spread (3 refs) + segment equi-join + banded verify
+    "dedup_fuzzy_edit" -> (3, 0, 0),
+    "dedup_minhash_lsh" -> (12, 1, 0),
     // bounded bigram model broadcast into the corpus scan
     "text_lm_score" -> (4, 0, 0),
-    "dedup_ngram_jaccard" -> (6, 0, 0),
-    // shingle → 64-bit sign-agg → hamming buckets: one exchange
-    "dedup_simhash" -> (1, 0, 0),
+    "dedup_ngram_jaccard" -> (9, 0, 0),
+    // shingle → 64-bit sign-agg → hamming buckets: spread + one exchange
+    "dedup_simhash" -> (2, 0, 0),
     "sim_pq_adc" -> (7, 0, 0),
     // 1-row corpus-stats cross join (the allowed NLJ) + top-k window
     "text_bm25_search" -> (4, 0, 1))
