@@ -10,26 +10,30 @@ object Bench {
     // so the first timed query doesn't absorb startup cost
     val t = graft.core.Tables(spark, sfDir)
     t.lineitem.count(); t.events.count(); t.documents.count(); t.embeddings.count()
-    // pre-build the standing FTS index so text_bm25_indexed times the
-    // point-read SERVING path (what a deployment pays per query);
-    // text_fts_build still owns the build cost as its own timed entry
-    graft.operators.TextAnalysis.ensureFts(spark, sfDir)
-    // likewise the standing IVF index: sim_ann_indexed times the
-    // Bloom-pruned point-read serving path; sim_ivf_build owns the
-    // build cost as its own timed entry
-    graft.operators.Similarity.ensureIvf(spark, sfDir)
-    // and its √N-cell sibling: sim_ann_indexed_sqrt times serving
-    // under the shrinking-fraction quantizer; sim_ivf_build_sqrt owns
-    // that build cost
-    graft.operators.Similarity.ensureIvfSqrt(spark, sfDir)
-    // the composed IVF-SQ8 index: sim_ann_ivfsq8 times probe + code
-    // scan + candK exact rerank; sim_ivfsq8_build owns that build cost
-    graft.operators.Similarity.ensureIvfSq8(spark, sfDir)
     // dev knob: comma-separated query names (unset = full suite, what
     // the driver runs); lets a perf investigation time one query in
     // the same warmed-session conditions as the real bench
     val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a subset run only needs the standing indexes its queries serve
+    // from (the full-suite driver run builds all four); at x100 the
+    // unconditional pre-builds cost ~8 min of warm-up before a
+    // dedup-only investigation could even start
+    def needs(keys: String*) =
+      subset.forall(s => s.exists(n => keys.exists(n.contains)))
+    // pre-build the standing FTS index so text_bm25_indexed times the
+    // point-read SERVING path (what a deployment pays per query);
+    // text_fts_build still owns the build cost as its own timed entry
+    if (needs("fts", "bm25", "search", "stream"))
+      graft.operators.TextAnalysis.ensureFts(spark, sfDir)
+    // likewise the standing IVF indexes: sim_ann_indexed* time the
+    // Bloom-pruned point-read serving paths; the sim_*_build queries
+    // own the build costs as their own timed entries
+    if (needs("ivf", "ann", "sq8", "sim")) {
+      graft.operators.Similarity.ensureIvf(spark, sfDir)
+      graft.operators.Similarity.ensureIvfSqrt(spark, sfDir)
+      graft.operators.Similarity.ensureIvfSq8(spark, sfDir)
+    }
     val selected = subset match {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None => SparkEntry.queries

@@ -53,7 +53,16 @@ object Sessions {
     val base = SparkSession.builder()
       .master(master)
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // default: one reducer per core. On a real cluster the reducer
+      // count scales with the data (rule of thumb: keep post-shuffle
+      // partitions near spark.sql.files.maxPartitionBytes); local[N]
+      // can't grow cores, but the env knob lets scale experiments
+      // size reducers to the replica instead of the box — the x100
+      // decade runs showed the pair-dedup shuffles going 3x
+      // superlinear purely from 10x-per-reducer volume (BASELINE.md
+      // r9 second decade).
+      .config("spark.sql.shuffle.partitions",
+        env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

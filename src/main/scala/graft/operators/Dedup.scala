@@ -490,11 +490,18 @@ object Dedup {
       k: Int = 40): DataFrame = {
     val t = Tables(spark, dir)
     // spread first: the ~260×/doc window explode is CPU-bound and
-    // must not inherit single-split scan parallelism (documentsSpread)
-    val wins = t.documentsSpread.select(col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
-           |  i -> substring(text, i, $k))""".stripMargin)).as("gram"))
+    // must not inherit single-split scan parallelism (documentsSpread).
+    // Shape matters as much as spread: explode(sequence) + substring
+    // in the downstream Project stays inside whole-stage codegen,
+    // whereas explode(transform(seq, i -> substring(...))) builds a
+    // 260-element string array per doc through the INTERPRETED
+    // ArrayTransform.eval / Substring.nullSafeEval path — the x100
+    // thread dumps showed exactly that stack burning a core per task.
+    val wins = t.documentsSpread
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))"))
+          .as("i"))
+      .select(col("doc_id"), expr(s"substring(text, i, $k)").as("gram"))
     // single pass over the window table: collapse positions to a
     // per-(gram, doc) multiplicity first, then a window count over the
     // gram key gives the distinct-doc df with NO self-join — the
