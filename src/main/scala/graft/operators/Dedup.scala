@@ -557,35 +557,41 @@ object Dedup {
     // substring arithmetic — session-parallel, not split-parallel
     val d = t.documentsSpread.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
+    // Both generator sides are CHAINED explode(sequence) + codegen'd
+    // Project arithmetic, not transform() lambdas: a lambda inside
+    // transform() is evaluated through the interpreted
+    // ArrayTransform.eval path outside whole-stage codegen — the same
+    // x100 lesson as the substring-window table above. Row sets are
+    // identical to the nested transform/flatten/filter form (order
+    // differs; the candidate equi-join doesn't care).
     // index side: the 5 exact segments of every doc, keyed by its own
     // length (the pigeonhole applies to the shorter side's geometry)
-    val segs = d.select(col("doc_id"), col("len"),
-      explode(expr(
-        s"""transform(sequence(0, ${nSeg - 1}), k -> struct(
-           |  k AS k,
-           |  substring(text, CAST(k * len div $nSeg AS INT) + 1,
-           |    CAST((k + 1) * len div $nSeg - k * len div $nSeg AS INT))
-           |    AS seg))""".stripMargin)).as("s"))
-      .select(col("doc_id").as("ia"), col("len").as("la"),
-        col("s.k").as("k"), col("s.seg").as("seg"))
+    val segs = d
+      .select(col("doc_id"), col("len"), col("text"),
+        explode(expr(s"sequence(0, ${nSeg - 1})")).as("k"))
+      .select(col("doc_id").as("ia"), col("len").as("la"), col("k"),
+        expr(s"""substring(text, CAST(k * len div $nSeg AS INT) + 1,
+                |  CAST((k + 1) * len div $nSeg - k * len div $nSeg
+                |    AS INT))""".stripMargin).as("seg"))
     // probe side: for every candidate shorter-length l' (own len −
     // maxEd … own len) and segment#, the start positions shifted by
     // −maxEd … +maxEd around that geometry's segment start
-    val probes = d.select(col("doc_id"), col("len"), col("text"),
-      explode(expr(
-        s"""filter(
-           |  flatten(flatten(transform(sequence(0, ${nSeg - 1}), k ->
-           |    transform(sequence(len - $maxEd, len), lp ->
-           |      transform(sequence(-$maxEd, $maxEd), dx -> struct(
-           |        k AS k, lp AS lp,
-           |        CAST(k * lp div $nSeg AS INT) + 1 + dx AS st,
-           |        CAST((k + 1) * lp div $nSeg - k * lp div $nSeg AS INT)
-           |          AS sl)))))),
-           |  p -> p.lp >= 0 AND p.st >= 1
-           |       AND p.st + p.sl - 1 <= len)""".stripMargin)).as("p"))
+    val probes = d
+      .select(col("doc_id"), col("len"), col("text"),
+        explode(expr(s"sequence(0, ${nSeg - 1})")).as("k"))
+      .select(col("doc_id"), col("len"), col("text"), col("k"),
+        explode(expr(s"sequence(len - $maxEd, len)")).as("lp"))
+      .select(col("doc_id"), col("len"), col("text"), col("k"), col("lp"),
+        explode(expr(s"sequence(-$maxEd, $maxEd)")).as("dx"))
+      .withColumn("st",
+        expr(s"CAST(k * lp div $nSeg AS INT) + 1 + dx"))
+      .withColumn("sl",
+        expr(s"CAST((k + 1) * lp div $nSeg - k * lp div $nSeg AS INT)"))
+      .filter(col("lp") >= 0 && col("st") >= 1 &&
+        col("st") + col("sl") - 1 <= col("len"))
       .select(col("doc_id").as("ib"), col("len").as("lb"),
-        col("p.k").as("k"), col("p.lp").as("lp"),
-        expr("substring(text, p.st, p.sl)").as("seg"))
+        col("k"), col("lp"),
+        expr("substring(text, st, sl)").as("seg"))
     val cand = segs.join(probes,
         segs("k") === probes("k") && segs("la") === probes("lp") &&
           segs("seg") === probes("seg") && segs("ia") =!= probes("ib"))
