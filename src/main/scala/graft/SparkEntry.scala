@@ -1495,7 +1495,7 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "dedup_substring" ->
       """WITH w AS (SELECT doc_id,
-                unnest([substring(text, i, 40)
+                unnest([md5(substring(text, i, 40))
                         for i in range(1, greatest(length(text) - 39, 1) + 1)])
                   AS gram
               FROM documents),

@@ -497,11 +497,18 @@ object Dedup {
     // 260-element string array per doc through the INTERPRETED
     // ArrayTransform.eval / Substring.nullSafeEval path — the x100
     // thread dumps showed exactly that stack burning a core per task.
+    // the gram key shuffles as its 16-byte md5 digest, not the raw
+    // 40-char window — half the bytes through BOTH shuffles (the
+    // per-(gram,doc) agg and the df window). Parity stays exact and
+    // keyed-the-same: the DuckDB oracle groups by md5(gram) too (the
+    // PortableHash family), so even a collision would count
+    // identically in both engines. Output columns carry no gram.
     val wins = t.documentsSpread
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))"))
           .as("i"))
-      .select(col("doc_id"), expr(s"substring(text, i, $k)").as("gram"))
+      .select(col("doc_id"),
+        expr(s"unhex(md5(substring(text, i, $k)))").as("gram"))
     // single pass over the window table: collapse positions to a
     // per-(gram, doc) multiplicity first, then a window count over the
     // gram key gives the distinct-doc df with NO self-join — the
