@@ -15,25 +15,34 @@ object Bench {
     // the same warmed-session conditions as the real bench
     val subset = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a subset run only needs the standing indexes its queries serve
-    // from (the full-suite driver run builds all four); at x100 the
-    // unconditional pre-builds cost ~8 min of warm-up before a
-    // dedup-only investigation could even start
-    def needs(keys: String*) =
-      subset.forall(s => s.exists(n => keys.exists(n.contains)))
-    // pre-build the standing FTS index so text_bm25_indexed times the
-    // point-read SERVING path (what a deployment pays per query);
-    // text_fts_build still owns the build cost as its own timed entry
-    if (needs("fts", "bm25", "search", "stream"))
-      graft.operators.TextAnalysis.ensureFts(spark, sfDir)
-    // likewise the standing IVF indexes: sim_ann_indexed* time the
-    // Bloom-pruned point-read serving paths; the sim_*_build queries
-    // own the build costs as their own timed entries
-    if (needs("ivf", "ann", "sq8", "sim")) {
-      graft.operators.Similarity.ensureIvf(spark, sfDir)
-      graft.operators.Similarity.ensureIvfSqrt(spark, sfDir)
-      graft.operators.Similarity.ensureIvfSq8(spark, sfDir)
-    }
+    // explicit query-name -> standing-index registry: each serving
+    // query pre-builds EXACTLY the index it reads, so subset runs pay
+    // only the warm-ups they need (at x100 the five builds cost ~10
+    // min — the r9 substring-only investigation paid them for nothing
+    // under the old substring matching) and a future serving query
+    // that is missing from this map fails LOUDLY in review, not by
+    // silently folding its index build into its timed number. The
+    // sim_*_build / text_fts_build queries own the build costs as
+    // their own timed entries.
+    val fts = graft.operators.TextAnalysis.ensureFts _
+    val ivf = graft.operators.Similarity.ensureIvf _
+    val ivfSqrt = graft.operators.Similarity.ensureIvfSqrt _
+    val ivfSq8 = graft.operators.Similarity.ensureIvfSq8 _
+    val ivfSample = graft.operators.Similarity.ensureIvfSample _
+    val indexOf = Map[String, (SparkSession, String) => Any](
+      "text_bm25_indexed" -> fts,
+      "stream_fts_serve" -> fts,
+      "sim_ann_indexed" -> ivf,
+      "sim_ann_indexed_sqrt" -> ivfSqrt,
+      "sim_ann_filtered" -> ivfSqrt,
+      "sim_ann_ivfsq8" -> ivfSq8,
+      "sim_ann_ivfsq8_recall" -> ivfSq8,
+      "sim_ann_indexed_sample" -> ivfSample,
+      "sim_ann_recall_sample" -> ivfSample)
+    indexOf.toSeq
+      .filter { case (q, _) => subset.forall(_(q)) }
+      .map(_._2).distinct
+      .foreach(build => build(spark, sfDir))
     val selected = subset match {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None => SparkEntry.queries

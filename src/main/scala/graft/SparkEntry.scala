@@ -91,8 +91,8 @@ object SparkEntry {
     "d_running_sum" -> Coverage.dRunningSum _,
     "s1_json_roundtrip" -> Coverage.s1JsonRoundtrip _,
     "u_union_keys" -> Coverage.uUnionKeys _,
-    "domain_vehicle_enrich" -> DomainBridge.vehicleEnrich _,
-    "domain_slot_sessionize" -> DomainBridge.slotSessionize _,
+    "domain_vehicle_enrich" -> DomainBridges.vehicleEnrich,
+    "domain_slot_sessionize" -> DomainBridges.slotSessionize,
     "a12_time_window" -> Coverage.a12TimeWindow _,
     "mm_byte_metrics" -> Coverage.mmByteMetrics _,
     "mm_segments" -> ((s: SparkSession, dir: String) =>
@@ -107,20 +107,20 @@ object SparkEntry {
     "skew_salted_agg" -> Skew.skewSaltedAgg _,
     "skew_salted_join" -> ((s: SparkSession, dir: String) =>
       Skew.skewSaltedJoin(s, dir)),
-    "domain_people_enrich" -> DomainBridge2.peopleEnrich _,
-    "domain_safety_enrich" -> DomainBridge2.safetyEnrich _,
-    "domain_retail_enrich" -> DomainBridge2.retailEnrich _,
-    "domain_school_enrich" -> DomainBridge2.schoolEnrich _,
-    "view_people_es" -> DomainBridge2.peopleEs _,
-    "view_safety_es" -> DomainBridge2.safetyEs _,
-    "view_vehicle_legacy" -> DomainBridge2.vehicleLegacy _,
-    "view_animal_es" -> DomainBridge3.animalEs _,
-    "view_geolocation_es" -> DomainBridge3.geoEs _,
-    "view_pose_es" -> DomainBridge3.poseEs _,
-    "view_parking_es" -> DomainBridge3.parkingEs _,
-    "view_common_es" -> DomainBridge3.commonEs _,
-    "view_school_es" -> DomainBridge3.schoolEs _,
-    "view_retail_es" -> DomainBridge3.retailEs _,
+    "domain_people_enrich" -> DomainBridges.peopleEnrich,
+    "domain_safety_enrich" -> DomainBridges.safetyEnrich,
+    "domain_retail_enrich" -> DomainBridges.retailEnrich,
+    "domain_school_enrich" -> DomainBridges.schoolEnrich,
+    "view_people_es" -> DomainBridges.peopleEs,
+    "view_safety_es" -> DomainBridges.safetyEs,
+    "view_vehicle_legacy" -> DomainBridges.vehicleLegacy,
+    "view_animal_es" -> DomainBridges.animalEs,
+    "view_geolocation_es" -> DomainBridges.geoEs,
+    "view_pose_es" -> DomainBridges.poseEs,
+    "view_parking_es" -> DomainBridges.parkingEs,
+    "view_common_es" -> DomainBridges.commonEs,
+    "view_school_es" -> DomainBridges.schoolEs,
+    "view_retail_es" -> DomainBridges.retailEs,
     "a_rollup" -> Analytics.aRollup _,
     "a_cube" -> Analytics.aCube _,
     "a_grouping_sets" -> Analytics.aGroupingSets _,
@@ -191,6 +191,14 @@ object SparkEntry {
       Similarity.annIvfSq8Recall(s, dir)),
     "sim_ann_recall_sqrt" -> ((s: SparkSession, dir: String) =>
       Similarity.annSqrtRecall(s, dir)),
+    "sim_ivf_build_sample" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfBuildSample(s, dir)),
+    "sim_ann_indexed_sample" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIndexedSample(s, dir)),
+    "sim_ann_recall_sample" -> ((s: SparkSession, dir: String) =>
+      Similarity.annSampleRecall(s, dir)),
+    "sim_ann_filtered_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.annFilteredRecall(s, dir)),
     "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
       Dedup.embeddingSrp(s, dir)),
     "f_date_suite" -> FunctionSuites.fDateSuite _,
@@ -659,11 +667,17 @@ object SparkEntry {
     * scalar subquery for the ⌈√N⌉ rule); `dimFilter` restricts the
     * coordinate space (the 2-D view twin). Ends in `asgk(vec_id, cell,
     * dist2, arn)` — arn = 1 is the final assignment. */
-  private def lloydCtes(kSql: String, dimFilter: String = ""): String = {
-    def dist(cents: String, out: String) =
-      s"""$out AS (SELECT qe.vec_id, $cents.cell,
-            CAST(sum((qe.q - $cents.c) * (qe.q - $cents.c)) AS BIGINT) AS dist2
-          FROM qe JOIN $cents ON qe.dim = $cents.dim GROUP BY 1, 2)"""
+  private def lloydCtes(kSql: String, dimFilter: String = "",
+      sampleGate: String = ""): String = {
+    // `trainSrc` is the coordinate table the ITERATIONS read: the full
+    // qe normally, the hash-gated sample `tq` when a gate is given —
+    // mirroring Similarity.sampleQuantizer, where only the final
+    // assignment (kd3/asgk) touches the whole corpus
+    val trainSrc = if (sampleGate.isEmpty) "qe" else "tq"
+    def dist(src: String, cents: String, out: String) =
+      s"""$out AS (SELECT $src.vec_id, $cents.cell,
+            CAST(sum(($src.q - $cents.c) * ($src.q - $cents.c)) AS BIGINT) AS dist2
+          FROM $src JOIN $cents ON $src.dim = $cents.dim GROUP BY 1, 2)"""
     def argmin(dists: String, out: String) =
       s"""$out AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
@@ -672,25 +686,37 @@ object SparkEntry {
       s"""$out AS (SELECT $asg.cell, qe.dim,
             CAST(floor(CAST(sum(qe.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
           FROM qe JOIN $asg ON qe.vec_id = $asg.vec_id GROUP BY 1, 2)"""
+    val tqCte = if (sampleGate.isEmpty) ""
+      else s"""tq AS (SELECT * FROM qe WHERE $sampleGate),
+       """
+    val seedWhere = if (sampleGate.isEmpty) "" else s"WHERE $sampleGate "
     s"""qe AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
            CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
          FROM (SELECT vec_id, embedding,
                  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
          $dimFilter),
-       seeds AS (SELECT vec_id, cell FROM (
+       ${tqCte}seeds AS (SELECT vec_id, cell FROM (
            SELECT vec_id, CAST(row_number() OVER (ORDER BY
                ${phashSql("CAST(vec_id AS VARCHAR)", 11)}, vec_id) - 1 AS BIGINT)
              AS cell
-           FROM embeddings) WHERE cell < ($kSql)),
+           FROM embeddings $seedWhere) WHERE cell < ($kSql)),
        c0 AS (SELECT seeds.cell, qe.dim, qe.q AS c
               FROM qe JOIN seeds ON qe.vec_id = seeds.vec_id),
-       ${dist("c0", "kd1")}, ${argmin("kd1", "ka1")}, ${means("ka1", "kc1")},
-       ${dist("kc1", "kd2")}, ${argmin("kd2", "ka2")}, ${means("ka2", "kc2")},
-       ${dist("kc2", "kd3")},
+       ${dist(trainSrc, "c0", "kd1")}, ${argmin("kd1", "ka1")}, ${means("ka1", "kc1")},
+       ${dist(trainSrc, "kc1", "kd2")}, ${argmin("kd2", "ka2")}, ${means("ka2", "kc2")},
+       ${dist("qe", "kc2", "kd3")},
        asgk AS (SELECT vec_id, cell, dist2, row_number() OVER (
                   PARTITION BY vec_id ORDER BY dist2, cell) AS arn
                 FROM kd3)"""
   }
+
+  /** The oracle's twin of `Similarity.sampleQuantizer`'s gate: keep
+    * the vectors whose portable salted hash of vec_id is ≡ 0 modulo
+    * max(1, ⌊N/(8·⌈√N⌉)⌋) — an expected 8·⌈√N⌉ training vectors. */
+  private val sampleGateSql: String =
+    s"""${phashSql("CAST(vec_id AS VARCHAR)", 7)} %
+        greatest(1, (SELECT count(*) // (8 * CAST(ceil(sqrt(count(*))) AS BIGINT))
+                     FROM embeddings)) = 0"""
 
   private val simIvfKmeansOracle: String =
     s"""WITH ${lloydCtes("8")}
@@ -748,8 +774,9 @@ object SparkEntry {
     * k=⌈√N⌉) plays the role [[annIvfCtes]]'s label-seeded `asg` plays
     * for the fixed-k family — members at arn=1, probes at
     * arn ≤ nprobe, exact-cosine scoring identical. */
-  private def annSqrtCtes(nprobe: Int, memberWhere: String = ""): String =
-    s"""${lloydCtes(sqrtKSql)},
+  private def annSqrtCtes(nprobe: Int, memberWhere: String = "",
+      sampleGate: String = ""): String =
+    s"""${lloydCtes(sqrtKSql, "", sampleGate)},
         cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
         qvs AS (SELECT vec_id,
                   list_transform(embedding,
@@ -778,6 +805,41 @@ object SparkEntry {
         SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
 
+  /** Mirror of `Similarity.annIndexedSample`: the √N-cell serve under
+    * the SAMPLE-trained quantizer — iterations read only the
+    * hash-gated training sample, the final assignment the full
+    * corpus. A different training set means a different cell alphabet,
+    * so the sample family owns these oracles instead of sharing the
+    * full-trained ones. */
+  private val annSampleOracle: String =
+    s"""WITH ${annSqrtCtes(3, "", sampleGateSql)}
+        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Recall@5 of the sample-trained serve vs the brute-force exact
+    * top-5 — the centroid-quality price of training on 8·⌈√N⌉ vectors
+    * instead of N, read against [[annSqrtRecallOracle]]'s ceiling. */
+  private val annSampleRecallOracle: String =
+    s"""WITH ${annSqrtCtes(3, "", sampleGateSql)},
+        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
+          WHERE q.vec_id < 5),
+        bfr AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
+        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
+        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
+                 FROM approx a LEFT JOIN gt b
+                   ON a.qid = b.qid AND a.nid = b.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
+        FROM (SELECT DISTINCT qid FROM gt) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""
+
   /** Mirror of `Similarity.annFilteredSqrt`: the same √N-quantizer
     * probe, with the metadata predicate applied to MEMBERS before the
     * per-query ranking — the pre-filter semantics (top-k among
@@ -787,6 +849,34 @@ object SparkEntry {
           "JOIN embeddings e ON e.vec_id = m.vec_id AND (e.label % 2) = 1")}
         SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Mirror of `Similarity.annFilteredRecall`: the filtered serve's
+    * recall against the brute-force top-5 AMONG the predicate's
+    * survivors — the ground truth carries the same filter, so the
+    * number isolates probe starvation rather than punishing the serve
+    * for rows the predicate excluded. */
+  private val annFilteredRecallOracle: String =
+    s"""WITH ${annSqrtCtes(3,
+          "JOIN embeddings e ON e.vec_id = m.vec_id AND (e.label % 2) = 1")},
+        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
+          JOIN embeddings te ON te.vec_id = t.vec_id AND (te.label % 2) = 1
+          WHERE q.vec_id < 5),
+        bfr AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
+        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
+        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
+                 FROM approx a LEFT JOIN gt b
+                   ON a.qid = b.qid AND a.nid = b.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
+        FROM (SELECT DISTINCT qid FROM gt) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""
 
   /** Mirror of `Similarity.annIvfSq8` — the composed IVF-SQ8 serving
     * stack: √N Lloyd cell membership/probes ([[lloydCtes]]'s `asgk`),
@@ -1787,6 +1877,27 @@ object SparkEntry {
     // together against the brute-force exact top-5
     "sim_ann_ivfsq8_recall" -> annIvfSq8RecallOracle,
     "sim_ann_recall_sqrt" -> annSqrtRecallOracle,
+    // sample-trained √N family: training iterations read only the
+    // hash-gated 8·⌈√N⌉ sample (the linear-cost build), the final
+    // assignment the full corpus; n_sample in the build audit is the
+    // measured witness that the N^1.5 training term was capped
+    "sim_ivf_build_sample" ->
+      s"""WITH ${lloydCtes(sqrtKSql, "", sampleGateSql)},
+          pop AS (SELECT cell, count(*) AS n FROM asgk
+                  WHERE arn = 1 GROUP BY 1),
+          smp AS (SELECT CAST(count(*) AS BIGINT) AS n_sample
+                  FROM embeddings WHERE $sampleGateSql)
+          SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS n_vecs,
+                 CAST(min(n) AS BIGINT) AS min_cell_pop,
+                 CAST(max(n) AS BIGINT) AS max_cell_pop,
+                 CAST(max(n_sample) AS BIGINT) AS n_sample
+          FROM pop CROSS JOIN smp""",
+    "sim_ann_indexed_sample" -> annSampleOracle,
+    "sim_ann_recall_sample" -> annSampleRecallOracle,
+    // filtered-ANN recall: approx and ground truth BOTH under the
+    // member predicate — isolates probe starvation (VERDICT r9 #7)
+    "sim_ann_filtered_recall" -> annFilteredRecallOracle,
     "dedup_embedding_srp" -> embSrpOracle,
     "skew_salted_agg" ->
       """SELECT event_type,

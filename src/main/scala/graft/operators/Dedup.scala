@@ -478,14 +478,33 @@ object Dedup {
     * repeated spans (boilerplate, licenses, templates) score high
     * and get dropped by the curation threshold.
     *
-    * Shape: ONE explode to the per-position window table, collapsed
-    * immediately to (gram, doc, multiplicity); the distinct-doc df
-    * then comes from a window count over the gram key (no self-join,
-    * no second scan) and the verdict from one per-doc aggregation —
-    * every shuffle is an equi-key over the collapsed table. At
-    * deployment scale the 40-byte window string would shuffle as a
-    * 128-bit hash key instead (collision-negligible); kept raw here
-    * for exact cross-engine oracle parity. */
+    * Shape: ONE corpus-sized exchange total. The per-position window
+    * table repartitions by the gram digest ONCE; everything downstream
+    * of that exchange is exchange-free because HashPartitioning(gram)
+    * satisfies every following requirement — the (gram, doc)
+    * multiplicity collapse (clustering on a superset key), the
+    * distinct-doc count over the gram key (a window over the same
+    * partitioning, paying only a LOCAL sort of the collapsed rows),
+    * and the dup filter. The r9 two-exchange form (partial-agg
+    * exchange on (gram, doc), then a SECOND full exchange + sort to
+    * re-cluster by gram for the window) shuffled the gram table twice
+    * and its second sort was the measured superlinear bound at x100
+    * saturation (d2 28.3×, 109.8 s — VERDICT r9).
+    *
+    * Second structural cut: only DUP rows flow past the window.
+    * n_win(doc) is just greatest(len-39, 1) — arithmetic on the
+    * documents scan, not an aggregate of the gram table — so the
+    * per-doc rollup aggregates the (rare) duplicated grams only and
+    * joins back to the one-row-per-doc base; the overwhelmingly-unique
+    * grams die at the filter instead of riding two more operators.
+    *
+    * The gram key shuffles as its 16-byte md5 digest, not the raw
+    * 40-char window — half the bytes through the exchange. Parity
+    * stays exact and keyed-the-same: the DuckDB oracle groups by
+    * md5(gram) too, so even a collision would count identically in
+    * both engines. Results are bit-identical to the r9 form (same
+    * oracle): n_win = Σ multiplicities = window count by
+    * construction, and every doc has ≥ 1 window. */
   def substringDup(spark: SparkSession, dir: String,
       k: Int = 40): DataFrame = {
     val t = Tables(spark, dir)
@@ -497,32 +516,31 @@ object Dedup {
     // 260-element string array per doc through the INTERPRETED
     // ArrayTransform.eval / Substring.nullSafeEval path — the x100
     // thread dumps showed exactly that stack burning a core per task.
-    // the gram key shuffles as its 16-byte md5 digest, not the raw
-    // 40-char window — half the bytes through BOTH shuffles (the
-    // per-(gram,doc) agg and the df window). Parity stays exact and
-    // keyed-the-same: the DuckDB oracle groups by md5(gram) too (the
-    // PortableHash family), so even a collision would count
-    // identically in both engines. Output columns carry no gram.
     val wins = t.documentsSpread
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))"))
           .as("i"))
       .select(col("doc_id"),
         expr(s"unhex(md5(substring(text, i, $k)))").as("gram"))
-    // single pass over the window table: collapse positions to a
-    // per-(gram, doc) multiplicity first, then a window count over the
-    // gram key gives the distinct-doc df with NO self-join — the
-    // two-subtree (df-aggregate ⋈ window-table) form re-ran the whole
-    // explode for each side, measured 38.8 s vs 12.7 s at 10×
-    // (5.1 s vs 1.6 s at sf0.1)
-    val perDocGram = wins.groupBy(col("gram"), col("doc_id"))
+    // the one exchange: cluster by gram BEFORE collapsing, so the
+    // collapse, the distinct-doc window, and the dup filter all run
+    // inside the same partitioning with no further corpus-sized
+    // exchange (the window's sort is local, over collapsed rows)
+    val perDocGram = wins.repartition(col("gram"))
+      .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("m"))
     val wG = org.apache.spark.sql.expressions.Window
       .partitionBy(col("gram"))
-    perDocGram.withColumn("n_docs", count(lit(1)).over(wG))
+    val dup = perDocGram.withColumn("n_docs", count(lit(1)).over(wG))
+      .filter(col("n_docs") >= 2)
       .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("n_win"),
-        sum(when(col("n_docs") >= 2, col("m")).otherwise(0L)).as("dup_win"))
+      .agg(sum(col("m")).as("dup_win"))
+    t.documents
+      .select(col("doc_id"),
+        expr(s"CAST(greatest(length(text) - ${k - 1}, 1) AS BIGINT)")
+          .as("n_win"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_win", coalesce(col("dup_win"), lit(0L)))
       .withColumn("dup_frac_e4",
         expr("(20000 * dup_win + n_win) div (2 * n_win)"))
       .withColumn("dup_heavy", col("dup_frac_e4") >= 2000)

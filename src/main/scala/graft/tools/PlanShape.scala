@@ -20,13 +20,20 @@ object PlanShape {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     // default list = the driver-bench tail's most expensive batch
-    // queries (PlanShapeSpec pins these)
+    // queries plus the standing-index serving/churn family — for the
+    // serving queries the SHAPE (and especially the scan count) is the
+    // product: PlanShapeSpec pins all of these, scans included for the
+    // serves, because a point read degrading to a corpus scan may add
+    // no exchange at all
     val names = sys.env.get("SPARK_GRAFT_SHAPE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("dedup_canonical", "dedup_embedding_srp",
         "dedup_substring", "dedup_fuzzy_edit", "dedup_minhash_lsh",
         "text_lm_score", "dedup_ngram_jaccard", "dedup_simhash",
-        "sim_pq_adc", "text_bm25_search"))
+        "sim_pq_adc", "text_bm25_search",
+        "sim_ann_ivfsq8", "sim_ann_indexed_sqrt", "sim_ann_indexed_sample",
+        "sim_ann_indexed", "sim_ann_filtered", "text_bm25_indexed",
+        "sim_ivf_churn", "text_fts_churn"))
     val spark = graft.core.Sessions.local(4)
     names.foreach { n =>
       val p = graft.SparkEntry.queries(n)(spark, sf)

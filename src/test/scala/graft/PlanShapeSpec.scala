@@ -76,4 +76,46 @@ class PlanShapeSpec extends SparkSpec
         s"$name: ${m("bnlj")} nested-loop joins (pinned $maxNlj)")
     }
   }
+
+  /** Serving + churn family (round-10 task 6): these queries' plan
+    * shape IS the product — the whole point of a standing index is
+    * that the serve reads probed cells, not the corpus. The extra
+    * pinned dimension is the parquet SCAN count: a regression that
+    * silently turns a Bloom-pruned point read into a corpus scan may
+    * not add an exchange at all (a scan is exchange-free), but it
+    * cannot avoid adding a FileScan. Bounds measured at sf0.001 via
+    * tools/PlanShape (the ensure* build runs eagerly inside the query
+    * constructor, so the captured plan is the SERVE alone).
+    * (maxEx, maxSmj, maxNlj, maxScans). */
+  private val servingPinned: Map[String, (Int, Int, Int, Int)] = Map(
+    // probe rank (bhj) + Bloom point read + rerank join; the smj is
+    // the candK-bounded rerank pair at static-plan time (AQE converts
+    // at runtime when it measures small)
+    "sim_ann_ivfsq8" -> (4, 1, 2, 7),
+    "sim_ann_indexed_sqrt" -> (3, 0, 1, 4),
+    "sim_ann_indexed_sample" -> (3, 0, 1, 4),
+    "sim_ann_indexed" -> (3, 0, 0, 4),
+    "sim_ann_filtered" -> (3, 0, 1, 4),
+    // FTS point read: ONE postings scan + the top-k window exchange
+    "text_bm25_indexed" -> (1, 0, 0, 1),
+    // churn serves from the compacted snapshot — same shape law as
+    // the one-shot builds' serves
+    "sim_ivf_churn" -> (3, 0, 1, 4),
+    "text_fts_churn" -> (2, 0, 0, 2))
+
+  servingPinned.foreach { case (name, (maxEx, maxSmj, maxNlj, maxScans)) =>
+    test(s"$name serving plan stays a point read (pinned shape + scan count)") {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val m = PlanShape.metrics(plan)
+      assert(m("exchanges") <= maxEx,
+        s"$name: ${m("exchanges")} hash exchanges (pinned $maxEx) — a new shuffle appeared")
+      assert(m("smj") <= maxSmj,
+        s"$name: ${m("smj")} sort-merge joins (pinned $maxSmj) — a broadcast degraded")
+      assert(m("bnlj") <= maxNlj,
+        s"$name: ${m("bnlj")} nested-loop joins (pinned $maxNlj)")
+      assert(m("scans") <= maxScans,
+        s"$name: ${m("scans")} parquet scans (pinned $maxScans) — a point read grew a corpus scan")
+    }
+  }
 }

@@ -29,7 +29,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("entity enrichment shares one exchange across its window specs") {
-    val plan = graft.operators.DomainBridge.vehicleEnrich(spark, sf)
+    val plan = graft.operators.DomainBridges.vehicleEnrich(spark, sf)
       .queryExecution.executedPlan.toString
     // the lag/lead/full-frame windows over tracker order must stack on a
     // single hashpartitioning exchange of the events scan, not one each;
@@ -138,7 +138,12 @@ class PlanSpec extends SparkSpec {
       "sim_ann_ivfsq8_recall", "sim_ann_recall_sqrt",
       // churn + filtered serves carry the same proven-bound √N
       // centroid kernel cross as sim_ann_indexed_sqrt
-      "sim_ivf_churn", "sim_ann_filtered")
+      "sim_ivf_churn", "sim_ann_filtered",
+      // sample-trained family: same proven-bound centroid kernel cross
+      // (training just reads fewer rows); recall queries embed the
+      // broadcast-queries ground-truth cross like sim_ann_recall_sqrt
+      "sim_ivf_build_sample", "sim_ann_indexed_sample",
+      "sim_ann_recall_sample", "sim_ann_filtered_recall")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
