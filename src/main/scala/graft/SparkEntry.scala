@@ -70,6 +70,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_fuzzy_edit" -> ((s: SparkSession, dir: String) =>
       Dedup.fuzzyEditPairs(s, dir)),
+    "dedup_substring_winnow" -> ((s: SparkSession, dir: String) =>
+      Dedup.substringDupWinnow(s, dir)),
     "dedup_substring" -> ((s: SparkSession, dir: String) =>
       Dedup.substringDup(s, dir)),
     "dedup_containment" -> Dedup.containment _,
@@ -1600,6 +1602,34 @@ object SparkEntry {
                   AS dup_frac_e4,
                 (20000 * dup_win + n_win) // (2 * n_win) >= 2000 AS dup_heavy
          FROM per ORDER BY doc_id""",
+    // winnowed form: same statistics over the content-gated 1/8 window
+    // sample (digest starts '0'/'8') — selection is on the digest, so a
+    // shared window is selected in both docs or neither
+    "dedup_substring_winnow" ->
+      """WITH w AS (SELECT doc_id,
+                unnest([md5(substring(text, i, 40))
+                        for i in range(1, greatest(length(text) - 39, 1) + 1)])
+                  AS h
+              FROM documents),
+         sel AS (SELECT doc_id, h AS gram FROM w
+                 WHERE substr(h, 1, 1) IN ('0', '8')),
+         gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
+                FROM sel GROUP BY 1),
+         per AS (SELECT sel.doc_id, count(*) AS n_win,
+                        CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS dup_win
+                 FROM sel JOIN gd USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(COALESCE(per.n_win, 0) AS BIGINT) AS n_win,
+                CAST(COALESCE(per.dup_win, 0) AS BIGINT) AS dup_win,
+                CAST(CASE WHEN COALESCE(per.n_win, 0) = 0 THEN 0
+                     ELSE (20000 * per.dup_win + per.n_win)
+                            // (2 * per.n_win) END AS BIGINT) AS dup_frac_e4,
+                CASE WHEN COALESCE(per.n_win, 0) = 0 THEN FALSE
+                     ELSE (20000 * per.dup_win + per.n_win)
+                            // (2 * per.n_win) >= 2000 END AS dup_heavy
+         FROM documents d LEFT JOIN per USING (doc_id)
+         ORDER BY doc_id""",
     "dedup_containment" ->
       """WITH d AS (SELECT doc_id, lang, t, len(t) AS nt
                     FROM (SELECT doc_id, lang, string_split(text, ' ') AS t

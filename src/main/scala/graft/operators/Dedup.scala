@@ -547,6 +547,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowed repeated-substring signal — [[substringDup]]'s at-scale
+    * form: keep only windows whose md5 digest starts with '0' or '8'
+    * (2/16 = a deterministic 1/8 content-defined sample, the
+    * fingerprint-selection idea of Schleimer/Wilkerson/Aiken's
+    * winnowing and of every production near-dup pipeline that can't
+    * afford the full gram table), and compute the SAME dup statistics
+    * over the selected windows. Content-defined means
+    * alignment-independent: a window shared between two documents has
+    * one digest, so it is selected in BOTH or NEITHER — cross-doc
+    * detection power per selected window is exactly the full metric's
+    * (positional striding lacks this: a shared span at different
+    * offsets mod s produces disjoint window sets). dup_frac becomes
+    * an unbiased 1/8-sample estimate of the full fraction; `n_win`
+    * counts SELECTED windows (0 for short unlucky docs — kept, with
+    * the fraction pinned to 0). Gate is exact string arithmetic on
+    * the hex digest, bit-identical in the DuckDB oracle; the
+    * selection-restriction law (winnow ≡ full metric restricted to
+    * gated grams) is asserted in `DedupPlantedSpec`. Cuts the
+    * one-exchange plan's shuffle ~8× (the explode + md5 CPU remains —
+    * the gate reads the digest, so it must be computed). */
+  def substringDupWinnow(spark: SparkSession, dir: String,
+      k: Int = 40): DataFrame = {
+    val t = Tables(spark, dir)
+    val wins = t.documentsSpread
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))"))
+          .as("i"))
+      .select(col("doc_id"), expr(s"md5(substring(text, i, $k))").as("h"))
+      .filter(substring(col("h"), 1, 1).isin("0", "8"))
+      .select(col("doc_id"), expr("unhex(h)").as("gram"))
+    val perDocGram = wins.repartition(col("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("m"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    val stats = perDocGram.withColumn("n_docs", count(lit(1)).over(wG))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_win"),
+        sum(when(col("n_docs") >= 2, col("m")).otherwise(0L)).as("dup_win"))
+    t.documents.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .withColumn("n_win", coalesce(col("n_win"), lit(0L)))
+      .withColumn("dup_win", coalesce(col("dup_win"), lit(0L)))
+      .withColumn("dup_frac_e4",
+        expr("CASE WHEN n_win = 0 THEN 0L ELSE (20000 * dup_win + n_win) div (2 * n_win) END"))
+      .withColumn("dup_heavy", col("dup_frac_e4") >= 2000)
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance near-duplicate pairs — PassJoin candidate
     * generation (Li/Deng/Feng's partition scheme), then exact
     * threshold-banded `levenshtein` verification of candidates only.

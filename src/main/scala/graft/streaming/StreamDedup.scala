@@ -28,7 +28,9 @@ object StreamDedup {
     val deduped = StreamSource.eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    StreamSource.runToMemory(spark, deduped, "append", "graft_sdedup")
+    // parquet drain: distinct keys grow with the corpus (150k users ×
+    // 5 types at x100) — keep the result off the driver heap
+    StreamSource.runToParquet(spark, deduped, "graft_sdedup")
       .orderBy(col("user_id"), col("event_type"))
   }
 

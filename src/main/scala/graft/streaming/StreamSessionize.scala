@@ -30,7 +30,10 @@ object StreamSessionize {
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
-    StreamSource.runToMemory(spark, sessions, "append", "graft_sessions")
+    // parquet drain: output is ~0.95 sessions/event on this data —
+    // corpus-sized, so the memory sink's driver collect was the
+    // measured superlinear term at x100 (201 s; BASELINE.md r10)
+    StreamSource.runToParquet(spark, sessions, "graft_sessions")
       .select(
         col("user_id"),
         unix_micros(col("session_window.start")).as("sess_start_us"),

@@ -38,7 +38,14 @@ object StreamSource {
     * is throwaway by design (a fresh one per run — reusing it would
     * mark the source files as already processed and emit nothing) and
     * is deleted after the run so repeated verify/bench loops don't leak
-    * disk. */
+    * disk.
+    *
+    * For AGGREGATE-SIZED output only: a memory sink collects every
+    * output row into a driver-heap buffer. Queries whose output is
+    * corpus-sized (sessionization emits ~0.95 sessions per event on
+    * this data) must drain through [[runToParquet]] instead — at x100
+    * the driver-side collect of ~9.5M session rows was the measured
+    * superlinear term (BASELINE.md r10 streaming decade). */
   def runToMemory(spark: SparkSession, out: DataFrame,
       outputMode: String, namePrefix: String): DataFrame = {
     val qname = namePrefix + "_" +
@@ -53,12 +60,42 @@ object StreamSource {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      val walk = java.nio.file.Files.walk(ckpt.toPath)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally deleteRecursively(ckpt)
     spark.table(qname)
+  }
+
+  /** Drain to a throwaway parquet sink (distributed write, executor
+    * parallelism) and read the result back — the corpus-sized-output
+    * twin of [[runToMemory]]. Parquet sinks are append-mode only,
+    * which is exactly the class of queries whose output scales with
+    * the corpus (watermark-evicted sessions, deduped streams);
+    * complete-mode aggregates are aggregate-sized by definition and
+    * stay on the memory sink. The read-back passes the writer's
+    * schema so an empty (yet valid) sink still yields a typed empty
+    * result. */
+  def runToParquet(spark: SparkSession, out: DataFrame,
+      namePrefix: String): DataFrame = {
+    val qname = namePrefix + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = new java.io.File(s"target/tmp/ckpt_$qname")
+    ckpt.mkdirs()
+    val data = s"target/tmp/sink_$qname"
+    try {
+      val q = out.writeStream
+        .format("parquet").option("path", data)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    spark.read.schema(out.schema).parquet(data)
+  }
+
+  private def deleteRecursively(dir: java.io.File): Unit = {
+    val walk = java.nio.file.Files.walk(dir.toPath)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 }

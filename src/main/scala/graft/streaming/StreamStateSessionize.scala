@@ -66,7 +66,7 @@ object StreamStateSessionize {
           }
           closed.iterator
       }
-    StreamSource.runToMemory(spark, sessions.toDF(), "append",
+    StreamSource.runToParquet(spark, sessions.toDF(),
         "graft_state_sessions")
       .select(col("user_id"), col("sess_start_us"), col("sess_last_us"),
         col("n_events"))

@@ -133,6 +133,46 @@ class DedupPlantedSpec extends SparkSpec {
       assert(joined.filter(col("dup_frac_e4") =!= 10000).count() === 0L)
   }
 
+  test("winnowed substring dup is the full metric restricted to gated grams") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val win = graft.operators.Dedup.substringDupWinnow(spark, sf)
+    // invariants as for the full metric
+    assert(win.filter(col("dup_win") > col("n_win") ||
+      col("dup_frac_e4") < 0 || col("dup_frac_e4") > 10000).count() === 0L)
+    // selection-restriction law: recompute the gated gram table
+    // in-spec and check winnow's per-doc (n_win, dup_win) EXACTLY —
+    // content-defined selection may only restrict the window set, it
+    // must never change a selected window's dup status (alignment
+    // independence). A positional stride would fail this under shifted
+    // shared spans; the digest gate cannot.
+    val grams = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(length(text) - 39, 1))")).as("i"))
+      .select(col("doc_id"), expr("md5(substring(text, i, 40))").as("h"))
+      .filter(substring(col("h"), 1, 1).isin("0", "8"))
+    val nd = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val expected = grams.join(nd, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("e_n_win"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("e_dup_win"))
+    val mismatches = win.join(expected, Seq("doc_id"), "left")
+      .filter(col("n_win") =!= coalesce(col("e_n_win"), lit(0L)) ||
+        col("dup_win") =!= coalesce(col("e_dup_win"), lit(0L)))
+      .count()
+    assert(mismatches === 0L)
+    // a doc with a raw-identical copy keeps frac 10000 WHENEVER any of
+    // its windows survive the gate (identical docs share gated sets)
+    val copies = graft.core.Tables(spark, sf).documents
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val joined = win.join(copies, Seq("doc_id")).filter(col("n_win") > 0)
+    if (joined.count() > 0)
+      assert(joined.filter(col("dup_frac_e4") =!= 10000).count() === 0L)
+  }
+
   test("fuzzy edit dedup survives adversarial lengths (empty/tiny docs)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
