@@ -97,9 +97,12 @@ object SparkEntry {
     "domain_slot_sessionize" -> DomainBridges.slotSessionize,
     "a12_time_window" -> Coverage.a12TimeWindow _,
     "mm_byte_metrics" -> Coverage.mmByteMetrics _,
+    // documentsSpread: segmentation explodes ~4 segments/doc of
+    // substring+md5 CPU — session-parallel, not split-bound (the x100
+    // single-split lesson; measured 25.9 -> 4.3 s at x100)
     "mm_segments" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.segments(
-        graft.core.Tables(s, dir).documents.select(
+        graft.core.Tables(s, dir).documentsSpread.select(
           org.apache.spark.sql.functions.col("doc_id").as("asset_id"),
           org.apache.spark.sql.functions.encode(
             org.apache.spark.sql.functions.col("text"), "UTF-8")
