@@ -686,15 +686,19 @@ object Similarity {
       .withColumn("crn", row_number().over(w))
   }
 
-  /** Ranked assignment under the proven-bound hint policy: the
-    * broadcast-kernel form while k·d·24 B fits the 32 MB bound, the
-    * hint-free dim-join shuffle beyond it. */
-  private def rankedCells(spark: SparkSession, dir: String, cents: DataFrame,
+  /** MEMBERSHIP (vec_id, cell) under the proven-bound hint policy —
+    * for build-side callers, which only ever need the argmin, never
+    * the full rank (probe ranking always runs over the |Q| query
+    * vectors alone): the bounded path runs the map-side-combining
+    * [[argminByDist]] kernel (no N·k window sort), the over-bound
+    * path the hint-free dim-join. Same integers, same tie-break. */
+  private def memberCells(spark: SparkSession, dir: String, cents: DataFrame,
       bounded: Boolean): DataFrame =
     if (bounded)
-      rankedByDist(Tables(spark, dir).embeddings
+      argminByDist(Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding")), cents)
     else rankedTo(quantized(spark, dir), cents)
+      .filter(col("crn") === 1).select(col("vec_id"), col("cell"))
 
   /** Deterministic Lloyd training with the codegen assignment kernel:
     * per round, assignment is N·k scored rows ([[rankedByDist]]) and
@@ -725,8 +729,10 @@ object Similarity {
       cents0: DataFrame, iters: Int): DataFrame = {
     var cents = cents0.localCheckpoint()
     for (_ <- 1 to iters) {
-      val asg = rankedByDist(emb, cents).filter(col("crn") === 1)
-        .select(col("vec_id"), col("cell"))
+      // map-side-combining argmin (r10): same integers as the window
+      // rank, but the exchange carries one partial row per vector
+      // instead of sorting all N·k scored rows
+      val asg = argminByDist(emb, cents)
       cents = qe.join(asg, Seq("vec_id"))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
@@ -808,13 +814,20 @@ object Similarity {
   def annIvfSqrtK(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
     val (cents, bounded) = sqrtQuantizer(spark, dir)
-    val ranked = rankedCells(spark, dir, cents, bounded)
-    val member = ranked.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"))
+    // membership via the map-side-combining argmin kernel; the probe
+    // RANKING (crn ≤ nprobe) only ever touches the |Q|=5 query
+    // vectors, so the corpus-sized window sort of the former shared
+    // ranked table is gone (r10)
+    val member = memberCells(spark, dir, cents, bounded)
     val members = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
       .join(member, Seq("vec_id"))
-    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= nprobe)
+    val probes = (if (bounded)
+        rankedByDist(Tables(spark, dir).embeddings
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")), cents)
+      else rankedTo(quantized(spark, dir).filter(col("vec_id") < 5), cents))
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
     topkByCell(spark, dir, members, probes, k)
   }
@@ -871,9 +884,7 @@ object Similarity {
     import graft.lake.TxTable
     import graft.core.Scratch
     val (cents, bounded) = sqrtQuantizer(spark, dir)
-    val member = rankedCells(spark, dir, cents, bounded)
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"))
+    val member = memberCells(spark, dir, cents, bounded)
     val pDir = Scratch.fresh("tx_ivf_sqrt")
     // `label` rides along in the postings row: attribute columns live
     // IN the index cells so a filtered serve ([[annFilteredSqrt]])
@@ -1093,12 +1104,7 @@ object Similarity {
     import graft.lake.TxTable
     import graft.core.Scratch
     val (cents, bounded) = sampleQuantizer(spark, dir)
-    val member =
-      if (bounded)
-        argminByDist(Tables(spark, dir).embeddings
-          .select(col("vec_id"), col("embedding")), cents)
-      else rankedTo(quantized(spark, dir), cents)
-        .filter(col("crn") === 1).select(col("vec_id"), col("cell"))
+    val member = memberCells(spark, dir, cents, bounded)
     val pDir = Scratch.fresh("tx_ivf_sample")
     TxTable(spark, pDir).append(
       Tables(spark, dir).embeddings
@@ -1227,9 +1233,7 @@ object Similarity {
       centroidsRoot: String): (graft.lake.TxTable, graft.lake.TxTable) = {
     import graft.lake.TxTable
     val (cents, bounded) = sqrtQuantizer(spark, dir)
-    val member = rankedCells(spark, dir, cents, bounded)
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"))
+    val member = memberCells(spark, dir, cents, bounded)
     val rows = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"), col("label"))
       .join(member, Seq("vec_id"))
@@ -1370,9 +1374,7 @@ object Similarity {
     import graft.lake.TxTable
     import graft.core.Scratch
     val (cents, bounded) = sqrtQuantizer(spark, dir)
-    val member = rankedCells(spark, dir, cents, bounded)
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"))
+    val member = memberCells(spark, dir, cents, bounded)
     val qe = quantized(spark, dir)
     val range = qe.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
       .localCheckpoint() // one row, pinned: build and serve must agree
@@ -1567,8 +1569,7 @@ object Similarity {
       cents: DataFrame, k: Int): IvfGrowIndex = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val member = rankedByDist(emb, cents).filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"))
+    val member = argminByDist(emb, cents)
     val pDir = Scratch.fresh("tx_ivf_grow")
     TxTable(spark, pDir).append(
       emb.join(member, Seq("vec_id"))
@@ -1613,8 +1614,7 @@ object Similarity {
     import graft.lake.TxTable
     val cents = TxTable(spark, idx.centroids).read()
     val d = delta.select(col("vec_id"), col("embedding"))
-    val member = rankedByDist(d, cents).filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"))
+    val member = argminByDist(d, cents)
     val tx = TxTable(spark, idx.postings)
     tx.append(
       d.join(member, Seq("vec_id"))
