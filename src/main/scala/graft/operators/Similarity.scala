@@ -1378,12 +1378,30 @@ object Similarity {
     val qe = quantized(spark, dir)
     val range = qe.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
       .localCheckpoint() // one row, pinned: build and serve must agree
+    // corpus-side encode as ONE narrow array projection against the
+    // DRIVER-SCALAR pinned range (the range row is already
+    // materialized above): same exact integers as [[sq8Codes]]'s
+    // posexplode→shuffle→collect_list route, with no N·d exchange at
+    // all — at x100 that exchange was the SQ8 build's measured bound
+    // after the argmin fix (160 s vs the √N build's 102 s, same
+    // training). transform() here is the interpreted HOF, but it runs
+    // integer arithmetic once per element in a single build-time
+    // pass — cheap where the substring case (string alloc per
+    // element, per window) was not. Queries (|Q|=5) keep sq8Codes.
+    val r0 = range.head()
+    val mnv = r0.getAs[Long]("mn")
+    val sv = math.max(r0.getAs[Long]("mx") - mnv, 1L)
+    val encode = expr(
+      s"""transform(embedding, x ->
+            ((CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) - ${mnv}L)
+              * 255) div ${sv}L)""")
     val pDir = Scratch.fresh("tx_ivf_sq8")
     TxTable(spark, pDir).append(
       Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding"))
         .join(member, Seq("vec_id"))
-        .join(sq8Codes(qe, range), Seq("vec_id"))
+        .withColumn("codes", encode)
+        .withColumn("code_sum", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
         .select(col("cell"), col("vec_id"), col("codes"), col("code_sum"),
           col("embedding"))
         .repartitionByRange(8, col("cell")),
