@@ -308,7 +308,10 @@ object TextAnalysis {
       terms: Seq[String] = Seq("spark", "join", "vector"),
       topK: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
-    val docs = t.documents.select(col("doc_id"),
+    // spread: the ~130-tokens/doc explode must own its parallelism,
+    // not inherit the corpus's split count (documentsSpread — the
+    // r9/r10 single-split lesson, same as the dedup explodes)
+    val docs = t.documentsSpread.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
@@ -378,7 +381,9 @@ object TextAnalysis {
   private def buildFts(spark: SparkSession, dir: String): FtsIndex = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val docs = Tables(spark, dir).documents.select(col("doc_id"),
+    // spread: the build's corpus tokenize+explode is the whole cost —
+    // split-bound at x100 it ran on 1 core of 32 (documentsSpread)
+    val docs = Tables(spark, dir).documentsSpread.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val pDir = Scratch.fresh("tx_fts")
@@ -508,7 +513,9 @@ object TextAnalysis {
       slices: Int, targetFiles: Int, postingsRoot: String,
       statsRoot: String): (graft.lake.TxTable, graft.lake.TxTable) = {
     import graft.lake.TxTable
-    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    // spread once; every slice's explode inherits owned parallelism
+    val docs = Tables(spark, dir).documentsSpread
+      .select(col("doc_id"), col("text"))
     def tokenized(d: DataFrame): DataFrame =
       d.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("dl", size(col("toks")).cast("long"))

@@ -37,11 +37,16 @@ object StreamFts {
   def streamFtsServe(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("spark", "join", "vector"),
       topK: Int = 10): DataFrame = {
-    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
-    // 90% of the corpus is the standing base; every 10th document
-    // "arrives late" through the stream
-    val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val late = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    // base seed = 90% of the corpus through a tokenize+explode —
+    // spread so the build stage owns its parallelism (the x100
+    // single-split lesson); the late 10% streams through micro-batch
+    // files and needs no spread
+    val base = Tables(spark, dir).documentsSpread
+      .select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val late = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
 
     def tokenized(d: DataFrame): DataFrame =
       d.select(col("doc_id"), split(col("text"), " ").as("toks"))
