@@ -61,7 +61,9 @@ object Pipelines {
   def curate(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val toks = split(col("text"), " ")
-    val quality = t.documents
+    // spread: array_distinct + md5-normalize per doc is the CPU; the
+    // corpus scan's split count must not bound it (x100 lesson)
+    val quality = t.documentsSpread
       .select(col("doc_id"), col("lang"), col("text"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))

@@ -32,7 +32,7 @@ object TextAnalysis {
     * run interpreted and cost ~8× more at sf0.1. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val tok = t.documents.select(col("doc_id"), col("lang"),
+    val tok = t.documentsSpread.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
     val scoreCols = profiles.map { case (l, ws) =>
       sum(when(col("tok").isin(ws: _*), 1).otherwise(0)).as(s"s_$l")
@@ -58,7 +58,7 @@ object TextAnalysis {
     * boolean quality gate. No float nondeterminism anywhere. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.documents
+    t.documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -76,7 +76,7 @@ object TextAnalysis {
     * ([a-z]+ | digits | single non-alnum), aggregated per language. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.documents
+    t.documentsSpread
       .withColumn("n_ws", size(split(col("text"), " ")))
       .withColumn("n_bpe", regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
       .groupBy(col("lang"))
@@ -93,7 +93,7 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val normed = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
-    t.documents
+    t.documentsSpread
       .select(
         col("doc_id"),
         substring(md5(normed), 1, 8).as("fp8"),
@@ -109,7 +109,7 @@ object TextAnalysis {
     * broadcast single-row aggregate, never a driver collect. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val tf = t.documents
+    val tf = t.documentsSpread
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
@@ -147,7 +147,7 @@ object TextAnalysis {
     val raw = concat(col("text"), lit(" contact u"),
       col("doc_id").cast("string"), lit("@example.com or ref 90210"),
       pmod(col("doc_id"), lit(100)).cast("string"))
-    t.documents.select(col("doc_id"), raw.as("raw"))
+    t.documentsSpread.select(col("doc_id"), raw.as("raw"))
       .select(col("doc_id"),
         regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
         md5(redactPii(col("raw"))).as("redacted_md5"))
@@ -165,7 +165,7 @@ object TextAnalysis {
   def chunk(spark: SparkSession, dir: String,
       chunkSize: Int = 20, stride: Int = 15): DataFrame = {
     val t = Tables(spark, dir)
-    t.documents
+    t.documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")).cast("long"))
       // guard the CASE: Spark's sequence(1, 0) steps DOWNWARD, it is
@@ -197,7 +197,7 @@ object TextAnalysis {
     * order. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val chars = t.documents
+    val chars = t.documentsSpread
       .select(col("doc_id"), lower(col("text")).as("lt"))
       .filter(length(col("lt")) >= 2)
       .select(col("doc_id"),
@@ -264,7 +264,7 @@ object TextAnalysis {
     * exact e6 rational. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val tri = t.documents
+    val tri = t.documentsSpread
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")).cast("long"))
       .filter(col("n") >= 3) // shorter docs have no trigram signal
@@ -560,7 +560,7 @@ object TextAnalysis {
       topK: Int = 10): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val docs = t.documents.select(col("doc_id"),
+    val docs = t.documentsSpread.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
@@ -649,7 +649,7 @@ object TextAnalysis {
       filterLang: String = "en", minChars: Long = 300L,
       topK: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
-    val docs = t.documents.select(col("doc_id"), col("lang"),
+    val docs = t.documentsSpread.select(col("doc_id"), col("lang"),
       col("n_chars"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
@@ -698,7 +698,7 @@ object TextAnalysis {
   def significantTerms(spark: SparkSession, dir: String,
       topK: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
-    val fg = t.documents
+    val fg = t.documentsSpread
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
     val fgt = fg.groupBy(col("lang")).agg(sum(col("f")).as("ft"))
@@ -747,7 +747,7 @@ object TextAnalysis {
   def boilerplate(spark: SparkSession, dir: String,
       segTokens: Int = 10, minDf: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
-    val seg = t.documents
+    val seg = t.documentsSpread
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("toks"), explode(expr(
