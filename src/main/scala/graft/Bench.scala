@@ -31,10 +31,12 @@ object Bench {
     val ivfSample = graft.operators.Similarity.ensureIvfSample _
     val indexOf = Map[String, (SparkSession, String) => Any](
       "text_bm25_indexed" -> fts,
-      "stream_fts_serve" -> fts,
+      // stream_fts_serve builds its OWN fresh tx_fts_stream index via
+      // Scratch.fresh and never reads the standing one — no entry here
       "sim_ann_indexed" -> ivf,
       "sim_ann_indexed_sqrt" -> ivfSqrt,
       "sim_ann_filtered" -> ivfSqrt,
+      "sim_ann_filtered_recall" -> ivfSqrt,
       "sim_ann_ivfsq8" -> ivfSq8,
       "sim_ann_ivfsq8_recall" -> ivfSq8,
       "sim_ann_indexed_sample" -> ivfSample,

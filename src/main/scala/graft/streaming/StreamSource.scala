@@ -79,7 +79,11 @@ object StreamSource {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = new java.io.File(s"target/tmp/ckpt_$qname")
     ckpt.mkdirs()
-    val data = s"target/tmp/sink_$qname"
+    // sink data lives under Scratch so the per-process shutdown hook
+    // reclaims it once the lazy read-back has been consumed — a
+    // corpus-sized sink (x100: ~9.5M session rows x 3 queries x 2
+    // timed runs) must not outlive the bench/verify loop that made it
+    val data = graft.core.Scratch.fresh(s"stream_sink_$namePrefix")
     try {
       val q = out.writeStream
         .format("parquet").option("path", data)
