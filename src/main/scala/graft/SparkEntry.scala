@@ -18,1126 +18,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> Relational.q1Agg _,
-    "q3_shipping" -> Relational.q3Shipping _,
-    "q5_local_supplier" -> Relational.q5LocalSupplier _,
-    "q7_volume_shipping" -> ((s: SparkSession, dir: String) =>
-      Relational.q7VolumeShipping(s, dir)),
-    "q8_market_share" -> ((s: SparkSession, dir: String) =>
-      Relational.q8MarketShare(s, dir)),
-    "q10_returned_items" -> Relational.q10ReturnedItems _,
-    "q21_waiting_supplier" -> ((s: SparkSession, dir: String) =>
-      Relational.q21WaitingSupplier(s, dir)),
-    "q18_volume_customer" -> ((s: SparkSession, dir: String) =>
-      Relational.q18VolumeCustomer(s, dir)),
-    "q_subqueries" -> Relational.qSubqueries _,
-    "q13_cust_distribution" -> Relational.q13CustDistribution _,
-    "j_bloom_prune" -> ((s: SparkSession, dir: String) =>
-      Relational.jBloomPrune(s, dir)),
-    "sim_sq8_rerank" -> ((s: SparkSession, dir: String) =>
-      Similarity.sq8Rerank(s, dir)),
-    "q1_pricing_full" -> Relational.q1Full _,
-    "j_left_coalesce" -> Relational.jLeftCoalesce _,
-    "j_broadcast_dims" -> Relational.jBroadcastDims _,
-    "j_semi_anti" -> Relational.jSemiAnti _,
-    "a_topk_revenue" -> Relational.aTopkRevenue _,
-    "a1_regroup" -> Relational.a1Regroup _,
-    "a_distinct" -> Relational.aDistinct _,
-    "u_intersect_except" -> Relational.uIntersectExcept _,
-    "a_unpivot" -> Relational.aUnpivot _,
-    "p_filter_threshold" -> Relational.pFilterThreshold _,
-    "a5_entity_rollup" -> Windows.a5EntityRollup _,
-    "d1_mode" -> Windows.d1Mode _,
-    "d2_change_count" -> Windows.d2ChangeCount _,
-    "d3_time_per_state" -> Windows.d3TimePerState _,
-    "d4_trajectory" -> Windows.d4Trajectory _,
-    "d5_stddev" -> Windows.d5Stddev _,
-    "d6d7_first_match_duration" -> Windows.d6d7FirstMatchDuration _,
-    "d8_bool_agg" -> Windows.d8BoolAgg _,
-    "d9_sessionize" -> Windows.d9Sessionize _,
-    "f_timestamp_parse" -> Scalars.fTimestampParse _,
-    "f_json_extract" -> Scalars.fJsonExtract _,
-    "f_synth_id" -> Scalars.fSynthId _,
-    "f_token_expand" -> Scalars.fTokenExpand _,
-    "f_vec_expand" -> Scalars.fVecExpand _,
-    "g_explode_tokens" -> Scalars.gExplodeTokens _,
-    "p_clean_defaults" -> Scalars.pCleanDefaults _,
-    "dedup_exact" -> Dedup.exact _,
-    "dedup_minhash_lsh" -> Dedup.minhashLsh _,
-    "dedup_simhash" -> Dedup.simhash _,
-    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
-    "dedup_fuzzy_edit" -> ((s: SparkSession, dir: String) =>
-      Dedup.fuzzyEditPairs(s, dir)),
-    "dedup_substring_winnow" -> ((s: SparkSession, dir: String) =>
-      Dedup.substringDupWinnow(s, dir)),
-    "dedup_substring" -> ((s: SparkSession, dir: String) =>
-      Dedup.substringDup(s, dir)),
-    "dedup_containment" -> Dedup.containment _,
-    "text_langid" -> TextAnalysis.langId _,
-    "text_fuzzy_search" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.fuzzySearch(s, dir)),
-    "text_quality" -> TextAnalysis.quality _,
-    "text_token_counts" -> TextAnalysis.tokenCounts _,
-    "text_fingerprint" -> TextAnalysis.fingerprint _,
-    "sim_cosine_topk" -> Similarity.cosineTopk _,
-    "sim_ann_ivf" -> Similarity.annIvf _,
-    "a2_global_wrap" -> Coverage.a2GlobalWrap _,
-    "f_map_explode" -> Coverage.fMapExplode _,
-    "a12_date_histogram" -> Coverage.a12DateHistogram _,
-    "a_funnel" -> Coverage.aFunnel _,
-    "a_retention" -> Coverage.aRetention _,
-    "a12_date_histogram_dense" -> Coverage.a12DateHistogramDense _,
-    "a12_topn_per_user" -> Coverage.a12TopnPerUser _,
-    "d_running_sum" -> Coverage.dRunningSum _,
-    "s1_json_roundtrip" -> Coverage.s1JsonRoundtrip _,
-    "u_union_keys" -> Coverage.uUnionKeys _,
-    "domain_vehicle_enrich" -> DomainBridges.vehicleEnrich,
-    "domain_slot_sessionize" -> DomainBridges.slotSessionize,
-    "a12_time_window" -> Coverage.a12TimeWindow _,
-    "mm_byte_metrics" -> Coverage.mmByteMetrics _,
-    // documentsSpread: segmentation explodes ~4 segments/doc of
-    // substring+md5 CPU — session-parallel, not split-bound (the x100
-    // single-split lesson; measured 25.9 -> 4.3 s at x100)
-    "mm_segments" -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.Multimodal.segments(
-        graft.core.Tables(s, dir).documentsSpread.select(
-          org.apache.spark.sql.functions.col("doc_id").as("asset_id"),
-          org.apache.spark.sql.functions.encode(
-            org.apache.spark.sql.functions.col("text"), "UTF-8")
-            .as("content")))),
-    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) =>
-      Dedup.embeddingCosineOn(plantedEmbeddings(s, d))),
-    "skew_salted_agg" -> Skew.skewSaltedAgg _,
-    "skew_salted_join" -> ((s: SparkSession, dir: String) =>
-      Skew.skewSaltedJoin(s, dir)),
-    "domain_people_enrich" -> DomainBridges.peopleEnrich,
-    "domain_safety_enrich" -> DomainBridges.safetyEnrich,
-    "domain_retail_enrich" -> DomainBridges.retailEnrich,
-    "domain_school_enrich" -> DomainBridges.schoolEnrich,
-    "view_people_es" -> DomainBridges.peopleEs,
-    "view_safety_es" -> DomainBridges.safetyEs,
-    "view_vehicle_legacy" -> DomainBridges.vehicleLegacy,
-    "view_animal_es" -> DomainBridges.animalEs,
-    "view_geolocation_es" -> DomainBridges.geoEs,
-    "view_pose_es" -> DomainBridges.poseEs,
-    "view_parking_es" -> DomainBridges.parkingEs,
-    "view_common_es" -> DomainBridges.commonEs,
-    "view_school_es" -> DomainBridges.schoolEs,
-    "view_retail_es" -> DomainBridges.retailEs,
-    "a_rollup" -> Analytics.aRollup _,
-    "a_cube" -> Analytics.aCube _,
-    "a_grouping_sets" -> Analytics.aGroupingSets _,
-    "a_pivot" -> Analytics.aPivot _,
-    "a_quantiles" -> Analytics.aQuantiles _,
-    "w_rank_suite" -> Analytics.wRankSuite _,
-    "w_range_frame" -> Analytics.wRangeFrame _,
-    "a_corr_cov" -> Analytics.aCorrCov _,
-    "a_hll_distinct" -> ApproxDistinct.aHllDistinct _,
-    "a_cms_freq" -> FreqSketch.aCmsFreq _,
-    "ts_gapfill_interp" -> ((s: SparkSession, dir: String) =>
-      TimeSeries.gapFillInterpolate(s, dir)),
-    "j_asof" -> Temporal.jAsof _,
-    "j_range" -> Temporal.jRange _,
-    "dedup_cc" -> Cluster.dedupCc _,
-    "dedup_canonical" -> Cluster.dedupCanonical _,
-    "stream_sessionize" -> graft.streaming.StreamSessionize.streamSessionize _,
-    "stream_state_sessionize" ->
-      graft.streaming.StreamStateSessionize.streamStateSessionize _,
-    "s2_csv_roundtrip" -> graft.sources.Roundtrip.s2CsvRoundtrip _,
-    "s3_partitioned_prune" -> graft.sources.Roundtrip.s3PartitionedPrune _,
-    "sample_split" -> Sampling.sampleSplit _,
-    "sample_temperature" -> ((s: SparkSession, dir: String) =>
-      Sampling.sampleTemperature(s, dir)),
-    "sample_quality_tiers" -> Sampling.sampleQualityTiers _,
-    "dq_winsorize" -> DataQuality.dqWinsorize _,
-    "sample_balanced" -> ((s: SparkSession, dir: String) =>
-      Sampling.sampleBalanced(s, dir)),
-    "text_tfidf" -> TextAnalysis.tfidf _,
-    "text_redact_pii" -> TextAnalysis.textRedactPii _,
-    "text_contamination" -> TextAnalysis.textContamination _,
-    "dedup_incremental" -> Dedup.incremental _,
-    "dedup_srp_bands" -> Dedup.srpBands _,
-    "sim_ivf_assign" -> Similarity.ivfAssign _,
-    "sim_ivf_kmeans" -> ((s: SparkSession, dir: String) =>
-      Similarity.kmeansAssign(s, dir, k = 8)),
-    "view_kmeans_det" -> ((s: SparkSession, dir: String) =>
-      Similarity.viewKmeansDet(s, dir)),
-    "sim_ann_ivf_true" -> ((s: SparkSession, dir: String) =>
-      Similarity.annIvfTrue(s, dir)),
-    "sim_ann_recall" -> ((s: SparkSession, dir: String) =>
-      Similarity.annRecall(s, dir)),
-    "sim_ann_multiprobe" -> ((s: SparkSession, dir: String) =>
-      Similarity.annIvfMultiprobe(s, dir)),
-    "sim_ann_recall_mp" -> ((s: SparkSession, dir: String) =>
-      Similarity.annRecallMultiprobe(s, dir)),
-    "sim_ivf_build" -> ((s: SparkSession, dir: String) =>
-      Similarity.ivfBuild(s, dir)),
-    "sim_ann_indexed" -> ((s: SparkSession, dir: String) =>
-      Similarity.annIndexed(s, dir)),
-    "sim_ivf_append" -> ((s: SparkSession, dir: String) =>
-      Similarity.ivfAppendServe(s, dir)),
-    "sim_ann_sqrtk" -> ((s: SparkSession, dir: String) =>
-      Similarity.annIvfSqrtK(s, dir)),
-    "sim_ivf_build_sqrt" -> ((s: SparkSession, dir: String) =>
-      Similarity.ivfBuildSqrt(s, dir)),
-    "sim_ann_indexed_sqrt" -> ((s: SparkSession, dir: String) =>
-      Similarity.annIndexedSqrt(s, dir)),
-    "sim_ann_filtered" -> ((s: SparkSession, dir: String) =>
-      Similarity.annFilteredSqrt(s, dir)),
-    "sim_ivf_churn" -> ((s: SparkSession, dir: String) =>
-      Similarity.ivfChurn(s, dir)),
-    "sim_ivfsq8_build" -> ((s: SparkSession, dir: String) =>
-      Similarity.ivfSq8Build(s, dir)),
-    "sim_ann_ivfsq8" -> ((s: SparkSession, dir: String) =>
-      Similarity.annIvfSq8(s, dir)),
-    "sim_ann_ivfsq8_recall" -> ((s: SparkSession, dir: String) =>
-      Similarity.annIvfSq8Recall(s, dir)),
-    "sim_ann_recall_sqrt" -> ((s: SparkSession, dir: String) =>
-      Similarity.annSqrtRecall(s, dir)),
-    "sim_ivf_build_sample" -> ((s: SparkSession, dir: String) =>
-      Similarity.ivfBuildSample(s, dir)),
-    "sim_ann_indexed_sample" -> ((s: SparkSession, dir: String) =>
-      Similarity.annIndexedSample(s, dir)),
-    "sim_ann_recall_sample" -> ((s: SparkSession, dir: String) =>
-      Similarity.annSampleRecall(s, dir)),
-    "sim_ann_filtered_recall" -> ((s: SparkSession, dir: String) =>
-      Similarity.annFilteredRecall(s, dir)),
-    "dedup_embedding_srp" -> ((s: SparkSession, dir: String) =>
-      Dedup.embeddingSrp(s, dir)),
-    "f_date_suite" -> FunctionSuites.fDateSuite _,
-    "f_string_suite" -> FunctionSuites.fStringSuite _,
-    "f_cond_bitwise" -> FunctionSuites.fCondBitwise _,
-    "f_array_suite" -> FunctionSuites.fArraySuite _,
-    "f_map_suite" -> FunctionSuites.fMapSuite _,
-    "stream_static_join" -> graft.streaming.StreamStaticJoin.streamStaticJoin _,
-    "stream_stream_join" -> graft.streaming.StreamStreamJoin.streamStreamJoin _,
-    "sim_centroids" -> Similarity.centroids _,
-    "pipeline_curate" -> Pipelines.curate _,
-    "pipeline_pack" -> ((s: SparkSession, dir: String) =>
-      Pipelines.packSequences(s, dir)),
-    "mm_chunk_sample" -> ((s: SparkSession, dir: String) =>
-      Pipelines.mmChunkSample(s, dir)),
-    "graph_pagerank" -> Cluster.graphPagerank _,
-    "graph_triangles" -> Cluster.graphTriangles _,
-    "sim_knn_classify" -> Similarity.knnClassify _,
-    "sim_pq_adc" -> ((s: SparkSession, dir: String) =>
-      Similarity.pqAdc(s, dir)),
-    "dedup_semantic" -> ((s: SparkSession, dir: String) =>
-      Dedup.semantic(s, dir)),
-    "text_chunk" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.chunk(s, dir)),
-    "text_lm_score" -> TextAnalysis.lmScore _,
-    "stream_dedup" -> graft.streaming.StreamDedup.streamDedup _,
-    "dedup_chunk" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.chunkDedup(s, dir)),
-    "text_repetition" -> TextAnalysis.repetition _,
-    "text_boilerplate" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.boilerplate(s, dir)),
-    "text_bm25_search" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.bm25Search(s, dir)),
-    "text_match_phrase" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.matchPhrase(s, dir)),
-    "text_significant_terms" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.significantTerms(s, dir)),
-    "text_bool_search" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.boolSearch(s, dir)),
-    "text_bm25_indexed" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.bm25Indexed(s, dir)),
-    "text_fts_build" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.ftsBuild(s, dir)),
-    "stream_fts_serve" -> ((s: SparkSession, dir: String) =>
-      graft.streaming.StreamFts.streamFtsServe(s, dir)),
-    "text_fts_churn" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.ftsChurn(s, dir)),
-    "search_hybrid_rrf" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.hybridRrf(s, dir)),
-    "search_eval" -> ((s: SparkSession, dir: String) =>
-      TextAnalysis.searchEval(s, dir)),
-    "sample_mixture" -> Sampling.sampleMixture _,
-    "sample_shuffle" -> Sampling.sampleShuffle _,
-    "sample_token_budget" -> Sampling.sampleTokenBudget _,
-    "sample_leakage_safe" -> Sampling.sampleLeakageSafe _,
-    "s4_orc_roundtrip" -> graft.sources.Roundtrip.s4OrcRoundtrip _,
-    "lake_merge_upsert" -> graft.lake.LakeOps.lakeMergeUpsert _,
-    "lake_cdc_diff" -> graft.lake.LakeOps.lakeCdcDiff _,
-    "lake_skip_read" -> graft.lake.LakeOps.lakeSkipRead _,
-    "lake_delete" -> graft.lake.LakeOps.lakeDelete _,
-    "lake_time_travel" -> graft.lake.LakeOps.lakeTimeTravel _,
-    "lake_point_read" -> graft.lake.LakeOps.lakePointRead _,
-    "f_zorder" -> FunctionSuites.fZorder _,
-    "dq_profile" -> DataQuality.dqProfile _,
-    "dq_expectations" -> DataQuality.dqExpectations _,
-    "dq_drift" -> ((s: SparkSession, dir: String) =>
-      DataQuality.dqDrift(s, dir)),
-    // NOTE: the spark.ml KMeans view (Views.kmeansCenters) is a LIBRARY
-    // CROSS-CHECK covered by ViewsSpec, not a declared query — its hash-
-    // verified twin is `view_kmeans_det` (COVERAGE.md D11 policy), so
-    // every declared query carries a DuckDB oracle.
-  )
-
-  private def phashSql(e: String, salt: Int): String =
-    graft.functions.PortableHash.phashSql(e, salt)
-
-  private val normSql = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
-
-  /** Exact-integer BM25 over the corpus — shared by the scan-path and
-    * indexed-path queries (the index never changes the answer). */
-  private val bm25Oracle: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-            FROM documents),
-       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
-       tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-       tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-              FROM tok WHERE tok IN ('spark', 'join', 'vector')
-              GROUP BY 1, 2),
-       dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-               FROM tf GROUP BY 1),
-       s AS (SELECT tf.doc_id, tf.tf,
-               (10000 * st.n_docs) // dfc.df AS idf_e4,
-               (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
-             FROM tf JOIN dl USING (doc_id) JOIN dfc USING (tok)
-             CROSS JOIN st),
-       sc AS (SELECT doc_id,
-               sum(idf_e4 * ((tf * 2200 * 10000)
-                 // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
-                 AS score_e7,
-               count(*) AS n_terms
-              FROM s GROUP BY 1),
-       r AS (SELECT row_number() OVER (ORDER BY score_e7 DESC, doc_id)
-               AS rank, doc_id, score_e7, n_terms FROM sc)
-       SELECT CAST(rank AS BIGINT) AS rank, doc_id,
-              CAST(score_e7 AS BIGINT) AS score_e7,
-              CAST(n_terms AS BIGINT) AS n_terms
-       FROM r WHERE rank <= 10 ORDER BY rank"""
-
-  /** SQL twin of Sampling.{splitBucket,splitName} — derived from the
-    * same salt constant so the oracle can never drift from the engine. */
-  private val splitBucketSql: String =
-    s"${graft.functions.PortableHash.phashSql("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.splitSalt)} % 10"
-  private val splitCaseSql: String =
-    "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'dev' ELSE 'test' END"
-
-  private val simhashOracle: String = {
-    val sums = (0 until 16)
-      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
-      .mkString(", ")
-    val bits = (0 until 16)
-      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        h AS (SELECT doc_id, ${phashSql("tok", 0)} AS h FROM tok),
-        s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
-  }
-
-  private val minhashOracle: String =
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
-        sh0 AS (SELECT doc_id, t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS shingle
-                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS pos FROM tk)),
-        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-        hs AS (SELECT doc_id, shingle,
-                      ${graft.functions.PortableHash.phashWindowSql("md5(shingle)", 0)} AS h1,
-                      ${graft.functions.PortableHash.phashWindowSql("md5(shingle)", 1)} AS h2,
-                      ${graft.functions.PortableHash.phashWindowSql("md5(shingle)", 2)} AS h3,
-                      ${graft.functions.PortableHash.phashWindowSql("md5(shingle)", 3)} AS h4
-               FROM sh),
-        sig AS (SELECT doc_id, min(h1) AS mh1, min(h2) AS mh2, min(h3) AS mh3,
-                       min(h4) AS mh4, count(*) AS n_shingles
-                FROM hs GROUP BY doc_id),
-        bands AS (SELECT doc_id, n_shingles,
-                         unnest(['1_' || mh1 || '_' || mh2,
-                                 '2_' || mh3 || '_' || mh4]) AS bk FROM sig),
-        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-                        l.n_shingles AS na, r.n_shingles AS nb
-                 FROM bands l JOIN bands r ON l.bk = r.bk
-                 WHERE l.doc_id < r.doc_id),
-        inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter
-                  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
-                  WHERE sa.doc_id < sb.doc_id GROUP BY 1, 2)
-        SELECT c.a, c.b, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
-               CAST(c.na + c.nb - coalesce(i.inter, 0) AS BIGINT) AS union_n,
-               CAST((20000 * coalesce(i.inter, 0) + (c.na + c.nb - coalesce(i.inter, 0)))
-                 // (2 * (c.na + c.nb - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_e4
-        FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
-        ORDER BY c.a, c.b"""
-
-  private val ngramOracle: String =
-    """WITH d AS (SELECT doc_id, lang, t, len(t) AS nt
-                  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
-                  WHERE len(t) >= 2),
-       g0 AS (SELECT doc_id, lang, nt - (nt % 20) AS len_bucket,
-                     t[pos] || ' ' || t[pos+1] AS gram
-              FROM (SELECT doc_id, lang, nt, t, unnest(range(1, nt)) AS pos FROM d)),
-       g1 AS (SELECT DISTINCT doc_id, lang, len_bucket, gram FROM g0),
-       dfg AS (SELECT lang, len_bucket, gram FROM g1
-               GROUP BY 1, 2, 3 HAVING count(*) <= 100),
-       kept AS (SELECT g1.* FROM g1
-                JOIN dfg ON g1.lang = dfg.lang AND g1.len_bucket = dfg.len_bucket
-                  AND g1.gram = dfg.gram),
-       gs AS (SELECT doc_id, count(*) AS ng FROM kept GROUP BY 1),
-       j AS (SELECT l.lang, l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-             FROM kept l JOIN kept r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
-               AND l.gram = r.gram
-             WHERE l.doc_id < r.doc_id GROUP BY 1, 2, 3),
-       f AS (SELECT j.lang, j.a, j.b, j.inter, ga.ng + gb.ng - j.inter AS union_n
-             FROM j JOIN gs ga ON j.a = ga.doc_id JOIN gs gb ON j.b = gb.doc_id)
-       SELECT lang, a, b, CAST(inter AS BIGINT) AS inter,
-              CAST(union_n AS BIGINT) AS union_n,
-              CAST((20000 * inter + union_n) // (2 * union_n) AS BIGINT) AS jaccard_e4
-       FROM f WHERE (20000 * inter + union_n) // (2 * union_n) >= 500
-       ORDER BY lang, a, b"""
-
-  private val langidOracle: String = {
-    val scores = graft.operators.TextAnalysis.profiles.map { case (l, ws) =>
-      val inList = ws.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS s_$l"
-    }.mkString(", ")
-    val langs = graft.operators.TextAnalysis.profiles.map(_._1)
-    val cases = langs.map { l =>
-      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-      s"WHEN $cond THEN '$l'"
-    }.mkString(" ")
-    s"""WITH s AS (SELECT doc_id, lang, $scores FROM documents)
-        SELECT lang, CASE $cases ELSE 'und' END AS predicted, count(*) AS n_docs
-        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
-  }
-
-  /** Mode-with-tie-break CTE pair over a `f(tracker_id, frame_number,…)`
-    * relation: count desc, first-seen asc (D1 semantics). */
-  private def modeCte(name: String, valueCol: String, exclude: Seq[String]): String = {
-    val excl = if (exclude.isEmpty) ""
-      else s" AND $valueCol NOT IN (${exclude.map(e => s"'$e'").mkString(", ")})"
-    s"""m_$name AS (SELECT tracker_id, $valueCol AS v, count(*) AS cnt,
-                    min(frame_number) AS fs FROM f
-                    WHERE $valueCol IS NOT NULL$excl GROUP BY 1, 2),
-        r_$name AS (SELECT tracker_id, v, row_number() OVER (PARTITION BY tracker_id
-                    ORDER BY cnt DESC, fs, v) AS rn FROM m_$name),
-        mode_$name AS (SELECT tracker_id, v AS $name FROM r_$name WHERE rn = 1)"""
-  }
-
-  private val peopleEnrichOracle: String =
-    s"""WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
-           CASE WHEN event_type = 'view' THEN 'Unknown' ELSE event_type END AS gender,
-           'bag_' || CAST(user_id % 3 AS VARCHAR) AS carrying,
-           CAST(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END AS BIGINT) AS age,
-           (event_type = 'error') AS inr
-           FROM events),
-        base AS (SELECT tracker_id,
-           (max(CASE WHEN inr THEN 1 ELSE 0 END) = 1) AS entered_restricted_area,
-           min(CASE WHEN inr THEN CAST(frame_number AS DOUBLE) END)
-             AS restricted_area_entry_time,
-           CAST(min(frame_number) AS DOUBLE) AS first_detection,
-           CAST(max(frame_number) AS DOUBLE) AS last_detection,
-           CAST(max(frame_number) - min(frame_number) AS DOUBLE) AS duration_seconds,
-           count(*) AS frame_count
-           FROM f GROUP BY 1),
-        ${modeCte("age_m", "age", Seq.empty).replace("age IS NOT NULL", "age IS NOT NULL AND age != 0")},
-        ${modeCte("gender_m", "gender", Seq("", "Unknown"))},
-        ${modeCte("carrying_m", "carrying", Seq("", "Unknown"))}
-        SELECT b.tracker_id, coalesce(a.age_m, 0) AS age,
-               coalesce(g.gender_m, 'Unknown') AS gender,
-               coalesce(c.carrying_m, 'Unknown') AS carrying,
-               b.entered_restricted_area,
-               b.restricted_area_entry_time, b.first_detection,
-               b.last_detection, b.duration_seconds, b.frame_count
-        FROM base b
-        LEFT JOIN mode_age_m a USING (tracker_id)
-        LEFT JOIN mode_gender_m g USING (tracker_id)
-        LEFT JOIN mode_carrying_m c USING (tracker_id)
-        ORDER BY b.tracker_id"""
-
-  private val safetyEnrichOracle: String =
-    s"""WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
-           CASE WHEN value > 250.0 THEN 'Safe' ELSE 'Unsafe' END AS safety_status,
-           (value > 100.0) AS hardhat, (value > 200.0) AS mask,
-           (value > 300.0) AS safety_vest, event_type AS missing_item
-           FROM events),
-        fv AS (SELECT tracker_id,
-           first_value(safety_status) OVER (PARTITION BY tracker_id
-             ORDER BY frame_number) AS iss
-           FROM f),
-        fv1 AS (SELECT tracker_id, min(iss) AS initial_safety_status FROM fv GROUP BY 1),
-        base AS (SELECT tracker_id,
-           CASE WHEN max(CASE WHEN safety_status = 'Safe' THEN 1 ELSE 0 END) = 1
-                THEN 'Safe' ELSE 'Unsafe' END AS safety_status,
-           (max(CASE WHEN hardhat THEN 1 ELSE 0 END) = 1) AS hardhat,
-           (max(CASE WHEN mask THEN 1 ELSE 0 END) = 1) AS mask,
-           (max(CASE WHEN safety_vest THEN 1 ELSE 0 END) = 1) AS safety_vest,
-           count(*) AS total_frames,
-           CAST(max(frame_number) - min(frame_number) AS BIGINT) AS duration_frames,
-           CAST(sum(CASE WHEN NOT hardhat THEN 1 ELSE 0 END) AS BIGINT) AS hardhat_violations,
-           CAST(sum(CASE WHEN NOT mask THEN 1 ELSE 0 END) AS BIGINT) AS mask_violations,
-           CAST(sum(CASE WHEN NOT safety_vest THEN 1 ELSE 0 END) AS BIGINT)
-             AS safety_vest_violations,
-           CAST(sum(CASE WHEN safety_status = 'Unsafe' THEN 1 ELSE 0 END) AS BIGINT)
-             AS total_unsafe_frames,
-           count(*) AS bbox_count
-           FROM f GROUP BY 1),
-        ${modeCte("missing", "missing_item", Seq.empty)}
-        SELECT b.tracker_id, f1.initial_safety_status, b.safety_status,
-               b.hardhat, b.mask, b.safety_vest, b.total_frames,
-               b.duration_frames, b.hardhat_violations, b.mask_violations,
-               b.safety_vest_violations, b.total_unsafe_frames,
-               m.missing AS most_common_missing_item, b.bbox_count
-        FROM base b
-        JOIN fv1 f1 USING (tracker_id)
-        LEFT JOIN mode_missing m USING (tracker_id)
-        ORDER BY b.tracker_id"""
-
-  private val peopleEsOracle: String =
-    s"""WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
-           CASE WHEN event_type = 'view' THEN 'Unknown' ELSE event_type END AS gender,
-           'bag_' || CAST(user_id % 3 AS VARCHAR) AS carrying,
-           CAST(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END AS BIGINT) AS age,
-           (event_type = 'error') AS inr
-           FROM events),
-        base AS (SELECT tracker_id,
-           (max(CASE WHEN inr THEN 1 ELSE 0 END) = 1) AS entered_restricted_area,
-           min(CASE WHEN inr THEN CAST(frame_number AS DOUBLE) END)
-             AS restricted_area_entry_time,
-           CAST(min(frame_number) AS DOUBLE) AS first_detection,
-           CAST(max(frame_number) AS DOUBLE) AS last_detection,
-           CAST(max(frame_number) - min(frame_number) AS DOUBLE) AS duration_seconds,
-           count(*) AS frame_count
-           FROM f GROUP BY 1),
-        ${modeCte("age_m", "age", Seq.empty).replace("age IS NOT NULL", "age IS NOT NULL AND age != 0")},
-        ${modeCte("gender_m", "gender", Seq("", "Unknown"))},
-        ${modeCte("carrying_m", "carrying", Seq("", "Unknown"))}
-        SELECT b.tracker_id AS people_id, coalesce(a.age_m, 0) AS age,
-               coalesce(g.gender_m, 'Unknown') AS gender,
-               coalesce(c.carrying_m, 'Unknown') AS carrying,
-               b.entered_restricted_area,
-               b.restricted_area_entry_time,
-               b.first_detection AS entry_time,
-               b.last_detection AS exit_time,
-               b.duration_seconds, b.frame_count
-        FROM base b
-        LEFT JOIN mode_age_m a USING (tracker_id)
-        LEFT JOIN mode_gender_m g USING (tracker_id)
-        LEFT JOIN mode_carrying_m c USING (tracker_id)
-        ORDER BY b.tracker_id"""
-
-  private val safetyEsOracle: String =
-    """SELECT user_id AS tracker_id, event_id AS frame_number,
-              (value > 100.0) AS wearing_hardhat,
-              (value > 200.0) AS wearing_mask,
-              (value > 300.0) AS wearing_safety_vest,
-              CASE WHEN value > 250.0 THEN 'Safe' ELSE 'Unsafe' END
-                AS safety_status,
-              event_type AS missing_items,
-              CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || ',' ||
-              CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || ',' ||
-              CAST(CAST(round((value + 10.0) * 100) AS BIGINT) AS VARCHAR) || ',' ||
-              CAST(CAST(round((value + 10.0) * 100) AS BIGINT) AS VARCHAR)
-                AS bbox_cents
-       FROM events ORDER BY tracker_id, frame_number"""
-
-  private val vehicleLegacyOracle: String =
-    s"""WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
-           event_id % 3 AS class_id,
-           'vt_' || CAST(event_id % 4 AS VARCHAR) AS vehicle_type,
-           'c_' || CAST(event_id % 5 AS VARCHAR) AS vehicle_color,
-           CASE WHEN value > 250.0 THEN 'north' ELSE 'south' END
-             AS vehicle_direction,
-           'lane_' || CAST(event_id % 3 AS VARCHAR) AS vehicle_lane,
-           CAST(user_id % 8 AS DOUBLE) * 0.125 AS confidence,
-           CAST(event_id % 50 AS DOUBLE) AS vehicle_speed
-           FROM events),
-        avgs AS (SELECT tracker_id,
-           coalesce(avg(confidence), 0.0) AS average_confidence,
-           coalesce(avg(vehicle_speed), 0.0) AS average_speed
-           FROM f GROUP BY 1),
-        ${modeCte("class_id_m", "class_id", Seq.empty)},
-        ${modeCte("vehicle_type_m", "vehicle_type", Seq.empty)},
-        ${modeCte("vehicle_color_m", "vehicle_color", Seq.empty)},
-        ${modeCte("vehicle_direction_m", "vehicle_direction", Seq.empty)},
-        ${modeCte("vehicle_lane_m", "vehicle_lane", Seq.empty)}
-        SELECT a.tracker_id, c1.class_id_m AS class_id,
-               t.vehicle_type_m AS vehicle_type,
-               c2.vehicle_color_m AS vehicle_color,
-               d.vehicle_direction_m AS vehicle_direction,
-               l.vehicle_lane_m AS vehicle_lane,
-               a.average_confidence, a.average_speed
-        FROM avgs a
-        LEFT JOIN mode_class_id_m c1 USING (tracker_id)
-        LEFT JOIN mode_vehicle_type_m t USING (tracker_id)
-        LEFT JOIN mode_vehicle_color_m c2 USING (tracker_id)
-        LEFT JOIN mode_vehicle_direction_m d USING (tracker_id)
-        LEFT JOIN mode_vehicle_lane_m l USING (tracker_id)
-        ORDER BY a.tracker_id"""
-
-  /** Shared SRP front-end CTEs: portable hyperplane signs → quantized
-    * projections → mean-centered 16-bit signatures (must mirror
-    * `Dedup.srpSignatures` bit-for-bit). */
-  private val srpSigCtes: String =
-    s"""hp AS (SELECT j, d,
-           CASE WHEN ${phashSql("CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)", 7)} % 2 = 0
-                THEN 1 ELSE -1 END AS s
-         FROM (SELECT unnest(range(16)) AS j) jj
-         CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
-       qp AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
-           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
-         FROM (SELECT vec_id, embedding,
-                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-       dimsums AS (SELECT d, CAST(sum(q) AS BIGINT) AS sd, count(*) AS n
-                   FROM qp GROUP BY 1),
-       mu AS (SELECT hp.j,
-           CAST(floor(CAST(CAST(sum(hp.s * ds.sd) AS BIGINT) AS DOUBLE)
-                / CAST(min(ds.n) AS DOUBLE) + 0.5) AS BIGINT) AS cmu
-         FROM hp JOIN dimsums ds ON hp.d = ds.d GROUP BY 1),
-       projs AS (SELECT qp.vec_id, hp.j,
-           CAST(sum(qp.q * hp.s) AS BIGINT) AS proj
-         FROM qp JOIN hp ON qp.d = hp.d GROUP BY 1, 2),
-       bits AS (SELECT p.vec_id, p.j,
-           CASE WHEN p.proj >= mu.cmu THEN 1 ELSE 0 END AS bit
-         FROM projs p JOIN mu ON p.j = mu.j),
-       sig AS (SELECT vec_id,
-           CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT)
-             AS srp16
-         FROM bits GROUP BY 1)"""
-
-  private val srpBandsOracle: String =
-    s"""WITH $srpSigCtes
-        SELECT s.vec_id, e.label, s.srp16,
-               s.srp16 % 256 AS band1, s.srp16 // 256 AS band2
-        FROM sig s JOIN (SELECT vec_id, label FROM embeddings) e
-          USING (vec_id)
-        ORDER BY s.vec_id"""
-
-  private val embSrpOracle: String =
-    s"""WITH $srpSigCtes,
-        bands0 AS (SELECT vec_id, '1_' || CAST(srp16 % 256 AS VARCHAR) AS bk
-                   FROM sig
-                   UNION ALL
-                   SELECT vec_id, '2_' || CAST(srp16 // 256 AS VARCHAR) FROM sig),
-        bands AS (SELECT vec_id, bk FROM (
-                    SELECT vec_id, bk,
-                           count(*) OVER (PARTITION BY bk) AS bn
-                    FROM bands0) WHERE bn <= 1000),
-        cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-                 FROM bands l JOIN bands r
-                   ON l.bk = r.bk AND l.vec_id < r.vec_id),
-        qvs AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-                FROM embeddings),
-        nn AS (SELECT vec_id, qv,
-                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
-               FROM qvs),
-        v AS (SELECT cand.a, cand.b,
-                CAST(floor(CAST(list_dot_product(CAST(la.qv AS DOUBLE[]),
-                                                 CAST(rb.qv AS DOUBLE[])) AS DOUBLE)
-                  / (sqrt(la.nrm) * sqrt(rb.nrm)) * 1000000) AS BIGINT) AS cos_e6
-              FROM cand
-              JOIN nn la ON cand.a = la.vec_id
-              JOIN nn rb ON cand.b = rb.vec_id)
-        SELECT a, b, cos_e6 FROM v WHERE cos_e6 >= 350000 ORDER BY a, b"""
-
-  /** Shared IVF-assignment CTEs (mirror `Similarity.ivfAssign`):
-    * quantized dims → half-up integer centroids → exact squared
-    * distances → argmin cell. */
-  /** IVF assignment CTEs; `centsWhere` restricts the centroid
-    * TRAINING subset (e.g. the pinned-quantizer append lifecycle) —
-    * assignment always covers every vector. */
-  private def ivfAssignCtesWhere(centsWhere: String): String =
-    s"""qe AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
-           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
-         FROM (SELECT vec_id, label, embedding,
-                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-       cents AS (SELECT label AS cell, dim,
-           CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-         FROM qe $centsWhere GROUP BY 1, 2),
-       dists AS (SELECT qe.vec_id, cents.cell,
-           CAST(sum((qe.q - cents.c) * (qe.q - cents.c)) AS BIGINT) AS dist2
-         FROM qe JOIN cents ON qe.dim = cents.dim GROUP BY 1, 2),
-       asg AS (SELECT vec_id, cell, dist2, row_number() OVER (
-                 PARTITION BY vec_id ORDER BY dist2, cell) AS arn
-               FROM dists)"""
-
-  private val ivfAssignCtes: String = ivfAssignCtesWhere("")
-
-  private val ivfAssignOracle: String =
-    s"""WITH $ivfAssignCtes
-        SELECT vec_id, cell, dist2 FROM asg WHERE arn = 1 ORDER BY vec_id"""
-
-  /** Mirror of `Similarity.lloydCentroids` + final `assignTo`: the
-    * hash-seeded fixed-iteration (2 rounds) Lloyd k-means, unrolled as
-    * per-iteration CTEs (aggregates are not allowed in recursive
-    * terms). `kSql` is the cell-count expression (a literal, or a
-    * scalar subquery for the ⌈√N⌉ rule); `dimFilter` restricts the
-    * coordinate space (the 2-D view twin). Ends in `asgk(vec_id, cell,
-    * dist2, arn)` — arn = 1 is the final assignment. */
-  private def lloydCtes(kSql: String, dimFilter: String = "",
-      sampleGate: String = ""): String = {
-    // `trainSrc` is the coordinate table the ITERATIONS read: the full
-    // qe normally, the hash-gated sample `tq` when a gate is given —
-    // mirroring Similarity.sampleQuantizer, where only the final
-    // assignment (kd3/asgk) touches the whole corpus
-    val trainSrc = if (sampleGate.isEmpty) "qe" else "tq"
-    def dist(src: String, cents: String, out: String) =
-      s"""$out AS (SELECT $src.vec_id, $cents.cell,
-            CAST(sum(($src.q - $cents.c) * ($src.q - $cents.c)) AS BIGINT) AS dist2
-          FROM $src JOIN $cents ON $src.dim = $cents.dim GROUP BY 1, 2)"""
-    def argmin(dists: String, out: String) =
-      s"""$out AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-            row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
-          FROM $dists) WHERE rn = 1)"""
-    def means(asg: String, out: String) =
-      s"""$out AS (SELECT $asg.cell, qe.dim,
-            CAST(floor(CAST(sum(qe.q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-          FROM qe JOIN $asg ON qe.vec_id = $asg.vec_id GROUP BY 1, 2)"""
-    val tqCte = if (sampleGate.isEmpty) ""
-      else s"""tq AS (SELECT * FROM qe WHERE $sampleGate),
-       """
-    val seedWhere = if (sampleGate.isEmpty) "" else s"WHERE $sampleGate "
-    s"""qe AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
-           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
-         FROM (SELECT vec_id, embedding,
-                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
-         $dimFilter),
-       ${tqCte}seeds AS (SELECT vec_id, cell FROM (
-           SELECT vec_id, CAST(row_number() OVER (ORDER BY
-               ${phashSql("CAST(vec_id AS VARCHAR)", 11)}, vec_id) - 1 AS BIGINT)
-             AS cell
-           FROM embeddings $seedWhere) WHERE cell < ($kSql)),
-       c0 AS (SELECT seeds.cell, qe.dim, qe.q AS c
-              FROM qe JOIN seeds ON qe.vec_id = seeds.vec_id),
-       ${dist(trainSrc, "c0", "kd1")}, ${argmin("kd1", "ka1")}, ${means("ka1", "kc1")},
-       ${dist(trainSrc, "kc1", "kd2")}, ${argmin("kd2", "ka2")}, ${means("ka2", "kc2")},
-       ${dist("qe", "kc2", "kd3")},
-       asgk AS (SELECT vec_id, cell, dist2, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY dist2, cell) AS arn
-                FROM kd3)"""
-  }
-
-  /** The oracle's twin of `Similarity.sampleQuantizer`'s gate: keep
-    * the vectors whose portable salted hash of vec_id is ≡ 0 modulo
-    * max(1, ⌊N/(8·⌈√N⌉)⌋) — an expected 8·⌈√N⌉ training vectors. */
-  private val sampleGateSql: String =
-    s"""${phashSql("CAST(vec_id AS VARCHAR)", 7)} %
-        greatest(1, (SELECT count(*) // (8 * CAST(ceil(sqrt(count(*))) AS BIGINT))
-                     FROM embeddings)) = 0"""
-
-  private val simIvfKmeansOracle: String =
-    s"""WITH ${lloydCtes("8")}
-        SELECT vec_id, cell, dist2 FROM asgk WHERE arn = 1 ORDER BY vec_id"""
-
-  private val viewKmeansDetOracle: String =
-    s"""WITH ${lloydCtes("4", "WHERE i <= 2")},
-        fin AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
-        bydim AS (SELECT fin.cell, qe.dim, count(*) AS n,
-                    CAST(sum(qe.q) AS BIGINT) AS s
-                  FROM qe JOIN fin ON qe.vec_id = fin.vec_id GROUP BY 1, 2)
-        SELECT cell, max(n) AS n,
-               sum(CASE WHEN dim = 0 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END) AS cx_e4,
-               sum(CASE WHEN dim = 1 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END) AS cy_e4
-        FROM bydim GROUP BY cell ORDER BY cell"""
-
-  /** Shared CTE block for IVF ANN oracles: members live in their
-    * argmin cell; the query probes its `nprobe` nearest cells. */
-  private def annIvfCtes(nprobe: Int, centsWhere: String = ""): String =
-    s"""${ivfAssignCtesWhere(centsWhere)},
-        cellof AS (SELECT vec_id, cell FROM asg WHERE arn = 1),
-        qvs AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-                FROM embeddings),
-        nn AS (SELECT vec_id, qv,
-                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
-               FROM qvs),
-        qs AS (SELECT vec_id AS qid, cell FROM asg
-               WHERE arn <= $nprobe AND vec_id < 5),
-        scored AS (SELECT qs.qid, m.vec_id AS nid,
-            CAST(floor(CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
-                                             CAST(b.qv AS DOUBLE[])) AS DOUBLE)
-              / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS cos_e6
-          FROM qs
-          JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
-          JOIN nn a ON a.vec_id = qs.qid
-          JOIN nn b ON b.vec_id = m.vec_id),
-        ranked AS (SELECT qid, nid, cos_e6, row_number() OVER (
-                     PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
-                   FROM scored)"""
-
-  private def annIvfOracle(nprobe: Int): String =
-    s"""WITH ${annIvfCtes(nprobe)}
-        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
-        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
-
-  /** k = ⌈√N⌉ as a scalar subquery — the SemDeDup/IVF scale rule,
-    * feeding [[lloydCtes]] so the oracle trains the same √N-cell
-    * quantizer the engine does. */
-  private val sqrtKSql = "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings"
-
-  /** CTE block for the √N-quantizer ANN oracles: [[lloydCtes]]'s
-    * ranked assignment `asgk` (hash-seeded deterministic Lloyd,
-    * k=⌈√N⌉) plays the role [[annIvfCtes]]'s label-seeded `asg` plays
-    * for the fixed-k family — members at arn=1, probes at
-    * arn ≤ nprobe, exact-cosine scoring identical. */
-  private def annSqrtCtes(nprobe: Int, memberWhere: String = "",
-      sampleGate: String = ""): String =
-    s"""${lloydCtes(sqrtKSql, "", sampleGate)},
-        cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
-        qvs AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-                FROM embeddings),
-        nn AS (SELECT vec_id, qv,
-                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
-               FROM qvs),
-        qs AS (SELECT vec_id AS qid, cell FROM asgk
-               WHERE arn <= $nprobe AND vec_id < 5),
-        scored AS (SELECT qs.qid, m.vec_id AS nid,
-            CAST(floor(CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
-                                             CAST(b.qv AS DOUBLE[])) AS DOUBLE)
-              / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS cos_e6
-          FROM qs
-          JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
-          $memberWhere
-          JOIN nn a ON a.vec_id = qs.qid
-          JOIN nn b ON b.vec_id = m.vec_id),
-        ranked AS (SELECT qid, nid, cos_e6, row_number() OVER (
-                     PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
-                   FROM scored)"""
-
-  private def annSqrtOracle(nprobe: Int): String =
-    s"""WITH ${annSqrtCtes(nprobe)}
-        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
-        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
-
-  /** Mirror of `Similarity.annIndexedSample`: the √N-cell serve under
-    * the SAMPLE-trained quantizer — iterations read only the
-    * hash-gated training sample, the final assignment the full
-    * corpus. A different training set means a different cell alphabet,
-    * so the sample family owns these oracles instead of sharing the
-    * full-trained ones. */
-  private val annSampleOracle: String =
-    s"""WITH ${annSqrtCtes(3, "", sampleGateSql)}
-        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
-        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
-
-  /** Recall@5 of the sample-trained serve vs the brute-force exact
-    * top-5 — the centroid-quality price of training on 8·⌈√N⌉ vectors
-    * instead of N, read against [[annSqrtRecallOracle]]'s ceiling. */
-  private val annSampleRecallOracle: String =
-    s"""WITH ${annSqrtCtes(3, "", sampleGateSql)},
-        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
-        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
-            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
-                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
-              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
-          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
-          WHERE q.vec_id < 5),
-        bfr AS (SELECT qid, nid, row_number() OVER (
-                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
-        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
-        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
-                 FROM approx a LEFT JOIN gt b
-                   ON a.qid = b.qid AND a.nid = b.nid
-                 GROUP BY 1)
-        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
-        FROM (SELECT DISTINCT qid FROM gt) q
-        LEFT JOIN hits h USING (qid) ORDER BY qid"""
-
-  /** Mirror of `Similarity.annFilteredSqrt`: the same √N-quantizer
-    * probe, with the metadata predicate applied to MEMBERS before the
-    * per-query ranking — the pre-filter semantics (top-k among
-    * matches), not a post-filter of an unfiltered top-k. */
-  private val annSqrtFilteredOracle: String =
-    s"""WITH ${annSqrtCtes(3,
-          "JOIN embeddings e ON e.vec_id = m.vec_id AND (e.label % 2) = 1")}
-        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
-        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
-
-  /** Mirror of `Similarity.annFilteredRecall`: the filtered serve's
-    * recall against the brute-force top-5 AMONG the predicate's
-    * survivors — the ground truth carries the same filter, so the
-    * number isolates probe starvation rather than punishing the serve
-    * for rows the predicate excluded. */
-  private val annFilteredRecallOracle: String =
-    s"""WITH ${annSqrtCtes(3,
-          "JOIN embeddings e ON e.vec_id = m.vec_id AND (e.label % 2) = 1")},
-        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
-        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
-            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
-                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
-              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
-          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
-          JOIN embeddings te ON te.vec_id = t.vec_id AND (te.label % 2) = 1
-          WHERE q.vec_id < 5),
-        bfr AS (SELECT qid, nid, row_number() OVER (
-                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
-        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
-        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
-                 FROM approx a LEFT JOIN gt b
-                   ON a.qid = b.qid AND a.nid = b.nid
-                 GROUP BY 1)
-        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
-        FROM (SELECT DISTINCT qid FROM gt) q
-        LEFT JOIN hits h USING (qid) ORDER BY qid"""
-
-  /** Mirror of `Similarity.annIvfSq8` — the composed IVF-SQ8 serving
-    * stack: √N Lloyd cell membership/probes ([[lloydCtes]]'s `asgk`),
-    * SQ8 candidate scoring by exact integer code dot against the
-    * global [mn,mx] range, candK=20 survivors, exact cosine rerank.
-    * Every stage is exact integer arithmetic, so candidate sets match
-    * the engine bit-for-bit. */
-  private val annIvfSq8Ctes: String =
-    s"""${lloydCtes(sqrtKSql)},
-        cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
-        rng AS (SELECT min(q) AS mn, max(q) AS mx FROM qe),
-        cd AS (SELECT vec_id, dim,
-                 (q - mn) * 255 // greatest(mx - mn, 1) AS code
-               FROM qe CROSS JOIN rng),
-        qs AS (SELECT vec_id AS qid, cell FROM asgk
-               WHERE arn <= 3 AND vec_id < 5),
-        cand AS (SELECT qs.qid, m.vec_id AS nid,
-                   CAST(greatest(mx - mn, 1) * greatest(mx - mn, 1)
-                          * sum(c.code * qc.code)
-                      + 255 * mn * greatest(mx - mn, 1)
-                          * (sum(c.code) + sum(qc.code))
-                      + count(*) * (255 * mn) * (255 * mn)
-                     AS BIGINT) AS sq8_dot
-                 FROM qs
-                 JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
-                 JOIN cd c ON c.vec_id = m.vec_id
-                 JOIN cd qc ON qc.vec_id = qs.qid AND qc.dim = c.dim
-                 CROSS JOIN rng
-                 GROUP BY qs.qid, m.vec_id, mn, mx),
-        surv AS (SELECT qid, nid, sq8_dot FROM (
-                   SELECT qid, nid, sq8_dot, row_number() OVER (
-                     PARTITION BY qid ORDER BY sq8_dot DESC, nid) AS crn
-                   FROM cand) WHERE crn <= 20),
-        qvs AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-                FROM embeddings),
-        nn AS (SELECT vec_id, qv,
-                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
-               FROM qvs),
-        rer AS (SELECT surv.qid, surv.nid, surv.sq8_dot,
-            CAST(floor(CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
-                                             CAST(b.qv AS DOUBLE[])) AS DOUBLE)
-              / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS cos_e6
-          FROM surv
-          JOIN nn a ON a.vec_id = surv.qid
-          JOIN nn b ON b.vec_id = surv.nid),
-        ranked AS (SELECT qid, nid, sq8_dot, cos_e6, row_number() OVER (
-                     PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
-                   FROM rer)"""
-
-  private val annIvfSq8Oracle: String =
-    s"""WITH $annIvfSq8Ctes
-        SELECT qid, nid, sq8_dot, cos_e6, CAST(rn AS BIGINT) AS rn
-        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
-
-  /** Recall@5 of the COMPOSED IVF-SQ8 serving path vs the brute-force
-    * exact top-5 — the quality number that prices the composed
-    * index's two approximations (probed-cell candidate loss + SQ8
-    * code-ranking loss before the exact rerank) together, the same
-    * way [[annRecallOracleFor]] prices the plain IVF probe. */
-  private val annIvfSq8RecallOracle: String =
-    s"""WITH $annIvfSq8Ctes,
-        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
-        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
-            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
-                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
-              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
-          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
-          WHERE q.vec_id < 5),
-        bfr AS (SELECT qid, nid, row_number() OVER (
-                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
-        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
-        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
-                 FROM approx a LEFT JOIN gt b
-                   ON a.qid = b.qid AND a.nid = b.nid
-                 GROUP BY 1)
-        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
-        FROM (SELECT DISTINCT qid FROM gt) q
-        LEFT JOIN hits h USING (qid) ORDER BY qid"""
-
-  /** Recall@5 of the EXACT √N-cell probe path — the probe-limited
-    * ceiling: [[annIvfSq8RecallOracle]]'s composed number minus this
-    * one is the 8-bit ranking loss (0 after the decoded-dot fix). */
-  private val annSqrtRecallOracle: String =
-    s"""WITH ${annSqrtCtes(3)},
-        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
-        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
-            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
-                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
-              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
-          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
-          WHERE q.vec_id < 5),
-        bfr AS (SELECT qid, nid, row_number() OVER (
-                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
-        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
-        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
-                 FROM approx a LEFT JOIN gt b
-                   ON a.qid = b.qid AND a.nid = b.nid
-                 GROUP BY 1)
-        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
-        FROM (SELECT DISTINCT qid FROM gt) q
-        LEFT JOIN hits h USING (qid) ORDER BY qid"""
-
-  private val annIvfTrueOracle: String = annIvfOracle(1)
-
-  /** Recall@5 of an IVF ANN path vs the brute-force top-5: the approx
-    * side is `annIvfCtes(nprobe)`'s ranked result, the ground truth
-    * the label-free exact ranking over the same `nn` norms. */
-  private def annRecallOracleFor(nprobe: Int): String =
-    s"""WITH ${annIvfCtes(nprobe)},
-        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
-        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
-            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
-                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
-              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
-          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
-          WHERE q.vec_id < 5),
-        bfr AS (SELECT qid, nid, row_number() OVER (
-                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
-        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
-        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
-                 FROM approx a LEFT JOIN gt b
-                   ON a.qid = b.qid AND a.nid = b.nid
-                 GROUP BY 1)
-        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
-        FROM (SELECT DISTINCT qid FROM gt) q
-        LEFT JOIN hits h USING (qid) ORDER BY qid"""
-
-  /** Mirror of `Similarity.pqAdc`: per-subspace codebooks → nearest-
-    * code encoding → query lookup tables → summed ADC distances. All
-    * integer-exact (quantized dims, half-up centroid means). */
-  private val pqAdcOracle: String =
-    """WITH qe AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
-           CAST((i - 1) // 8 AS BIGINT) AS sub,
-           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
-         FROM (SELECT vec_id, label, embedding,
-                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-       cb AS (SELECT sub, label AS code, dim,
-           CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-         FROM qe GROUP BY 1, 2, 3),
-       sd AS (SELECT qe.vec_id, qe.sub, cb.code,
-           CAST(sum((qe.q - cb.c) * (qe.q - cb.c)) AS BIGINT) AS d2
-         FROM qe JOIN cb ON qe.sub = cb.sub AND qe.dim = cb.dim
-         GROUP BY 1, 2, 3),
-       codes AS (SELECT vec_id, sub, code FROM (
-           SELECT vec_id, sub, code, row_number() OVER (
-             PARTITION BY vec_id, sub ORDER BY d2, code) AS ern FROM sd)
-         WHERE ern = 1),
-       qd AS (SELECT vec_id AS qid, sub, code, d2 FROM sd WHERE vec_id < 5),
-       adc AS (SELECT qd.qid, codes.vec_id AS nid,
-           CAST(sum(qd.d2) AS BIGINT) AS adc_dist2
-         FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.code
-         WHERE codes.vec_id != qd.qid GROUP BY 1, 2),
-       r AS (SELECT qid, nid, adc_dist2, row_number() OVER (
-               PARTITION BY qid ORDER BY adc_dist2, nid) AS rn FROM adc)
-       SELECT qid, nid, adc_dist2, CAST(rn AS BIGINT) AS rn
-       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
-
-  /** Mirror of `Dedup.semantic`: IVF cells from the shared assignment
-    * CTEs, within-cell quantized cosine, remove b of every (a<b) pair
-    * over the threshold. */
-  // dedup_semantic clusters with the TRAINED ⌈√N⌉-cell Lloyd quantizer
-  // (k grows with the corpus — the SemDeDup scaling rule), not the
-  // label column
-  private val semanticOracle: String =
-    s"""WITH ${lloydCtes("CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)")},
-        cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
-        qvs AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-                FROM embeddings),
-        nn AS (SELECT vec_id, qv,
-                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
-               FROM qvs),
-        pr AS (SELECT l.vec_id AS a, r.vec_id AS b,
-                 CAST(floor(CAST(list_dot_product(CAST(la.qv AS DOUBLE[]),
-                                                  CAST(rb.qv AS DOUBLE[])) AS DOUBLE)
-                   / (sqrt(la.nrm) * sqrt(rb.nrm)) * 1000000) AS BIGINT) AS cos_e6
-               FROM cellof l JOIN cellof r
-                 ON l.cell = r.cell AND l.vec_id < r.vec_id
-               JOIN nn la ON la.vec_id = l.vec_id
-               JOIN nn rb ON rb.vec_id = r.vec_id),
-        removed AS (SELECT DISTINCT b AS vec_id FROM pr WHERE cos_e6 >= 350000)
-        SELECT c.vec_id, c.cell,
-               (removed.vec_id IS NOT NULL) AS removed
-        FROM cellof c LEFT JOIN removed ON c.vec_id = removed.vec_id
-        ORDER BY c.vec_id"""
-
-  /** VERIFICATION-HARNESS corpus for the embedding-cosine gate: the
-    * synthetic embeddings have no natural pairs above cosine 0.90 at
-    * small SF (max ≈ 0.475 at sf0.01), which would make the oracle
-    * hash-match two EMPTY results — vacuous. So the HARNESS (not the
-    * operator — VERDICT r6 advice: a library operator must never
-    * fabricate rows for its callers) plants deterministic near-dups:
-    * every 100th vector cloned with each coordinate shifted +0.01
-    * (double add, cast back to float — bit-identical in both engines;
-    * cos(x, x+δ·1) ≈ 0.999 for unit-scale vectors). Clone ids start at
-    * max(vec_id)+1 — derived, not a fixed constant, so they can never
-    * collide with genuine ids at any corpus size. The offset joins in
-    * as a 1-row aggregate (no driver-side collect). */
-  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
-    val base = graft.core.Tables(s, d).embeddings
-      .select(col("label"), col("vec_id"), col("embedding"))
-    val off = base.agg(max(col("vec_id")).as("_off")) // 1 row, broadcast
-    val clones = base.filter(col("vec_id") % 100 === 0)
-      .crossJoin(off)
-      .select(col("label"),
-        (col("vec_id") + col("_off") + lit(1L)).as("vec_id"),
-        expr("transform(embedding, x -> cast(double(x) + 0.01d as float))")
-          .as("embedding"))
-    base.unionByName(clones)
-  }
-
-  private val embCosineOracle: String =
-    """WITH b AS (SELECT label, vec_id, embedding FROM embeddings),
-       pl AS (SELECT label, vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
-                     list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT)) AS embedding
-              FROM b WHERE vec_id % 100 = 0),
-       u AS (SELECT * FROM b UNION ALL SELECT * FROM pl),
-       e AS (SELECT vec_id, label,
-           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-           FROM u),
-       n AS (SELECT vec_id, label, qv,
-                    CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm FROM e),
-       p AS (SELECT l.label, l.vec_id AS a, r.vec_id AS b,
-                    CAST(list_dot_product(CAST(l.qv AS DOUBLE[]), CAST(r.qv AS DOUBLE[])) AS BIGINT) AS dot,
-                    l.nrm AS an, r.nrm AS bn
-             FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id),
-       s AS (SELECT label, a, b, CAST(floor(CAST(dot AS DOUBLE)
-               / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) * 1000000.0) AS BIGINT)
-               AS cos_e6 FROM p)
-       SELECT label, a, b, cos_e6 FROM s WHERE cos_e6 >= 900000
-       ORDER BY 1, 2, 3"""
-
-  private def simOracle(k: Int, sameLabel: Boolean): String = {
-    val labelCond = if (sameLabel) "AND t.label = q.label" else ""
-    s"""WITH e AS (SELECT vec_id, label,
-           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-           FROM embeddings),
-        n AS (SELECT vec_id, label, qv,
-                     CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm FROM e),
-        p AS (SELECT q.vec_id AS qid, t.vec_id AS nid, q.nrm AS qn, t.nrm AS tn,
-                     CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(t.qv AS DOUBLE[])) AS BIGINT) AS dot
-              FROM n q JOIN n t ON t.vec_id != q.vec_id $labelCond
-              WHERE q.vec_id < 5),
-        s AS (SELECT qid, nid, CAST(floor(CAST(dot AS DOUBLE)
-                / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(tn AS DOUBLE))) * 1000000.0) AS BIGINT) AS cos_e6
-              FROM p),
-        r AS (SELECT qid, nid, cos_e6,
-                     row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM s)
-        SELECT qid, nid, cos_e6, rn FROM r WHERE rn <= $k ORDER BY qid, rn"""
-  }
+  /** One entry per implemented operator from SURVEY.md §2 — the
+    * concatenation of the per-family registries (graft.registry). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.registry.RelationalReg.queries ++
+    graft.registry.DomainReg.queries ++
+    graft.registry.DedupReg.queries ++
+    graft.registry.TextReg.queries ++
+    graft.registry.SimReg.queries ++
+    graft.registry.PipelineReg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1151,2337 +40,11 @@ object SparkEntry {
     * and `sum(` over DOUBLE inputs is already float64. This is machine
     * -enforced: `tools/check.py` fails any int-vs-float dtype-kind
     * mismatch per column, and preflight runs it over every query. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """WITH g AS (SELECT l_returnflag, l_linestatus,
-           sum(l_quantity) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           sum(CAST(l_quantity AS BIGINT)) AS sq,
-           count(*) AS n_rows
-           FROM lineitem GROUP BY 1, 2)
-         SELECT l_returnflag, l_linestatus, sum_qty, sum_price,
-                ((20000 * sq + n_rows) // (2 * n_rows)) / 10000.0 AS avg_qty,
-                n_rows
-         FROM g ORDER BY 1, 2""",
-    "q3_shipping" ->
-      """WITH g AS (SELECT l_orderkey,
-             CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
-           FROM lineitem
-           JOIN orders ON l_orderkey = o_orderkey
-           JOIN customer ON o_custkey = c_custkey
-           WHERE c_mktsegment = 'BUILDING'
-             AND o_orderdate < TIMESTAMP '1996-01-01'
-           GROUP BY 1, 2)
-         SELECT l_orderkey, odate_us, ((rev4 + 50) // 100) / 100.0 AS revenue
-         FROM g ORDER BY rev4 DESC, l_orderkey LIMIT 10""",
-    "q5_local_supplier" ->
-      """SELECT n_name,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS revenue_e4
-         FROM customer, orders, lineitem, supplier, nation, region
-         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-           AND r_name = 'ASIA'
-           AND o_orderdate >= TIMESTAMP '1996-01-01'
-           AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""",
-    "q7_volume_shipping" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS revenue_e4
-         FROM lineitem
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation n1 ON s_nationkey = n1.n_nationkey
-         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-           AND n2.n_name IN ('NATION_1', 'NATION_2')
-           AND n1.n_name <> n2.n_name
-           AND l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l_shipdate < TIMESTAMP '1998-01-01'
-         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
-    "q8_market_share" ->
-      """WITH rev AS (
-           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                  n1.n_name AS supp_nation,
-                  CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
-           FROM lineitem
-           JOIN part ON l_partkey = p_partkey
-           JOIN supplier ON l_suppkey = s_suppkey
-           JOIN orders ON l_orderkey = o_orderkey
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation n1 ON s_nationkey = n1.n_nationkey
-           JOIN nation n2 ON c_nationkey = n2.n_nationkey
-           JOIN region ON n2.n_regionkey = r_regionkey
-           WHERE p_type = 'PROMO' AND r_name = 'ASIA')
-         SELECT o_year,
-                CAST(sum(CASE WHEN supp_nation = 'NATION_1'
-                              THEN rev4 ELSE 0 END) AS BIGINT) AS nation_e4,
-                CAST(sum(rev4) AS BIGINT) AS total_e4,
-                CAST((sum(CASE WHEN supp_nation = 'NATION_1'
-                               THEN rev4 ELSE 0 END) * 10000)
-                     // sum(rev4) AS BIGINT) AS share_bp
-         FROM rev GROUP BY 1 ORDER BY 1""",
-    "q10_returned_items" ->
-      """SELECT c_custkey, c_name, n_name,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS revenue_e4,
-                CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
-         FROM customer
-         JOIN orders ON o_custkey = c_custkey
-         JOIN lineitem ON l_orderkey = o_orderkey
-         JOIN nation ON n_nationkey = c_nationkey
-         WHERE l_returnflag = 'R'
-           AND o_orderdate >= TIMESTAMP '1995-01-01'
-           AND o_orderdate < TIMESTAMP '1996-01-01'
-         GROUP BY 1, 2, 3, round(c_acctbal * 100)
-         ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""",
-    // Q13 shape: the priority predicate must sit in the ON clause so
-    // zero-order customers survive the outer join (c_count = 0 rows
-    // are the point of the query)
-    "q13_cust_distribution" ->
-      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
-           FROM customer LEFT JOIN orders
-             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-           GROUP BY 1)
-         SELECT CAST(c_count AS BIGINT) AS c_count,
-                CAST(count(*) AS BIGINT) AS custdist
-         FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
-    // the Bloom-style bucket filter is semantics-preserving by
-    // construction (false positives die in the exact join), so the
-    // oracle is the PLAIN join — any bucket-filter bug that drops a
-    // true match diverges from this
-    "j_bloom_prune" ->
-      """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_lines,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS revenue_e4
-         FROM lineitem
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         WHERE n_name = 'NATION_3'
-         GROUP BY 1, 2 ORDER BY revenue_e4 DESC, s_suppkey LIMIT 20""",
-    // SQ8: codes are exact integers ((q-mn)*255 // (mx-mn) over e4
-    // inputs, all non-negative so // == div), so candidate sets match
-    // bit-for-bit; the exact rerank reuses simOracle's cosine algebra
-    "sim_sq8_rerank" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-           FROM embeddings),
-         r AS (SELECT min(u) AS mn, max(u) AS mx
-               FROM (SELECT unnest(qv) AS u FROM e)),
-         c AS (SELECT vec_id,
-                 list_transform(qv, u -> (u - mn) * 255 // greatest(mx - mn, 1)) AS code
-               FROM e CROSS JOIN r),
-         d AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
-                 CAST(greatest(mx - mn, 1) * greatest(mx - mn, 1)
-                        * CAST(list_dot_product(CAST(q.code AS DOUBLE[]),
-                            CAST(t.code AS DOUBLE[])) AS BIGINT)
-                    + 255 * mn * greatest(mx - mn, 1)
-                        * (CAST(list_sum(q.code) AS BIGINT)
-                           + CAST(list_sum(t.code) AS BIGINT))
-                    + len(q.code) * (255 * mn) * (255 * mn)
-                   AS BIGINT) AS sq8_dot
-               FROM c q JOIN c t ON t.vec_id != q.vec_id CROSS JOIN r
-               WHERE q.vec_id < 5),
-         top AS (SELECT qid, nid, sq8_dot,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY sq8_dot DESC, nid) AS crn FROM d),
-         n AS (SELECT vec_id, qv,
-                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
-               FROM e),
-         p AS (SELECT top.qid, top.nid, top.sq8_dot,
-                 CAST(list_dot_product(CAST(nq.qv AS DOUBLE[]),
-                   CAST(nt.qv AS DOUBLE[])) AS BIGINT) AS dot,
-                 nq.nrm AS qn, nt.nrm AS tn
-               FROM top
-               JOIN n nq ON nq.vec_id = top.qid
-               JOIN n nt ON nt.vec_id = top.nid
-               WHERE top.crn <= 20),
-         s AS (SELECT qid, nid, sq8_dot,
-                 CAST(floor(CAST(dot AS DOUBLE)
-                   / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(tn AS DOUBLE)))
-                   * 1000000.0) AS BIGINT) AS cos_e6 FROM p),
-         rr AS (SELECT qid, nid, sq8_dot, cos_e6,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY cos_e6 DESC, nid) AS rn FROM s)
-         SELECT qid, nid, sq8_dot, cos_e6, CAST(rn AS BIGINT) AS rn
-         FROM rr WHERE rn <= 5 ORDER BY qid, rn""",
-    // Q21 shape: "late" adapted to l_shipdate > o_orderdate + 60 days
-    // (trimmed schema has no receipt/commit dates); EXISTS another
-    // supplier in the order, NOT EXISTS another LATE supplier
-    "q21_waiting_supplier" ->
-      """WITH ordF AS (SELECT o_orderkey, o_orderdate FROM orders
-              WHERE o_orderstatus = 'F'),
-         l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
-               FROM lineitem JOIN ordF ON l_orderkey = o_orderkey),
-         late AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                  FROM l WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
-         alls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                  FROM l),
-         cand AS (SELECT c.ok, c.sk FROM late c
-                  WHERE EXISTS (SELECT 1 FROM alls a
-                                WHERE a.ok = c.ok AND a.sk != c.sk)
-                    AND NOT EXISTS (SELECT 1 FROM late x
-                                    WHERE x.ok = c.ok AND x.sk != c.sk)),
-         ns AS (SELECT s_suppkey, s_name FROM supplier
-                JOIN nation ON s_nationkey = n_nationkey
-                WHERE n_name = 'NATION_9')
-         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-         FROM cand JOIN ns ON cand.sk = ns.s_suppkey
-         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
-    "q18_volume_customer" ->
-      """WITH big AS (SELECT l_orderkey,
-             CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
-           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
-         SELECT c_name, o_orderkey,
-                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
-                sum_qty
-         FROM big JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         ORDER BY price_cents DESC, o_orderkey LIMIT 20""",
-    "q1_pricing_full" ->
-      """WITH c AS (SELECT l_returnflag, l_linestatus,
-             CAST(l_quantity AS BIGINT) AS q,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
-             CAST(round(l_discount * 100) AS BIGINT) AS dc,
-             CAST(round(l_tax * 100) AS BIGINT) AS tc
-           FROM lineitem
-           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
-         g AS (SELECT l_returnflag, l_linestatus,
-             sum(q) AS sum_qty,
-             sum(pc * (100 - dc)) AS disc4,
-             sum(pc * (100 - dc) * (100 + tc)) AS charge6,
-             sum(pc) AS spc, sum(dc) AS sdc, count(*) AS n_rows
-           FROM c GROUP BY 1, 2)
-         SELECT l_returnflag, l_linestatus,
-                CAST(sum_qty AS BIGINT) AS sum_qty,
-                CAST(spc AS DOUBLE) / 100.0 AS sum_base_price,
-                ((disc4 + 50) // 100) / 100.0 AS sum_disc_price,
-                ((charge6 + 5000) // 10000) / 100.0 AS sum_charge,
-                ((20000 * sum_qty + n_rows) // (2 * n_rows)) / 10000.0 AS avg_qty,
-                ((200 * spc + n_rows) // (2 * n_rows)) / 10000.0 AS avg_price,
-                ((200 * sdc + n_rows) // (2 * n_rows)) / 10000.0 AS avg_disc,
-                n_rows
-         FROM g ORDER BY 1, 2""",
-    "q_subqueries" ->
-      """SELECT n_name,
-                (SELECT count(1) FROM supplier
-                 WHERE s_nationkey = n_nationkey) AS n_suppliers,
-                EXISTS (SELECT 1 FROM customer
-                        WHERE c_nationkey = n_nationkey
-                          AND c_acctbal > 9000.0) AS has_rich_customer
-         FROM nation ORDER BY n_name""",
-    "j_left_coalesce" ->
-      """SELECT c_custkey, c_name,
-         coalesce(n_orders, 0) AS n_orders,
-         coalesce(total_spent, 0.0) AS total_spent
-         FROM customer LEFT JOIN (
-           SELECT o_custkey, count(*) AS n_orders,
-                  round(sum(o_totalprice), 2) AS total_spent
-           FROM orders GROUP BY 1) o ON c_custkey = o_custkey
-         ORDER BY c_custkey""",
-    "j_broadcast_dims" ->
-      """SELECT r_name,
-         ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100) / 100.0
-           AS revenue,
-         count(*) AS n_items
-         FROM lineitem
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY 1 ORDER BY 1""",
-    "j_semi_anti" ->
-      """WITH ck AS (SELECT DISTINCT o_custkey FROM orders),
-         w AS (SELECT c_mktsegment, count(*) AS with_orders FROM customer
-               WHERE c_custkey IN (SELECT o_custkey FROM ck) GROUP BY 1),
-         wo AS (SELECT c_mktsegment, count(*) AS without_orders FROM customer
-                WHERE c_custkey NOT IN (SELECT o_custkey FROM ck) GROUP BY 1)
-         SELECT c_mktsegment,
-                coalesce(with_orders, 0) AS with_orders,
-                coalesce(without_orders, 0) AS without_orders
-         FROM w FULL OUTER JOIN wo USING (c_mktsegment)
-         ORDER BY c_mktsegment""",
-    "a_topk_revenue" ->
-      """WITH g AS (SELECT l_orderkey,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
-           FROM lineitem GROUP BY 1)
-         SELECT l_orderkey, ((rev4 + 50) // 100) / 100.0 AS revenue
-         FROM g ORDER BY rev4 DESC, l_orderkey LIMIT 10""",
-    "a1_regroup" ->
-      """SELECT l_orderkey,
-         string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenumbers,
-         count(*) AS n_lines
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "a_distinct" ->
-      """SELECT event_type, count(*) AS n_users FROM (
-           SELECT DISTINCT event_type, user_id FROM events)
-         GROUP BY 1 ORDER BY 1""",
-    "p_filter_threshold" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events WHERE value > 0.1
-         GROUP BY 1 ORDER BY 1""",
-    "a5_entity_rollup" ->
-      """WITH s AS (
-           SELECT user_id, value, epoch_us(ts) AS us,
-                  first_value(event_type) OVER w AS first_type,
-                  last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT user_id, CAST(min(us) AS BIGINT) AS first_us,
-                CAST(max(us) AS BIGINT) AS last_us, count(*) AS n_events,
-                ((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
-                  // (2 * count(*))) / 10000.0 AS value_avg,
-                round(max(value), 2) AS value_max,
-                round(min(value), 2) AS value_min,
-                min(first_type) AS initial_type, min(last_type) AS final_type
-         FROM s GROUP BY 1 ORDER BY 1""",
-    "d1_mode" ->
-      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
-                    FROM events GROUP BY 1, 2),
-         r AS (SELECT user_id, event_type, cnt,
-                      row_number() OVER (PARTITION BY user_id
-                        ORDER BY cnt DESC, event_type) AS rn FROM c)
-         SELECT user_id, event_type AS mode_event, cnt AS mode_count
-         FROM r WHERE rn = 1 ORDER BY user_id""",
-    "d2_change_count" ->
-      """WITH s AS (SELECT user_id, event_type,
-                    lag(event_type) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) AS prev_type FROM events)
-         SELECT user_id,
-                CAST(sum(CASE WHEN prev_type IS NOT NULL AND prev_type <> event_type
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
-                count(*) AS n_events
-         FROM s GROUP BY 1 ORDER BY 1""",
-    "d3_time_per_state" ->
-      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS us,
-                    lead(epoch_us(ts)) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) AS next_us FROM events)
-         SELECT user_id, event_type,
-                CAST(sum(next_us - us) AS BIGINT) AS held_micros,
-                count(*) AS n_intervals
-         FROM s WHERE next_us IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
-    "d4_trajectory" ->
-      """WITH s AS (SELECT user_id, value, epoch_us(ts) AS us,
-                    lag(value) OVER w AS prev_value,
-                    lag(epoch_us(ts)) OVER w AS prev_us
-                    FROM events
-                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT user_id,
-                round(sum(sqrt((value - prev_value) * (value - prev_value) +
-                  ((us - prev_us) / 1000000.0) * ((us - prev_us) / 1000000.0))), 2)
-                  AS total_distance,
-                count(*) AS n_steps
-         FROM s WHERE prev_us IS NOT NULL GROUP BY 1 ORDER BY 1""",
-    "d5_stddev" ->
-      """WITH c AS (SELECT user_id, event_type,
-                    CAST(round(value * 100) AS BIGINT) AS c FROM events),
-         g AS (SELECT user_id, event_type, count(*) AS n,
-                      sum(c) AS sc, sum(c * c) AS sc2 FROM c GROUP BY 1, 2)
-         SELECT user_id, event_type,
-                CASE WHEN n > 1 THEN round(sqrt(greatest(
-                  (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n)
-                    / (n - 1), 0.0)) / 100.0, 4) ELSE 0.0 END AS value_stddev,
-                ((200 * sc + n) // (2 * n)) / 10000.0 AS value_avg,
-                n
-         FROM g ORDER BY 1, 2""",
-    "d6d7_first_match_duration" ->
-      """SELECT user_id,
-                CAST(min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS BIGINT)
-                  AS first_error_us,
-                CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_micros,
-                count(*) AS n_events
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "d8_bool_agg" ->
-      """SELECT user_id,
-                max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS had_error,
-                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-                CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
-                min(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS all_purchase
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "d9_sessionize" ->
-      """WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
-                    lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) AS prev_us FROM events),
-         f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                              THEN 1 ELSE 0 END AS new_sess FROM e),
-         g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM f),
-         s AS (SELECT user_id, sess_id, max(us) - min(us) AS sess_micros,
-                      count(*) AS sess_events FROM g GROUP BY 1, 2)
-         SELECT user_id, count(*) AS n_sessions,
-                CAST(sum(sess_micros) AS BIGINT) AS total_sess_micros,
-                max(sess_events) AS max_sess_events
-         FROM s GROUP BY 1 ORDER BY 1""",
-    "f_timestamp_parse" ->
-      """SELECT event_type,
-                CAST(sum(epoch_us(strptime(regexp_replace(
-                  strftime(ts, '%Y-%m-%d %H:%M:%S') || ' UTC', ' UTC$', ''),
-                  '%Y-%m-%d %H:%M:%S')) // 1000000) AS BIGINT) AS sum_parsed_s,
-                count(*) AS n
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "f_json_extract" ->
-      """SELECT user_id,
-                CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-                count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "f_synth_id" ->
-      """SELECT event_type || '_' || CAST(CAST(floor(value / 10.0) AS BIGINT) AS VARCHAR)
-                  AS synth_id,
-                count(*) AS n
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "f_token_expand" ->
-      """SELECT doc_id, string_split(text, ' ')[1] AS t1,
-                string_split(text, ' ')[2] AS t2,
-                string_split(text, ' ')[3] AS t3,
-                len(string_split(text, ' ')) AS n_tokens
-         FROM documents ORDER BY doc_id""",
-    "f_vec_expand" ->
-      """SELECT vec_id,
-                round(CAST(embedding[1] AS DOUBLE), 4) AS x1,
-                round(CAST(embedding[2] AS DOUBLE), 4) AS y1,
-                round(CAST(embedding[3] AS DOUBLE), 4) AS x2,
-                round(CAST(embedding[4] AS DOUBLE), 4) AS y2,
-                len(embedding) AS dim
-         FROM embeddings ORDER BY vec_id""",
-    "g_explode_tokens" ->
-      """SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
-         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
-         GROUP BY 1 ORDER BY 1""",
-    "p_clean_defaults" ->
-      """SELECT coalesce(lang, 'unknown') AS lang_filled,
-                coalesce(source, 'unknown') AS source_filled,
-                count(*) AS n_docs,
-                CAST(sum(length(trim(text))) AS BIGINT) AS total_chars
-         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
-    "dedup_exact" ->
-      s"""WITH d AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
-         SELECT doc_id, fp,
-                min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
-                count(*) OVER (PARTITION BY fp) AS n_copies,
-                doc_id != min(doc_id) OVER (PARTITION BY fp) AS is_dup
-         FROM d ORDER BY doc_id""",
-    "dedup_minhash_lsh" -> minhashOracle,
-    "dedup_simhash" -> simhashOracle,
-    "dedup_ngram_jaccard" -> ngramOracle,
-    // ground truth, not a candidate-filter mirror: every pair within
-    // edit distance 4 (the length prefilter is implied by the metric —
-    // |len(a)-len(b)| > maxEd forces dist > maxEd)
-    "dedup_fuzzy_edit" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-         FROM d a JOIN d b
-           ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 4
-         WHERE levenshtein(a.text, b.text) <= 4
-         ORDER BY doc_a, doc_b""",
-    "dedup_substring" ->
-      """WITH w AS (SELECT doc_id,
-                unnest([md5(substring(text, i, 40))
-                        for i in range(1, greatest(length(text) - 39, 1) + 1)])
-                  AS gram
-              FROM documents),
-         gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
-                FROM w GROUP BY 1),
-         per AS (SELECT w.doc_id, count(*) AS n_win,
-                        CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END)
-                          AS BIGINT) AS dup_win
-                 FROM w JOIN gd USING (gram) GROUP BY 1)
-         SELECT doc_id, n_win, dup_win,
-                CAST((20000 * dup_win + n_win) // (2 * n_win) AS BIGINT)
-                  AS dup_frac_e4,
-                (20000 * dup_win + n_win) // (2 * n_win) >= 2000 AS dup_heavy
-         FROM per ORDER BY doc_id""",
-    // winnowed form: same statistics over the content-gated 1/8 window
-    // sample (digest starts '0'/'8') — selection is on the digest, so a
-    // shared window is selected in both docs or neither
-    "dedup_substring_winnow" ->
-      """WITH w AS (SELECT doc_id,
-                unnest([md5(substring(text, i, 40))
-                        for i in range(1, greatest(length(text) - 39, 1) + 1)])
-                  AS h
-              FROM documents),
-         sel AS (SELECT doc_id, h AS gram FROM w
-                 WHERE substr(h, 1, 1) IN ('0', '8')),
-         gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
-                FROM sel GROUP BY 1),
-         per AS (SELECT sel.doc_id, count(*) AS n_win,
-                        CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END)
-                          AS BIGINT) AS dup_win
-                 FROM sel JOIN gd USING (gram) GROUP BY 1)
-         SELECT d.doc_id,
-                CAST(COALESCE(per.n_win, 0) AS BIGINT) AS n_win,
-                CAST(COALESCE(per.dup_win, 0) AS BIGINT) AS dup_win,
-                CAST(CASE WHEN COALESCE(per.n_win, 0) = 0 THEN 0
-                     ELSE (20000 * per.dup_win + per.n_win)
-                            // (2 * per.n_win) END AS BIGINT) AS dup_frac_e4,
-                CASE WHEN COALESCE(per.n_win, 0) = 0 THEN FALSE
-                     ELSE (20000 * per.dup_win + per.n_win)
-                            // (2 * per.n_win) >= 2000 END AS dup_heavy
-         FROM documents d LEFT JOIN per USING (doc_id)
-         ORDER BY doc_id""",
-    "dedup_containment" ->
-      """WITH d AS (SELECT doc_id, lang, t, len(t) AS nt
-                    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
-                          FROM documents)
-                    WHERE len(t) >= 3),
-         g0 AS (SELECT doc_id, lang,
-                       t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS shingle
-                FROM (SELECT doc_id, lang, nt, t,
-                             unnest(range(1, nt - 1)) AS pos FROM d)),
-         g1 AS (SELECT DISTINCT doc_id, lang, shingle FROM g0),
-         dfs AS (SELECT lang, shingle FROM g1
-                 GROUP BY 1, 2 HAVING count(*) <= 100),
-         kept AS (SELECT g1.* FROM g1
-                  JOIN dfs ON g1.lang = dfs.lang AND g1.shingle = dfs.shingle),
-         nsh AS (SELECT doc_id, count(*) AS ns FROM kept GROUP BY 1),
-         j AS (SELECT l.lang, l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-               FROM kept l JOIN kept r
-                 ON l.lang = r.lang AND l.shingle = r.shingle
-               WHERE l.doc_id < r.doc_id GROUP BY 1, 2, 3),
-         f AS (SELECT j.lang, j.a, j.b, j.inter, ga.ns AS na, gb.ns AS nb
-               FROM j JOIN nsh ga ON j.a = ga.doc_id
-                      JOIN nsh gb ON j.b = gb.doc_id)
-         SELECT lang, a, b, CAST(inter AS BIGINT) AS inter,
-                CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-                CAST((20000 * inter + na) // (2 * na) AS BIGINT) AS cont_a_e4,
-                CAST((20000 * inter + nb) // (2 * nb) AS BIGINT) AS cont_b_e4
-         FROM f
-         WHERE (20000 * inter + na) // (2 * na) >= 8000
-            OR (20000 * inter + nb) // (2 * nb) >= 8000
-         ORDER BY lang, a, b""",
-    "text_langid" -> langidOracle,
-    "text_quality" ->
-      """WITH q AS (SELECT doc_id, length(text) AS n_chars,
-                    len(string_split(text, ' ')) AS n_tokens,
-                    len(list_distinct(string_split(text, ' '))) AS n_distinct
-                    FROM documents)
-         SELECT doc_id, n_chars, n_tokens, n_distinct,
-                CAST((20000 * n_distinct + n_tokens) // (2 * n_tokens) AS BIGINT)
-                  AS diversity_e4,
-                (n_tokens >= 30 AND n_distinct * 2 >= n_tokens) AS is_quality
-         FROM q ORDER BY doc_id""",
-    "text_token_counts" ->
-      """SELECT lang,
-                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-                CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
-                  AS bpe_tokens,
-                count(*) AS n_docs
-         FROM documents GROUP BY 1 ORDER BY 1""",
-    "text_fingerprint" ->
-      s"""SELECT doc_id, substr(md5($normSql), 1, 8) AS fp8,
-                 ${phashSql(normSql, 7)} % 64 AS shard
-         FROM documents ORDER BY doc_id""",
-    "sim_cosine_topk" -> simOracle(10, sameLabel = false),
-    "sim_ann_ivf" -> simOracle(5, sameLabel = true),
-    "a2_global_wrap" ->
-      """SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-                CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
-                CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
-         FROM events""",
-    "f_map_explode" ->
-      """SELECT k AS key, count(*) AS n,
-                CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT)
-                  AS sum_value
-         FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
-         GROUP BY 1 ORDER BY 1""",
-    "a12_date_histogram" ->
-      """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
-                event_type, count(*) AS n
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    // ES min_doc_count:0 — every bucket in bounds, zero-filled
-    "a12_date_histogram_dense" ->
-      """WITH c AS (SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
-                  AS hour_us, event_type, count(*) AS n
-               FROM events GROUP BY 1, 2),
-         b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM c),
-         h AS (SELECT unnest(generate_series(lo, hi, 3600000000))
-                 AS hour_us FROM b),
-         t AS (SELECT DISTINCT event_type FROM c)
-         SELECT h.hour_us, t.event_type,
-                CAST(COALESCE(c.n, 0) AS BIGINT) AS n
-         FROM h CROSS JOIN t
-         LEFT JOIN c ON c.hour_us = h.hour_us AND c.event_type = t.event_type
-         ORDER BY 1, 2""",
-    "a12_topn_per_user" ->
-      """WITH r AS (SELECT user_id, event_id, value,
-                    row_number() OVER (PARTITION BY user_id
-                      ORDER BY value DESC, event_id) AS rn FROM events)
-         SELECT user_id, rn, event_id, value FROM r WHERE rn <= 2
-         ORDER BY user_id, rn""",
-    "d_running_sum" ->
-      """WITH c AS (SELECT user_id, ts, event_id,
-                    CAST(round(value * 100) AS BIGINT) AS c FROM events),
-         r AS (SELECT user_id,
-                      sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS running_cents,
-                      row_number() OVER (PARTITION BY user_id
-                        ORDER BY ts, event_id) AS rn FROM c)
-         SELECT user_id, CAST(running_cents AS BIGINT) AS running_cents
-         FROM r WHERE rn = 10 ORDER BY user_id""",
-    "s1_json_roundtrip" ->
-      """WITH j AS (SELECT to_json(struct_pack(doc_id := doc_id, lang := lang)) AS j
-                    FROM documents)
-         SELECT json_extract_string(j, '$.lang') AS back_lang, count(*) AS n,
-                CAST(sum(CAST(json_extract_string(j, '$.doc_id') AS BIGINT)) AS BIGINT)
-                  AS sum_ids
-         FROM j GROUP BY 1 ORDER BY 1""",
-    "u_union_keys" ->
-      """SELECT count(*) AS n_total, count(DISTINCT k) AS n_distinct
-         FROM (SELECT c_custkey AS k FROM customer
-               UNION ALL SELECT s_suppkey AS k FROM supplier)""",
-    "u_intersect_except" ->
-      """SELECT (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
-                 INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
-                (SELECT count(*) FROM (SELECT c_custkey AS k FROM customer
-                 EXCEPT SELECT o_custkey FROM orders)) AS n_except""",
-    "a_unpivot" ->
-      """WITH g AS (SELECT l_orderkey,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-               AS price_cents,
-             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
-               AS disc_cents
-           FROM lineitem GROUP BY 1)
-         SELECT l_orderkey, metric, value FROM (
-           SELECT l_orderkey, 'qty' AS metric, qty AS value FROM g
-           UNION ALL
-           SELECT l_orderkey, 'price_cents', price_cents FROM g
-           UNION ALL
-           SELECT l_orderkey, 'disc_cents', disc_cents FROM g)
-         WHERE l_orderkey <= 100
-         ORDER BY l_orderkey, metric""",
-    "domain_vehicle_enrich" ->
-      """WITH f AS (SELECT user_id AS tracker_id, event_id AS frame_number,
-                    event_type AS lane, value,
-                    (value > 400.0) AS stopped, (value > 250.0) AS line_crossing,
-                    (event_type = 'error') AS red_light,
-                    CASE WHEN user_id % 2 = 0 THEN 'Up' ELSE 'Down' END AS direction
-                    FROM events),
-         w AS (SELECT *, lag(lane) OVER win AS prev_lane,
-                      lag(direction) OVER win AS prev_dir,
-                      lead(CAST(frame_number AS DOUBLE)) OVER win
-                        - CAST(frame_number AS DOUBLE) AS held
-               FROM f WINDOW win AS (PARTITION BY tracker_id ORDER BY frame_number)),
-         base AS (SELECT tracker_id, count(*) AS frame_count,
-                    CAST(max(frame_number) - min(frame_number) AS DOUBLE) AS duration_seconds,
-                    coalesce(sum(CASE WHEN stopped THEN held END), 0.0) AS stopped_duration,
-                    CAST(sum(CASE WHEN prev_lane IS NOT NULL AND prev_lane <> lane
-                                  THEN 1 ELSE 0 END) AS BIGINT) AS lane_changes,
-                    CAST(sum(CASE WHEN prev_dir IS NOT NULL AND prev_dir <> direction
-                                  THEN 1 ELSE 0 END) AS BIGINT) AS direction_changes,
-                    CAST(sum(CASE WHEN line_crossing THEN 1 ELSE 0 END) AS BIGINT)
-                      AS line_crossing_count,
-                    CAST(sum(CASE WHEN red_light THEN 1 ELSE 0 END) AS BIGINT)
-                      AS red_light_violation_count
-                  FROM w GROUP BY 1),
-         fl AS (SELECT tracker_id,
-                  first_value(lane) OVER (PARTITION BY tracker_id
-                    ORDER BY frame_number) AS il,
-                  last_value(lane) OVER (PARTITION BY tracker_id ORDER BY frame_number
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fn
-                FROM f),
-         fl1 AS (SELECT tracker_id, min(il) AS initial_lane, min(fn) AS final_lane
-                 FROM fl GROUP BY 1),
-         m AS (SELECT tracker_id, lane, count(*) AS cnt, min(frame_number) AS fs
-               FROM f GROUP BY 1, 2),
-         mr AS (SELECT tracker_id, lane AS most_common_lane,
-                       row_number() OVER (PARTITION BY tracker_id
-                         ORDER BY cnt DESC, fs, lane) AS rn FROM m)
-         SELECT b.tracker_id, 'car' AS vehicle_type, b.frame_count,
-                b.duration_seconds, b.stopped_duration, b.lane_changes,
-                f1.initial_lane, f1.final_lane, mm.most_common_lane,
-                b.direction_changes, b.line_crossing_count,
-                b.red_light_violation_count
-         FROM base b
-         JOIN fl1 f1 USING (tracker_id)
-         JOIN (SELECT tracker_id, most_common_lane FROM mr WHERE rn = 1) mm
-           USING (tracker_id)
-         ORDER BY b.tracker_id""",
-    "domain_slot_sessionize" ->
-      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS slot_id,
-                    CAST(epoch_us(ts) AS DOUBLE) AS tsec,
-                    (value > 100.0) AS occupied FROM events),
-         w AS (SELECT *, lag(occupied) OVER win AS prev,
-                      coalesce(lead(tsec) OVER win - tsec, 0.0) AS held
-               FROM s WINDOW win AS (PARTITION BY slot_id ORDER BY tsec))
-         SELECT slot_id,
-                CAST(sum(CASE WHEN prev IS NOT NULL AND prev AND NOT occupied
-                              THEN 1 ELSE 0 END) AS BIGINT) AS became_free,
-                CAST(sum(CASE WHEN prev IS NOT NULL AND NOT prev AND occupied
-                              THEN 1 ELSE 0 END) AS BIGINT) AS became_occupied,
-                sum(CASE WHEN occupied THEN held ELSE 0.0 END) AS total_occupied_seconds,
-                sum(CASE WHEN NOT occupied THEN held ELSE 0.0 END) AS total_free_seconds,
-                CASE WHEN arg_max(occupied, tsec) THEN 'occupied' ELSE 'free' END
-                  AS slot_status,
-                CAST(sum(CASE WHEN occupied AND (prev IS NULL OR NOT prev)
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_parking_sessions
-         FROM w GROUP BY 1 ORDER BY 1""",
-    "a12_time_window" ->
-      """SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_us,
-                event_type, count(*) AS n,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "dedup_embedding_cosine" -> embCosineOracle,
-    "dedup_srp_bands" -> srpBandsOracle,
-    "sim_ivf_assign" -> ivfAssignOracle,
-    "sim_ivf_kmeans" -> simIvfKmeansOracle,
-    "view_kmeans_det" -> viewKmeansDetOracle,
-    "sim_ann_ivf_true" -> annIvfTrueOracle,
-    "sim_ann_recall" -> annRecallOracleFor(1),
-    "sim_ann_multiprobe" -> annIvfOracle(3),
-    "sim_ann_recall_mp" -> annRecallOracleFor(3),
-    // the standing IVF index never changes the answer: serving shares
-    // the re-clustering path's oracle verbatim
-    "sim_ann_indexed" -> annIvfOracle(3),
-    // pinned-quantizer append: centroids train on the base subset
-    // only; every vector (base + delta) is assigned against them —
-    // a re-training append would drift from this and fail
-    "sim_ivf_append" ->
-      s"""WITH ${annIvfCtes(3, "WHERE vec_id % 10 != 9")}
-          SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
-          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
-    // build summary: cell-population audit of the argmin assignment
-    "sim_ivf_build" ->
-      s"""WITH $ivfAssignCtes,
-          pop AS (SELECT cell, count(*) AS n FROM asg
-                  WHERE arn = 1 GROUP BY 1)
-          SELECT CAST(count(*) AS BIGINT) AS n_cells,
-                 CAST(sum(n) AS BIGINT) AS n_vecs,
-                 CAST(min(n) AS BIGINT) AS min_cell_pop,
-                 CAST(max(n) AS BIGINT) AS max_cell_pop
-          FROM pop""",
-    // √N-quantizer family: re-clustering path and standing-index
-    // serving share one oracle (an index never changes the answer)
-    "sim_ann_sqrtk" -> annSqrtOracle(3),
-    "sim_ann_indexed_sqrt" -> annSqrtOracle(3),
-    "sim_ann_filtered" -> annSqrtFilteredOracle,
-    // churn shares the one-shot build's oracle: pinned quantizer +
-    // deterministic assignment means neither incremental commits nor
-    // compaction may ever change an answer
-    "sim_ivf_churn" -> annSqrtOracle(3),
-    // build summary: cell-population audit under the √N quantizer —
-    // n_cells grows as ⌈√N⌉ with the corpus, the scale rule itself
-    "sim_ivf_build_sqrt" ->
-      s"""WITH ${lloydCtes(sqrtKSql)},
-          pop AS (SELECT cell, count(*) AS n FROM asgk
-                  WHERE arn = 1 GROUP BY 1)
-          SELECT CAST(count(*) AS BIGINT) AS n_cells,
-                 CAST(sum(n) AS BIGINT) AS n_vecs,
-                 CAST(min(n) AS BIGINT) AS min_cell_pop,
-                 CAST(max(n) AS BIGINT) AS max_cell_pop
-          FROM pop""",
-    // composed IVF-SQ8 build: the √N cell-population audit plus the
-    // pinned global SQ8 range — the two build-time decisions a
-    // deployment monitors for drift
-    "sim_ivfsq8_build" ->
-      s"""WITH ${lloydCtes(sqrtKSql)},
-          pop AS (SELECT cell, count(*) AS n FROM asgk
-                  WHERE arn = 1 GROUP BY 1),
-          rng AS (SELECT min(q) AS mn, max(q) AS mx FROM qe)
-          SELECT CAST(count(*) AS BIGINT) AS n_cells,
-                 CAST(sum(n) AS BIGINT) AS n_vecs,
-                 CAST(min(n) AS BIGINT) AS min_cell_pop,
-                 CAST(max(n) AS BIGINT) AS max_cell_pop,
-                 CAST(min(mn) AS BIGINT) AS mn,
-                 CAST(max(mx) AS BIGINT) AS mx
-          FROM pop CROSS JOIN rng""",
-    // composed IVF-SQ8 serve: √N Lloyd cells (members at arn=1,
-    // probes at arn<=3) generate candidates by exact-integer SQ8 code
-    // dot against the pinned global range; only the candK=20
-    // survivors get the exact cosine rerank — the index and the codes
-    // never change the answer's algebra, so this oracle IS the
-    // unindexed computation
-    "sim_ann_ivfsq8" -> annIvfSq8Oracle,
-    // recall@5 of the composed index: both approximations priced
-    // together against the brute-force exact top-5
-    "sim_ann_ivfsq8_recall" -> annIvfSq8RecallOracle,
-    "sim_ann_recall_sqrt" -> annSqrtRecallOracle,
-    // sample-trained √N family: training iterations read only the
-    // hash-gated 8·⌈√N⌉ sample (the linear-cost build), the final
-    // assignment the full corpus; n_sample in the build audit is the
-    // measured witness that the N^1.5 training term was capped
-    "sim_ivf_build_sample" ->
-      s"""WITH ${lloydCtes(sqrtKSql, "", sampleGateSql)},
-          pop AS (SELECT cell, count(*) AS n FROM asgk
-                  WHERE arn = 1 GROUP BY 1),
-          smp AS (SELECT CAST(count(*) AS BIGINT) AS n_sample
-                  FROM embeddings WHERE $sampleGateSql)
-          SELECT CAST(count(*) AS BIGINT) AS n_cells,
-                 CAST(sum(n) AS BIGINT) AS n_vecs,
-                 CAST(min(n) AS BIGINT) AS min_cell_pop,
-                 CAST(max(n) AS BIGINT) AS max_cell_pop,
-                 CAST(max(n_sample) AS BIGINT) AS n_sample
-          FROM pop CROSS JOIN smp""",
-    "sim_ann_indexed_sample" -> annSampleOracle,
-    "sim_ann_recall_sample" -> annSampleRecallOracle,
-    // filtered-ANN recall: approx and ground truth BOTH under the
-    // member predicate — isolates probe starvation (VERDICT r9 #7)
-    "sim_ann_filtered_recall" -> annFilteredRecallOracle,
-    "dedup_embedding_srp" -> embSrpOracle,
-    "skew_salted_agg" ->
-      """SELECT event_type,
-                count(DISTINCT user_id) AS n_distinct,
-                count(*) AS n
-         FROM events GROUP BY 1 ORDER BY 1""",
-    // salting is a layout choice, never a semantic: the salted join's
-    // aggregate equals the plain join's
-    "skew_salted_join" ->
-      """SELECT c_mktsegment AS seg, count(*) AS n,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                  AS sum_cents
-         FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1 ORDER BY 1""",
-    "domain_people_enrich" -> peopleEnrichOracle,
-    "domain_safety_enrich" -> safetyEnrichOracle,
-    "view_people_es" -> peopleEsOracle,
-    "view_safety_es" -> safetyEsOracle,
-    "view_vehicle_legacy" -> vehicleLegacyOracle,
-    // stamp-only serving domains (S8): 1700000000000000 µs =
-    // 2023-11-14T22:13:20Z, the bridges' pinned harness clock
-    "view_animal_es" ->
-      """SELECT 1700000000000000 AS ts_us,
-                'animal_refined.json' AS source_file,
-                '2023-11-14' AS processing_date,
-                'v1.0' AS processing_version,
-                event_id AS frame_number, user_id AS tracker_id,
-                'animal_' || CAST(user_id % 6 AS VARCHAR) AS animal_type,
-                CAST(event_id % 16 AS DOUBLE) * 0.0625 AS confidence,
-                value AS center_x, value * 2.0 AS center_y
-         FROM events ORDER BY frame_number, tracker_id""",
-    "view_geolocation_es" ->
-      """SELECT 1700000000000000 AS ts_us,
-                'geolocation_refined.json' AS source_file,
-                '2023-11-14' AS processing_date,
-                'v1.0' AS processing_version,
-                event_id AS frame_number, user_id AS tracker_id,
-                value * 0.125 AS latitude,
-                value * 0.25 - 64.0 AS longitude,
-                event_type AS zone
-         FROM events ORDER BY frame_number, tracker_id""",
-    "view_pose_es" ->
-      """SELECT 1700000000000000 AS ts_us,
-                'pose_refined.json' AS source_file,
-                '2023-11-14' AS processing_date,
-                'v1.0' AS processing_version,
-                event_id AS frame_number,
-                'act_' || CAST(user_id % 5 AS VARCHAR) AS action,
-                CAST(event_id % 8 AS DOUBLE) * 0.125 AS confidence,
-                value AS kp_x, value * 2.0 AS kp_y, value * 0.5 AS kp_z
-         FROM events ORDER BY frame_number, action""",
-    "view_parking_es" ->
-      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS slot_id,
-                    CAST(epoch_us(ts) AS DOUBLE) AS tsec,
-                    (value > 100.0) AS occupied FROM events),
-         w AS (SELECT *, lag(occupied) OVER win AS prev,
-                      coalesce(lead(tsec) OVER win - tsec, 0.0) AS held
-               FROM s WINDOW win AS (PARTITION BY slot_id ORDER BY tsec))
-         SELECT 1700000000000000 AS ts_us,
-                'parking_refined.json' AS source_file,
-                '2023-11-14' AS processing_date,
-                'v1.0' AS processing_version,
-                slot_id,
-                CASE WHEN arg_max(occupied, tsec) THEN 'occupied' ELSE 'free' END
-                  AS slot_status,
-                CAST(sum(CASE WHEN prev IS NOT NULL AND prev AND NOT occupied
-                              THEN 1 ELSE 0 END) AS BIGINT) AS became_free,
-                CAST(sum(CASE WHEN prev IS NOT NULL AND NOT prev AND occupied
-                              THEN 1 ELSE 0 END) AS BIGINT) AS became_occupied,
-                sum(CASE WHEN occupied THEN held ELSE 0.0 END) AS total_occupied_seconds,
-                sum(CASE WHEN NOT occupied THEN held ELSE 0.0 END) AS total_free_seconds,
-                CAST(sum(CASE WHEN occupied AND (prev IS NULL OR NOT prev)
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_parking_sessions
-         FROM w GROUP BY slot_id ORDER BY slot_id""",
-    "view_common_es" ->
-      """SELECT 1700000000000000 AS ts_us,
-                'common_refined.json' AS source_file,
-                '2023-11-14' AS processing_date,
-                'v1.0' AS processing_version,
-                event_id AS frame_number, event_type AS object_class,
-                CAST(user_id % 32 AS DOUBLE) * 0.03125 AS confidence
-         FROM events ORDER BY frame_number, object_class, confidence""",
-    "domain_school_enrich" ->
-      """WITH f AS (SELECT user_id AS eid, event_id AS frame_number,
-             'type_' || CAST(user_id % 4 AS VARCHAR) AS event_type,
-             'loc_' || CAST(user_id % 5 AS VARCHAR) AS location,
-             'note' AS notes,
-             CAST(user_id % 8 AS DOUBLE) * 0.125 AS confidence,
-             CAST(user_id % 4 AS DOUBLE) AS dur_det,
-             (value > 480.0) AS response_required,
-             'p' || CAST(event_id % 7 AS VARCHAR) AS involved_person_id,
-             ['r' || CAST(event_id % 3 AS VARCHAR),
-              'r' || CAST(event_id % 5 AS VARCHAR)] AS person_roles,
-             event_type AS alert_level,
-             (value > 250.0) AS multi
-           FROM events),
-         base AS (SELECT eid,
-             min(event_type) AS event_type, min(location) AS location,
-             min(notes) AS notes,
-             CAST(min(frame_number) AS DOUBLE) AS start_time,
-             CAST(max(frame_number) AS DOUBLE) AS end_time,
-             CAST(max(frame_number) - min(frame_number) AS DOUBLE)
-               AS duration_seconds,
-             count(*) AS frame_occurrences,
-             avg(confidence) AS avg_confidence,
-             avg(dur_det) AS avg_event_duration,
-             coalesce(stddev_samp(dur_det), 0.0) AS event_duration_stddev,
-             (max(CASE WHEN response_required THEN 1 ELSE 0 END) = 1)
-               AS response_required,
-             array_to_string(list_sort(list_distinct(list(involved_person_id))), ',')
-               AS involved_persons,
-             array_to_string(list_sort(list_distinct(flatten(list(person_roles)))), ',')
-               AS unique_roles,
-             (max(CASE WHEN multi THEN 1 ELSE 0 END) = 1)
-               AS multiple_persons_involved
-           FROM f GROUP BY 1),
-         ma AS (SELECT eid, alert_level, count(*) AS cnt,
-                       min(frame_number) AS fs FROM f
-                WHERE alert_level IS NOT NULL GROUP BY 1, 2),
-         mar AS (SELECT eid, alert_level, row_number() OVER (
-                   PARTITION BY eid ORDER BY cnt DESC, fs, alert_level) AS rn
-                 FROM ma),
-         ro AS (SELECT eid, frame_number, unnest(person_roles) AS role
-                FROM f),
-         mo AS (SELECT eid, role, count(*) AS cnt,
-                       min(frame_number) AS fs FROM ro
-                WHERE role IS NOT NULL GROUP BY 1, 2),
-         mor AS (SELECT eid, role, row_number() OVER (
-                   PARTITION BY eid ORDER BY cnt DESC, fs, role) AS rn FROM mo)
-         SELECT b.eid AS event_id, b.event_type, b.location, b.notes,
-                b.start_time, b.end_time, b.duration_seconds,
-                b.frame_occurrences, b.avg_confidence, b.avg_event_duration,
-                b.event_duration_stddev, b.response_required,
-                b.involved_persons, b.unique_roles,
-                b.multiple_persons_involved,
-                a.alert_level AS most_common_alert_level,
-                r.role AS most_common_role
-         FROM base b
-         LEFT JOIN (SELECT eid, alert_level FROM mar WHERE rn = 1) a
-           USING (eid)
-         LEFT JOIN (SELECT eid, role FROM mor WHERE rn = 1) r
-           USING (eid)
-         ORDER BY b.eid""",
-    "domain_retail_enrich" ->
-      """WITH f AS (SELECT 'p' || CAST(user_id % 7 AS VARCHAR) AS product_id,
-                    'name_' || CAST(user_id % 7 AS VARCHAR) AS product_name,
-                    'cat_' || CAST(user_id % 7 AS VARCHAR) AS category,
-                    'aisle' AS location,
-                    (value > 450.0) AS picked,
-                    strftime(ts, '%Y-%m-%d') AS expiry_date
-                    FROM events)
-         SELECT product_id, min(product_name) AS product_name,
-                min(category) AS category, min(location) AS location,
-                (max(CASE WHEN picked THEN 1 ELSE 0 END) = 1) AS picked_by_customer,
-                array_to_string(list_sort(list_distinct(list(expiry_date))), ',')
-                  AS unique_expiry_dates,
-                count(*) AS frame_appearances
-         FROM f GROUP BY 1 ORDER BY 1""",
-    // datalake-school-data serving records: the domain_school_enrich
-    // rollup under the ingest stamp, keyed by detection_id, plus the
-    // alert-level distribution serialized as canonical JSON
-    // (README.md:4-41 mapping, common.py:81-82 keying).
-    "view_school_es" ->
-      """WITH f AS (SELECT user_id AS eid, event_id AS frame_number,
-             'type_' || CAST(user_id % 4 AS VARCHAR) AS event_type,
-             'loc_' || CAST(user_id % 5 AS VARCHAR) AS location,
-             'note' AS notes,
-             CAST(user_id % 8 AS DOUBLE) * 0.125 AS confidence,
-             CAST(user_id % 4 AS DOUBLE) AS dur_det,
-             (value > 480.0) AS response_required,
-             'p' || CAST(event_id % 7 AS VARCHAR) AS involved_person_id,
-             ['r' || CAST(event_id % 3 AS VARCHAR),
-              'r' || CAST(event_id % 5 AS VARCHAR)] AS person_roles,
-             event_type AS alert_level,
-             (value > 250.0) AS multi
-           FROM events),
-         base AS (SELECT eid,
-             min(event_type) AS event_type, min(location) AS location,
-             min(notes) AS notes,
-             CAST(min(frame_number) AS DOUBLE) AS start_time,
-             CAST(max(frame_number) AS DOUBLE) AS end_time,
-             CAST(max(frame_number) - min(frame_number) AS DOUBLE)
-               AS duration_seconds,
-             count(*) AS frame_occurrences,
-             avg(confidence) AS avg_confidence,
-             avg(dur_det) AS avg_event_duration,
-             coalesce(stddev_samp(dur_det), 0.0) AS event_duration_stddev,
-             (max(CASE WHEN response_required THEN 1 ELSE 0 END) = 1)
-               AS response_required,
-             array_to_string(list_sort(list_distinct(list(involved_person_id))), ',')
-               AS involved_persons,
-             array_to_string(list_sort(list_distinct(flatten(list(person_roles)))), ',')
-               AS unique_roles,
-             (max(CASE WHEN multi THEN 1 ELSE 0 END) = 1)
-               AS multiple_persons_involved
-           FROM f GROUP BY 1),
-         ma AS (SELECT eid, alert_level, count(*) AS cnt,
-                       min(frame_number) AS fs FROM f
-                WHERE alert_level IS NOT NULL GROUP BY 1, 2),
-         ad AS (SELECT eid, '{' || string_agg(
-                    '"' || alert_level || '":' || CAST(cnt AS VARCHAR),
-                    ',' ORDER BY alert_level) || '}' AS alert_level_distribution
-                FROM ma GROUP BY 1),
-         mar AS (SELECT eid, alert_level, row_number() OVER (
-                   PARTITION BY eid ORDER BY cnt DESC, fs, alert_level) AS rn
-                 FROM ma),
-         ro AS (SELECT eid, frame_number, unnest(person_roles) AS role
-                FROM f),
-         mo AS (SELECT eid, role, count(*) AS cnt,
-                       min(frame_number) AS fs FROM ro
-                WHERE role IS NOT NULL GROUP BY 1, 2),
-         mor AS (SELECT eid, role, row_number() OVER (
-                   PARTITION BY eid ORDER BY cnt DESC, fs, role) AS rn FROM mo)
-         SELECT 1700000000000000 AS ts_us,
-                'school_refined.json' AS source_file,
-                '2023-11-14' AS processing_date,
-                'v1.0' AS processing_version,
-                CAST(b.eid AS INTEGER) AS detection_id,
-                b.event_type, b.location, b.notes,
-                b.start_time, b.end_time, b.duration_seconds,
-                b.frame_occurrences, b.avg_confidence, b.avg_event_duration,
-                b.event_duration_stddev, b.response_required,
-                a.alert_level AS most_common_alert_level,
-                d.alert_level_distribution,
-                b.involved_persons, b.unique_roles,
-                r.role AS most_common_role,
-                b.multiple_persons_involved
-         FROM base b
-         LEFT JOIN (SELECT eid, alert_level FROM mar WHERE rn = 1) a
-           USING (eid)
-         LEFT JOIN (SELECT eid, role FROM mor WHERE rn = 1) r
-           USING (eid)
-         LEFT JOIN ad d USING (eid)
-         ORDER BY detection_id""",
-    // datalake-retail-data serving records (README.md:44-66 mapping):
-    // the domain_retail_enrich rollup under the stamp plus the exact
-    // binary-fraction averages; detection_id derives from the product
-    // key (the reference's int() on "p3" would crash — PARITY fix).
-    "view_retail_es" ->
-      """WITH f AS (SELECT 'p' || CAST(user_id % 7 AS VARCHAR) AS product_id,
-              'name_' || CAST(user_id % 7 AS VARCHAR) AS product_name,
-              'cat_' || CAST(user_id % 7 AS VARCHAR) AS category,
-              'aisle' AS location,
-              round(value * 4) / 32.0 AS price,
-              round(value) AS stock_level,
-              (value > 450.0) AS picked,
-              strftime(ts, '%Y-%m-%d') AS expiry_date
-           FROM events)
-         SELECT 1700000000000000 AS ts_us,
-                'retail_refined.json' AS source_file,
-                '2023-11-14' AS processing_date,
-                'v1.0' AS processing_version,
-                CAST(regexp_replace(product_id, '[^0-9]', '', 'g') AS INTEGER)
-                  AS detection_id,
-                min(product_name) AS product_name, min(category) AS category,
-                min(location) AS location,
-                avg(price) AS average_price,
-                avg(stock_level) AS average_stock_level,
-                (max(CASE WHEN picked THEN 1 ELSE 0 END) = 1)
-                  AS picked_by_customer,
-                array_to_string(list_sort(list_distinct(list(expiry_date))), ',')
-                  AS unique_expiry_dates,
-                count(*) AS frame_appearances
-         FROM f GROUP BY product_id ORDER BY detection_id""",
-    "mm_segments" ->
-      """WITH a AS (SELECT doc_id AS asset_id, text AS txt,
-                    len(text) AS l FROM documents),
-         s AS (SELECT asset_id, txt, (l - 100) // 60 + 1 AS n
-               FROM a WHERE l >= 100),
-         e AS (SELECT asset_id, txt, unnest(range(0, n)) AS i FROM s)
-         SELECT asset_id, CAST(i AS BIGINT) AS seg_id,
-                CAST(i * 60 AS BIGINT) AS seg_start,
-                md5(substring(txt, CAST(i * 60 + 1 AS INTEGER), 100)) AS seg_md5
-         FROM e ORDER BY asset_id, seg_id""",
-    "mm_byte_metrics" ->
-      """SELECT doc_id AS asset_id,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                CAST((octet_length(encode(text)) - 1) // 256 + 1 AS BIGINT) AS n_chunks,
-                md5(text) AS content_md5
-         FROM documents ORDER BY asset_id""",
-    "a_rollup" ->
-      """SELECT coalesce(l_returnflag, '_all') AS returnflag,
-                coalesce(l_linestatus, '_all') AS linestatus,
-                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-                  AS price_cents,
-                count(*) AS n_rows
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY returnflag, linestatus""",
-    "a_cube" ->
-      """SELECT coalesce(event_type, '_all') AS event_type,
-                coalesce(user_id % 10, -1) AS cohort,
-                count(*) AS n,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events GROUP BY CUBE (event_type, user_id % 10)
-         ORDER BY event_type, cohort""",
-    "a_grouping_sets" ->
-      """SELECT coalesce(event_type, '_all') AS event_type,
-                coalesce(user_id % 10, -1) AS cohort,
-                count(*) AS n,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
-         ORDER BY event_type, cohort""",
-    "a_pivot" ->
-      """SELECT user_id,
-                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "a_quantiles" ->
-      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
-                    event_id FROM events),
-         r AS (SELECT event_type, c,
-                      row_number() OVER (PARTITION BY event_type
-                        ORDER BY c, event_id) AS rn,
-                      count(*) OVER (PARTITION BY event_type) AS n FROM c)
-         SELECT event_type, max(n) AS n,
-                max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS p50_cents,
-                max(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS p90_cents
-         FROM r GROUP BY 1 ORDER BY 1""",
-    "w_rank_suite" ->
-      """WITH c AS (SELECT user_id, event_id,
-                    CAST(round(value * 100) AS BIGINT) AS c FROM events),
-         r AS (SELECT user_id, event_id, c,
-                      row_number() OVER w AS rn,
-                      dense_rank() OVER (PARTITION BY user_id ORDER BY c DESC) AS drank,
-                      ntile(4) OVER w AS quartile,
-                      percent_rank() OVER w AS pr,
-                      cume_dist() OVER w AS cd,
-                      nth_value(c, 3) OVER w AS third_cents
-               FROM c WINDOW w AS (PARTITION BY user_id ORDER BY c DESC, event_id))
-         SELECT user_id, event_id, c, rn, drank, quartile, pr, cd, third_cents
-         FROM r WHERE rn <= 5 ORDER BY user_id, rn""",
-    "w_range_frame" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
-                    CAST(round(value * 100) AS BIGINT) AS c FROM events),
-         r AS (SELECT user_id, event_id, us,
-                      count(*) OVER w AS n_trailing_1h,
-                      CAST(sum(c) OVER w AS BIGINT) AS cents_trailing_1h,
-                      row_number() OVER (PARTITION BY user_id
-                        ORDER BY us, event_id) AS rn
-               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
-         SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id,
-                n_trailing_1h, cents_trailing_1h
-         FROM r WHERE rn <= 5 ORDER BY user_id, rn""",
-    "a_corr_cov" ->
-      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
-                    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-                    FROM lineitem),
-         g AS (SELECT l_returnflag, count(*) AS n,
-                      sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-                      sum(x * x) AS sx2, sum(y * y) AS sy2
-               FROM c GROUP BY 1),
-         d AS (SELECT l_returnflag, n,
-                      CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
-                      CAST(sxy AS DOUBLE) AS sxy,
-                      n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
-                      n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
-               FROM g)
-         SELECT l_returnflag, n,
-                (sxy - sx * sy / n) / n AS covar_pop,
-                CASE WHEN dx = 0 OR dy = 0 THEN NULL
-                     ELSE (n * sxy - sx * sy) / (sqrt(dx) * sqrt(dy)) END AS corr
-         FROM d ORDER BY l_returnflag""",
-    "a_cms_freq" -> {
-      val md5e = "md5(CAST(user_id AS VARCHAR) || '#cms')"
-      def cellSql(r: Int) =
-        s"""(strpos('0123456789abcdef', substr($md5e, ${8 * r + 1}, 1)) - 1) * 16
-           | + strpos('0123456789abcdef', substr($md5e, ${8 * r + 2}, 1)) - 1"""
-          .stripMargin
-      val rows = (0 until 4).map(r =>
-        s"SELECT user_id, $r AS r, ${cellSql(r)} AS cell FROM events")
-        .mkString("\n         UNION ALL ")
-      s"""WITH g AS ($rows),
-         sk AS (SELECT r, cell, count(*) AS c FROM g GROUP BY 1, 2),
-         k AS (SELECT DISTINCT user_id, r, cell FROM g),
-         est AS (SELECT k.user_id, CAST(min(sk.c) AS BIGINT) AS est_count
-                 FROM k JOIN sk ON k.r = sk.r AND k.cell = sk.cell
-                 GROUP BY k.user_id),
-         ex AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1)
-         SELECT est.user_id, est_count, CAST(exact_count AS BIGINT) AS exact_count
-         FROM est JOIN ex ON est.user_id = ex.user_id
-         ORDER BY exact_count DESC, est.user_id LIMIT 20"""
-    },
-    "ts_gapfill_interp" ->
-      """WITH p AS (SELECT user_id,
-                    CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS h_us,
-                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
-               FROM events WHERE user_id < 25 GROUP BY 1, 2),
-         b AS (SELECT user_id, min(h_us) AS lo, max(h_us) AS hi
-               FROM p GROUP BY 1),
-         sp AS (SELECT user_id, lo,
-                       unnest(generate_series(lo, hi, 3600000000)) AS h_us
-                FROM b),
-         s2 AS (SELECT user_id, h_us,
-                       (h_us - lo) // 3600000000 AS idx FROM sp),
-         j AS (SELECT s2.user_id, s2.h_us, s2.idx, p.v
-               FROM s2 LEFT JOIN p
-                 ON s2.user_id = p.user_id AND s2.h_us = p.h_us),
-         w AS (SELECT user_id, h_us, idx, v,
-                      last_value(v IGNORE NULLS) OVER pw AS pv,
-                      last_value(CASE WHEN v IS NOT NULL THEN idx END
-                                 IGNORE NULLS) OVER pw AS pi,
-                      first_value(v IGNORE NULLS) OVER nw AS nv,
-                      first_value(CASE WHEN v IS NOT NULL THEN idx END
-                                  IGNORE NULLS) OVER nw AS ni
-               FROM j
-               WINDOW pw AS (PARTITION BY user_id ORDER BY idx
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                      nw AS (PARTITION BY user_id ORDER BY idx
-                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-         SELECT user_id, h_us,
-                CAST(CASE WHEN v IS NOT NULL THEN v
-                     ELSE pv + CAST(floor(CAST((nv - pv) * (idx - pi) AS DOUBLE)
-                                          / CAST(ni - pi AS DOUBLE)) AS BIGINT)
-                     END AS BIGINT) AS cents,
-                CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
-         FROM w ORDER BY user_id, h_us""",
-    "a_hll_distinct" ->
-      """WITH h AS (SELECT event_type,
-                    md5(CAST(user_id AS VARCHAR) || '#hll') AS d FROM events),
-         b AS (SELECT event_type,
-                      (strpos('0123456789abcdef', substr(d,1,1))-1)*16
-                      + strpos('0123456789abcdef', substr(d,2,1))-1 AS reg,
-                      substr(d,3,30) AS tail,
-                      30 - length(ltrim(substr(d,3,30), '0')) AS z
-               FROM h),
-         c AS (SELECT event_type, reg, z,
-                      CASE WHEN z >= 30 THEN 0
-                           ELSE strpos('0123456789abcdef', substr(tail, z+1, 1))-1
-                      END AS nz
-               FROM b),
-         r AS (SELECT event_type, reg,
-                      CASE WHEN z >= 30 THEN 121
-                           ELSE 4*z + (CASE WHEN nz >= 8 THEN 0 WHEN nz >= 4 THEN 1
-                                            WHEN nz >= 2 THEN 2 ELSE 3 END) + 1
-                      END AS rho
-               FROM c),
-         s AS (SELECT event_type, reg, max(rho) AS mrho FROM r GROUP BY 1, 2),
-         e AS (SELECT event_type,
-                      CAST(sum(CASE WHEN mrho <= 40
-                                    THEN (CAST(1 AS BIGINT) << (40 - mrho))
-                                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s_hit,
-                      count(*) AS nreg
-               FROM s GROUP BY 1),
-         f AS (SELECT event_type, 256 - nreg AS v_zero,
-                      s_hit + (256 - nreg) * (CAST(1 AS BIGINT) << 40) AS s40
-               FROM e),
-         g AS (SELECT event_type, v_zero, s40,
-                      (7182 * ((CAST(1 AS BIGINT) << 56) // greatest(s40, 256)))
-                        // 10000 AS est_raw
-               FROM f),
-         x AS (SELECT event_type,
-                      CAST(CASE WHEN s40 < 256
-                                THEN (7182 * (CAST(1 AS BIGINT) << 48)) // 10000
-                                WHEN est_raw <= 640 AND v_zero > 0
-                                THEN CAST(floor(256.0 * ln(256.0 / v_zero) + 0.5) AS BIGINT)
-                                ELSE est_raw END AS BIGINT) AS est_distinct,
-                      CAST(v_zero AS BIGINT) AS empty_regs
-               FROM g)
-         SELECT x.event_type, est_distinct, empty_regs,
-                CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
-         FROM x JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
-                      FROM events GROUP BY 1) ex ON x.event_type = ex.event_type
-         ORDER BY x.event_type""",
-    "j_asof" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-                    FROM events),
-         p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click')
-         SELECT p.event_id, p.user_id, p.us AS purchase_us,
-                c.c_us AS click_us, p.us - c.c_us AS gap_us
-         FROM p ASOF LEFT JOIN c
-           ON p.user_id = c.user_id AND p.us >= c.c_us
-         ORDER BY p.event_id""",
-    "j_range" ->
-      """WITH bands AS (SELECT i AS band_id, i * 4000 AS lo_c, i * 4000 + 8000 AS hi_c
-                        FROM (SELECT unnest(range(0, 12)) AS i)),
-         e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events)
-         SELECT band_id, CAST(lo_c AS BIGINT) AS lo_c, CAST(hi_c AS BIGINT) AS hi_c,
-                count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_cents
-         FROM e JOIN bands ON c >= lo_c AND c < hi_c
-         GROUP BY 1, 2, 3 ORDER BY 1""",
-    "dedup_cc" -> {
-      val mh = minhashOracle
-      s"""WITH RECURSIVE mh AS (SELECT a, b FROM ($mh)),
-          ed AS (SELECT a AS src, b AS dst FROM mh
-                 UNION SELECT b AS src, a AS dst FROM mh),
-          v AS (SELECT DISTINCT src AS id FROM ed),
-          walk(id, label) AS (
-            SELECT id, id FROM v
-            UNION
-            SELECT ed.dst, walk.label FROM walk JOIN ed ON ed.src = walk.id),
-          cc AS (SELECT id, min(label) AS component FROM walk GROUP BY 1),
-          sz AS (SELECT component, count(*) AS n_members FROM cc GROUP BY 1)
-          SELECT cc.id AS doc_id, cc.component, sz.n_members
-          FROM cc JOIN sz USING (component) ORDER BY doc_id"""
-    },
-    "dedup_canonical" -> {
-      val mh = minhashOracle
-      // same recursive hash-min walk as dedup_cc, then: every document
-      // (LEFT JOIN — singletons are their own component) and one
-      // representative per component by (diversity DESC, doc_id)
-      s"""WITH RECURSIVE mh AS (SELECT a, b FROM ($mh)),
-          ed AS (SELECT a AS src, b AS dst FROM mh
-                 UNION SELECT b AS src, a AS dst FROM mh),
-          v AS (SELECT DISTINCT src AS id FROM ed),
-          walk(id, label) AS (
-            SELECT id, id FROM v
-            UNION
-            SELECT ed.dst, walk.label FROM walk JOIN ed ON ed.src = walk.id),
-          cc AS (SELECT id, min(label) AS component FROM walk GROUP BY 1),
-          q AS (SELECT doc_id,
-                  len(string_split(text, ' ')) AS n_tokens,
-                  len(list_distinct(string_split(text, ' '))) AS n_distinct
-                FROM documents),
-          lab AS (SELECT q.doc_id,
-                    coalesce(cc.component, q.doc_id) AS component,
-                    CAST((20000 * n_distinct + n_tokens) // (2 * n_tokens)
-                      AS BIGINT) AS diversity_e4
-                  FROM q LEFT JOIN cc ON cc.id = q.doc_id),
-          reps AS (SELECT component, doc_id AS keep_id FROM (
-                     SELECT component, doc_id,
-                            row_number() OVER (PARTITION BY component
-                              ORDER BY diversity_e4 DESC, doc_id) AS rn
-                     FROM lab) WHERE rn = 1),
-          sz AS (SELECT component, count(*) AS n_members FROM lab GROUP BY 1)
-          SELECT lab.doc_id, lab.component, sz.n_members, reps.keep_id,
-                 lab.doc_id = reps.keep_id AS kept
-          FROM lab JOIN sz USING (component) JOIN reps USING (component)
-          ORDER BY doc_id"""
-    },
-    "stream_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-         w AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id
-                 ORDER BY us) AS prev_us FROM e),
-         f AS (SELECT user_id, us,
-                      CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
-                           THEN 1 ELSE 0 END AS new_sess FROM w),
-         g AS (SELECT user_id, us, sum(new_sess) OVER (PARTITION BY user_id
-                 ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f)
-         SELECT user_id, CAST(min(us) AS BIGINT) AS sess_start_us,
-                CAST(max(us) + 1800000000 AS BIGINT) AS sess_end_us,
-                count(*) AS n_events
-         FROM g GROUP BY user_id, sid
-         -- Spark tracks watermarks in whole MILLISECONDS: the cut is the
-         -- ms-floored global max event time, not the raw microsecond max
-         HAVING max(us) + 1800000000 <= (SELECT (max(us) // 1000) * 1000 FROM e)
-         ORDER BY user_id, sess_start_us""",
-    "stream_state_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-         w AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id
-                 ORDER BY us) AS prev_us FROM e),
-         f AS (SELECT user_id, us,
-                      CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
-                           THEN 1 ELSE 0 END AS new_sess FROM w),
-         g AS (SELECT user_id, us, sum(new_sess) OVER (PARTITION BY user_id
-                 ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f),
-         s AS (SELECT user_id, sid, CAST(min(us) AS BIGINT) AS sess_start_us,
-                      CAST(max(us) AS BIGINT) AS sess_last_us,
-                      count(*) AS n_events FROM g GROUP BY 1, 2),
-         m AS (SELECT user_id, max(sid) AS max_sid FROM s GROUP BY 1)
-         SELECT s.user_id, s.sess_start_us, s.sess_last_us, s.n_events
-         FROM s JOIN m ON s.user_id = m.user_id AND s.sid < m.max_sid
-         ORDER BY s.user_id, s.sess_start_us""",
-    "sample_split" ->
-      s"""WITH b AS (SELECT lang, $splitBucketSql AS bucket FROM documents)
-          SELECT lang, $splitCaseSql AS split, count(*) AS n_docs
-          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
-    "sample_balanced" -> {
-      val h = phashSql("CAST(doc_id AS VARCHAR)", 12)
-      s"""WITH h AS (SELECT lang, doc_id, $h AS h FROM documents),
-          r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-                  ORDER BY h, doc_id) AS rn FROM h)
-          SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id
-          FROM r WHERE rn <= 50 ORDER BY lang, rn"""
-    },
-    "text_tfidf" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                      FROM documents),
-         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
-         dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-         s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
-                      (10000 * (SELECT count(*) FROM documents)) // dfc.df AS idf_e4
-               FROM tf JOIN dfc USING (tok)),
-         r AS (SELECT doc_id, tok, tf, df, tf * idf_e4 AS score,
-                      row_number() OVER (PARTITION BY doc_id
-                        ORDER BY tf * idf_e4 DESC, tok) AS rn FROM s)
-         SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, CAST(tf AS BIGINT) AS tf,
-                CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
-         FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
-    "text_redact_pii" ->
-      """WITH r AS (SELECT doc_id,
-             text || ' contact u' || CAST(doc_id AS VARCHAR)
-                  || '@example.com or ref 90210' || CAST(doc_id % 100 AS VARCHAR)
-               AS raw
-           FROM documents)
-         SELECT doc_id,
-                CAST(len(regexp_extract_all(raw,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-                  AS n_emails,
-                md5(regexp_replace(regexp_replace(raw,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                  '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
-         FROM r ORDER BY doc_id""",
-    "text_contamination" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
-         sh0 AS (SELECT doc_id, t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] AS shingle
-                 FROM (SELECT doc_id, t,
-                         unnest(range(1, greatest(len(t)-1, 1))) AS pos FROM tk)),
-         sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
-         corpus AS (SELECT * FROM sh WHERE doc_id % 97 != 0)
-         SELECT c.doc_id, count(*) AS n_contaminated_shingles
-         FROM corpus c JOIN bench b ON c.shingle = b.shingle
-         GROUP BY 1 ORDER BY 1""",
-    "f_date_suite" ->
-      """WITH o AS (SELECT o_orderdate, date_trunc('month', o_orderdate) AS m
-                    FROM orders)
-         SELECT CAST(epoch_us(m) AS BIGINT) AS month_us,
-                count(*) AS n_orders,
-                CAST(sum(date_part('day', o_orderdate)) AS BIGINT) AS sum_dom,
-                CAST(sum(date_part('dow', o_orderdate)) AS BIGINT) AS sum_dow,
-                CAST(max(CAST(last_day(o_orderdate) AS DATE)
-                  - DATE '1970-01-01') AS BIGINT) AS max_last_day,
-                CAST(max(epoch_us(m + INTERVAL 2 MONTH)) AS BIGINT) AS plus2m_us,
-                CAST(sum(date_diff('day', m, o_orderdate)) AS BIGINT)
-                  AS sum_day_offset
-         FROM o GROUP BY 1 ORDER BY 1""",
-    "f_string_suite" ->
-      """WITH d AS (SELECT doc_id, substr(text, 1, 16) AS h16, text, lang
-                    FROM documents WHERE lang = 'en')
-         SELECT doc_id,
-                CAST(levenshtein(h16, reverse(h16)) AS BIGINT) AS lev,
-                translate(lower(h16), 'aeiou', '01234') AS tr,
-                CAST(length(repeat(substr(text, 1, 4), 3)) AS BIGINT) AS rep_len,
-                lpad(lang, 5, '_') AS padded
-         FROM d ORDER BY doc_id""",
-    "f_cond_bitwise" ->
-      """WITH b AS (SELECT event_type, event_id, user_id,
-                    CAST(round(value * 100) AS BIGINT) AS c FROM events)
-         SELECT event_type,
-                count(CASE WHEN nullif(user_id % 10, 0) IS NULL THEN 1 END)
-                  AS n_zero_mod,
-                CAST(sum(least(c, 10000)) AS BIGINT) AS sum_capped,
-                CAST(sum(greatest(c, user_id * 100)) AS BIGINT) AS sum_floored,
-                CAST(sum(event_id & 255) AS BIGINT) AS sum_and,
-                CAST(sum(event_id | 1) AS BIGINT) AS sum_or,
-                CAST(sum(xor(event_id, user_id)) AS BIGINT) AS sum_xor,
-                CAST(sum(user_id << 3) AS BIGINT) AS sum_shl
-         FROM b GROUP BY 1 ORDER BY 1""",
-    "f_array_suite" ->
-      """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
-         a AS (SELECT event_type, n,
-                 range(1, CAST(3 + n % 5 AS INTEGER) + 1) AS la,
-                 range(CAST(2 + n % 3 AS INTEGER), 9) AS lb FROM g)
-         SELECT event_type, n,
-                array_to_string(la, ',') AS la_s,
-                array_to_string(lb, ',') AS lb_s,
-                array_to_string(list_sort(list_filter(la,
-                  x -> list_contains(lb, x))), ',') AS inter_s,
-                array_to_string(list_sort(list_filter(la,
-                  x -> NOT list_contains(lb, x))), ',') AS except_s,
-                array_to_string(list_sort(list_distinct(la || lb)), ',')
-                  AS union_s,
-                CAST(len(la) AS BIGINT) AS la_len,
-                CAST(la[2] AS BIGINT) AS la_2,
-                CAST(coalesce(list_position(lb, 5), 0) AS BIGINT) AS pos5,
-                list_contains(lb, 4) AS has4,
-                array_to_string(list_reverse(la), ',') AS rev_s,
-                CAST(list_max(lb) AS BIGINT) AS mx,
-                CAST(list_min(lb) AS BIGINT) AS mn,
-                array_to_string(lb[2:4], ',') AS slice_s,
-                array_to_string(la || lb, ',') AS flat_s,
-                CAST(list_sum(la) AS BIGINT) AS sum_la
-         FROM a ORDER BY event_type""",
-    "f_map_suite" ->
-      """WITH g AS (SELECT event_type, count(*) AS n,
-                    count(DISTINCT user_id) AS u,
-                    max(CAST(round(value * 100) AS BIGINT)) AS mx
-                    FROM events GROUP BY 1),
-         m AS (SELECT event_type, n, u, mx,
-                 MAP {'n': n, 'u': u} AS m1, MAP {'x': mx} AS m2,
-                 map_concat(MAP {'n': n, 'u': u}, MAP {'x': mx}) AS cm
-               FROM g)
-         SELECT event_type,
-                array_to_string(list_sort(map_keys(m1)), ',') AS keys1,
-                CAST(n AS BIGINT) AS m1_n,
-                CAST(u AS BIGINT) AS m1_u,
-                CAST(cardinality(m1) + cardinality(m2) AS BIGINT) AS card_sum,
-                CAST(cardinality(cm) AS BIGINT) AS card_cm,
-                CAST(mx AS BIGINT) AS cm_x,
-                array_to_string(list_sort(list_filter(map_keys(cm),
-                  k -> map_extract(cm, k)[1] >= 1000)), ',') AS big_keys
-         FROM m ORDER BY event_type""",
-    "stream_stream_join" ->
-      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
-                    WHERE event_type = 'click'),
-         p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
-               WHERE event_type = 'purchase')
-         SELECT c.user_id, c.c_us, p.p_us
-         FROM c JOIN p ON c.user_id = p.user_id
-           AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
-         ORDER BY 1, 2, 3""",
-    "stream_static_join" ->
-      """SELECT c_mktsegment, count(*) AS n,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                  AS sum_cents
-         FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1 ORDER BY 1""",
-    "dedup_incremental" -> {
-      val b = phashSql("CAST(doc_id AS VARCHAR)", 21)
-      s"""WITH fp AS (SELECT doc_id,
-             md5($normSql) AS fp, $b % 5 AS b FROM documents),
-          i AS (SELECT * FROM fp WHERE b = 4)
-          SELECT i.fp, min(i.doc_id) AS keep_id, count(*) AS n_copies
-          FROM i WHERE NOT EXISTS (SELECT 1 FROM fp e
-                                   WHERE e.b < 4 AND e.fp = i.fp)
-          GROUP BY i.fp ORDER BY keep_id"""
-    },
-    "sim_centroids" ->
-      """WITH q AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
-           FROM (SELECT label, embedding,
-                   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings))
-         SELECT label, dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
-                CAST(sum(q) AS DOUBLE) / count(*) AS centroid_e4
-         FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
-    "pipeline_curate" -> {
-      s"""WITH q AS (SELECT doc_id, lang, text,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-           FROM documents),
-          qq AS (SELECT * FROM q
-                 WHERE n_tokens >= 30 AND n_distinct * 2 >= n_tokens),
-          k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5($normSql))
-                  AS keep_id FROM qq),
-          b AS (SELECT lang, n_tokens, $splitBucketSql AS bucket
-                FROM k WHERE doc_id = keep_id)
-          SELECT lang, $splitCaseSql AS split,
-                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-          FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
-    },
-    "pipeline_pack" ->
-      """WITH d AS (SELECT lang, doc_id,
-                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-                    FROM documents),
-         w AS (SELECT lang, doc_id, n_tokens,
-                      sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
-         SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
-                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
-    "mm_chunk_sample" ->
-      """WITH m AS (SELECT doc_id,
-                    (greatest(octet_length(encode(text)), 1) - 1) // 256
-                      AS max_chunk
-                    FROM documents),
-         c AS (SELECT doc_id, unnest(range(0, max_chunk + 1)) AS chunk_idx
-               FROM m)
-         SELECT doc_id, count(*) AS n_sampled,
-                CAST(max(chunk_idx) AS BIGINT) AS last_sampled
-         FROM c WHERE chunk_idx % 10 = 0 GROUP BY 1 ORDER BY 1""",
-    "graph_pagerank" -> {
-      val iters = (1 to 5).map { k =>
-        val prev = s"pr${k - 1}"
-        s"""pr$k AS (
-             SELECT v.id,
-                    CAST(150000 + (850000 * coalesce(c.s, 0)) // 1000000 AS BIGINT) AS r
-             FROM v LEFT JOIN (
-               SELECT e.dst AS id, sum(p.r // d.deg) AS s
-               FROM $prev p JOIN deg d ON p.id = d.id JOIN ed e ON e.src = p.id
-               GROUP BY e.dst) c ON v.id = c.id)"""
-      }.mkString(",\n")
-      s"""WITH mh AS (SELECT a, b FROM ($minhashOracle)),
-          ed AS (SELECT a AS src, b AS dst FROM mh
-                 UNION SELECT b AS src, a AS dst FROM mh),
-          v AS (SELECT DISTINCT src AS id FROM ed),
-          deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
-          pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v),
-          $iters
-          SELECT id AS doc_id, r AS rank_e6 FROM pr5 ORDER BY doc_id"""
-    },
-    "graph_triangles" ->
-      s"""WITH mh AS (SELECT a, b FROM ($minhashOracle))
-          SELECT count(*) AS n_triangles,
-                 CAST(coalesce(sum(t.a + t.b + t.c), 0) AS BIGINT)
-                   AS node_checksum
-          FROM (SELECT e1.a, e1.b, e2.b AS c
-                FROM mh e1
-                JOIN mh e2 ON e2.a = e1.b
-                JOIN mh e3 ON e3.a = e1.a AND e3.b = e2.b) t""",
-    "sim_knn_classify" -> {
-      val topk = simOracle(10, sameLabel = false)
-      s"""WITH topk AS ($topk),
-          lab AS (SELECT vec_id, label FROM embeddings),
-          v AS (SELECT t.qid, l.label AS nlabel, count(*) AS votes,
-                       min(t.rn) AS best_rn
-                FROM topk t JOIN lab l ON l.vec_id = t.nid
-                GROUP BY 1, 2),
-          r AS (SELECT qid, nlabel, votes,
-                       row_number() OVER (PARTITION BY qid
-                         ORDER BY votes DESC, best_rn, nlabel) AS vr FROM v)
-          SELECT r.qid, r.nlabel AS predicted_label, r.votes,
-                 q.label AS true_label,
-                 (r.nlabel = q.label) AS correct
-          FROM r JOIN lab q ON q.vec_id = r.qid
-          WHERE r.vr = 1 ORDER BY r.qid"""
-    },
-    "s2_csv_roundtrip" ->
-      """SELECT coalesce(lang, 'unknown') AS lang,
-                coalesce(source, 'unknown') AS source,
-                count(*) AS n_docs,
-                CAST(sum(length(text)) AS BIGINT) AS sum_len
-         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
-    "s3_partitioned_prune" ->
-      """SELECT coalesce(lang, 'unknown') AS lang, count(*) AS n_docs,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM documents WHERE coalesce(lang, 'unknown') = 'en'
-         GROUP BY 1 ORDER BY 1""",
-    "s4_orc_roundtrip" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
-                  AS qty_cents
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "sim_pq_adc" -> pqAdcOracle,
-    "dedup_semantic" -> semanticOracle,
-    "text_chunk" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-              FROM documents),
-         c AS (SELECT doc_id, toks,
-                 unnest(range(0, CASE WHEN n <= 20 THEN 1
-                                      ELSE 1 + (n - 20 + 14) // 15 END))
-                   AS chunk_id
-               FROM d),
-         s AS (SELECT doc_id, chunk_id,
-                 toks[chunk_id * 15 + 1 : chunk_id * 15 + 20] AS chunk
-               FROM c)
-         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-                md5(array_to_string(chunk, ' ')) AS chunk_md5
-         FROM s ORDER BY doc_id, chunk_id""",
-    "text_lm_score" ->
-      """WITH ch AS (SELECT doc_id, substr(lt, CAST(i AS INTEGER), 2) AS bg
-              FROM (SELECT doc_id, lower(text) AS lt,
-                      unnest(range(1, length(lower(text)))) AS i
-                    FROM documents WHERE length(lower(text)) >= 2)),
-         bt2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM ch GROUP BY 1),
-         bt AS (SELECT bg, c2,
-                  CAST(sum(c2) OVER (PARTITION BY substr(bg, 1, 1)) AS BIGINT)
-                    AS c1
-                FROM bt2),
-         dc AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS m
-                FROM ch GROUP BY 1, 2),
-         sc AS (SELECT dc.doc_id, CAST(sum(dc.m) AS BIGINT) AS n_bigrams,
-                  CAST(sum(dc.m * ((1000000 * bt.c2) // bt.c1)) AS BIGINT) AS s
-                FROM dc JOIN bt USING (bg) GROUP BY 1)
-         SELECT doc_id, n_bigrams, s // n_bigrams AS lm_score_e6
-         FROM sc ORDER BY doc_id""",
-    "stream_dedup" ->
-      """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type""",
-    // the tx-table machinery cancels out of the oracle: MERGE == the
-    // upsert FULL OUTER JOIN over the same inputs
-    "lake_merge_upsert" ->
-      """WITH base AS (SELECT c_custkey AS k,
-                CAST(round(c_acctbal * 100) AS BIGINT) AS val_cents,
-                c_mktsegment AS seg FROM customer),
-         upd AS (SELECT o_custkey AS k,
-                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                  AS val_cents,
-                'updated' AS seg FROM orders GROUP BY 1),
-         ins AS (SELECT 20000000 + s_suppkey AS k,
-                CAST(round(s_acctbal * 100) AS BIGINT) AS val_cents,
-                'inserted' AS seg FROM supplier),
-         src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
-         SELECT coalesce(s.k, b.k) AS k,
-                coalesce(s.val_cents, b.val_cents) AS val_cents,
-                coalesce(s.seg, b.seg) AS seg
-         FROM base b FULL OUTER JOIN src s ON b.k = s.k
-         ORDER BY k""",
-    // net row changes of an update-only merge: each updated key's old
-    // row (delete) + new row (insert); untouched/rewritten rows cancel
-    "lake_cdc_diff" ->
-      """WITH base AS (SELECT c_custkey AS k,
-                CAST(round(c_acctbal * 100) AS BIGINT) AS val_cents,
-                c_mktsegment AS seg FROM customer),
-         upd AS (SELECT o_custkey AS k,
-                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                  AS val_cents,
-                'updated' AS seg FROM orders
-                WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
-         SELECT b.k, b.val_cents, b.seg, 'delete' AS _change
-         FROM base b WHERE b.k IN (SELECT k FROM upd)
-         UNION ALL
-         SELECT k, val_cents, seg, 'insert' AS _change FROM upd
-         ORDER BY _change, k""",
-    // file skipping is an optimization, never a semantic: the pruned
-    // read must equal the plain range filter
-    "lake_skip_read" ->
-      """WITH b AS (SELECT min(o_orderkey) AS mn,
-                min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 8
-                  AS hi
-           FROM orders)
-         SELECT o_orderpriority AS prio, count(*) AS n,
-                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                  AS sum_cents
-         FROM orders, b WHERE o_orderkey BETWEEN b.mn AND b.hi
-         GROUP BY 1 ORDER BY 1""",
-    // zero-overlap chunk hashes, first occurrence kept corpus-wide
-    "dedup_chunk" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-              FROM documents),
-         c AS (SELECT doc_id, toks,
-                 unnest(range(0, CASE WHEN n <= 20 THEN 1
-                                      ELSE 1 + (n - 20 + 19) // 20 END))
-                   AS chunk_id
-               FROM d),
-         s AS (SELECT doc_id, chunk_id,
-                 md5(array_to_string(
-                   toks[chunk_id * 20 + 1 : chunk_id * 20 + 20], ' ')) AS h
-               FROM c),
-         r AS (SELECT doc_id, chunk_id,
-                 row_number() OVER (PARTITION BY h
-                   ORDER BY doc_id, chunk_id) AS rn
-               FROM s)
-         SELECT doc_id, count(*) AS n_chunks,
-                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_kept,
-                CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_dropped
-         FROM r GROUP BY 1 ORDER BY 1""",
-    // word-trigram duplication ratio, exact e6 rational
-    "text_repetition" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-              FROM documents),
-         p AS (SELECT doc_id, tk, unnest(range(1, CAST(n - 1 AS INTEGER)))
-                 AS i
-               FROM d WHERE n >= 3),
-         t AS (SELECT doc_id,
-                 tk[CAST(i AS INTEGER)] || ' ' ||
-                 tk[CAST(i + 1 AS INTEGER)] || ' ' ||
-                 tk[CAST(i + 2 AS INTEGER)] AS tri
-               FROM p),
-         g AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS c
-               FROM t GROUP BY 1, 2)
-         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
-                CAST(count(*) AS BIGINT) AS n_distinct_tri,
-                CAST(max(c) AS BIGINT) AS max_tri_count,
-                (1000000 * (CAST(sum(c) AS BIGINT) - count(*)))
-                  // CAST(sum(c) AS BIGINT) AS rep_e6
-         FROM g GROUP BY 1 ORDER BY 1""",
-    // segment-level boilerplate removal: df over md5(seg), kept
-    // segments reassembled in position order, content pinned by md5
-    "text_boilerplate" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
-              FROM documents),
-         seg AS (SELECT doc_id, CAST(s AS BIGINT) AS seg_id,
-                   array_to_string(t[(s*10+1):(s*10+10)], ' ') AS seg
-                 FROM (SELECT doc_id, t,
-                         unnest(range((len(t)+9)//10)) AS s FROM d)),
-         sh AS (SELECT doc_id, seg_id, seg, md5(seg) AS seg_h FROM seg),
-         df AS (SELECT seg_h, count(DISTINCT doc_id) AS docfreq
-                FROM sh GROUP BY 1)
-         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
-                CAST(sum(CASE WHEN df.docfreq >= 3 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_boiler,
-                md5(coalesce(string_agg(
-                  CASE WHEN df.docfreq < 3 THEN g.seg END, ' '
-                  ORDER BY g.seg_id), '')) AS clean_md5
-         FROM sh g JOIN df USING (seg_h)
-         GROUP BY g.doc_id ORDER BY g.doc_id""",
-    "text_bm25_search" -> bm25Oracle,
-    // the indexed variant must return byte-identical results — an
-    // index is an optimization, never a semantic
-    "text_bm25_indexed" -> bm25Oracle,
-    "text_fuzzy_search" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
-         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         q AS (SELECT unnest(['spak', 'joinn', 'vectr']) AS qt),
-         ex AS (SELECT q.qt, v.tok
-                FROM (SELECT DISTINCT tok FROM tok) v, q
-                WHERE levenshtein(q.qt, v.tok) <= 1),
-         tf AS (SELECT t.doc_id, e.qt, e.tok, CAST(count(*) AS BIGINT) AS tf
-                FROM tok t JOIN ex e USING (tok) GROUP BY 1, 2, 3),
-         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-                 FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY 1),
-         s AS (SELECT tf.doc_id, tf.qt, tf.tok, tf.tf,
-                 (10000 * st.n_docs) // dfc.df AS idf_e4,
-                 (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
-               FROM tf JOIN dl USING (doc_id) JOIN dfc USING (tok)
-               CROSS JOIN st),
-         ts AS (SELECT doc_id, qt, tok,
-                  idf_e4 * ((tf * 2200 * 10000)
-                    // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000)))
-                    AS term_score
-                FROM s),
-         best AS (SELECT doc_id, qt, term_score,
-                    row_number() OVER (PARTITION BY doc_id, qt
-                      ORDER BY term_score DESC, tok) AS rn
-                  FROM ts),
-         sc AS (SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e7,
-                  count(*) AS n_terms
-                FROM best WHERE rn = 1 GROUP BY 1),
-         r AS (SELECT row_number() OVER (ORDER BY score_e7 DESC, doc_id)
-                 AS rank, doc_id, score_e7, n_terms FROM sc)
-         SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_e7,
-                CAST(n_terms AS BIGINT) AS n_terms
-         FROM r WHERE rank <= 10 ORDER BY rank""",
-    // ... and so must the STREAM-MAINTAINED index (seed commit + late
-    // micro-batch commits + merged-snapshot serving) — the full-corpus
-    // scan oracle verifies the whole pipeline end to end
-    "stream_fts_serve" -> bm25Oracle,
-    // churn lifecycle (append→fragment→compact→serve): neither
-    // incremental commits nor compaction may change an answer, so the
-    // compacted index serves the full-corpus scan's exact result
-    "text_fts_churn" -> bm25Oracle,
-    // hybrid RRF: BM25 top-20 ∪ exact-cosine top-20 for query vector 0,
-    // fused as Σ 1000000 // (60 + rank) — rank 0 sentinel = absent arm
-    "search_hybrid_rrf" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
-         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-                FROM tok WHERE tok IN ('spark', 'join', 'vector')
-                GROUP BY 1, 2),
-         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-                 FROM tf GROUP BY 1),
-         sbm AS (SELECT tf.doc_id, tf.tf,
-                  (10000 * st.n_docs) // dfc.df AS idf_e4,
-                  (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
-                FROM tf JOIN dl USING (doc_id) JOIN dfc USING (tok)
-                CROSS JOIN st),
-         sc AS (SELECT doc_id,
-                  sum(idf_e4 * ((tf * 2200 * 10000)
-                    // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
-                    AS score_e7
-                FROM sbm GROUP BY 1),
-         lex AS (SELECT doc_id, row_number() OVER (
-                   ORDER BY score_e7 DESC, doc_id) AS lex_rank
-                 FROM sc QUALIFY lex_rank <= 20),
-         e AS (SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
-               FROM embeddings),
-         n AS (SELECT vec_id, qv,
-                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT)
-                   AS nrm FROM e),
-         p AS (SELECT t.vec_id AS nid, q.nrm AS qn, t.nrm AS tn,
-                 CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
-                   CAST(t.qv AS DOUBLE[])) AS BIGINT) AS dot
-               FROM n q JOIN n t ON t.vec_id != q.vec_id
-               WHERE q.vec_id = 0),
-         s2 AS (SELECT nid, CAST(floor(CAST(dot AS DOUBLE)
-                  / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(tn AS DOUBLE)))
-                  * 1000000.0) AS BIGINT) AS cos_e6
-                FROM p),
-         sem AS (SELECT nid AS doc_id, row_number() OVER (
-                   ORDER BY cos_e6 DESC, nid) AS sem_rank
-                 FROM s2 QUALIFY sem_rank <= 20),
-         f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-                 coalesce(1000000 // (60 + lex_rank), 0)
-                   + coalesce(1000000 // (60 + sem_rank), 0) AS rrf_e6,
-                 coalesce(lex_rank, 0) AS lex_rank,
-                 coalesce(sem_rank, 0) AS sem_rank
-               FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
-         o AS (SELECT row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
-                 AS rank, f.* FROM f)
-         SELECT CAST(rank AS BIGINT) AS rank, doc_id,
-                CAST(rrf_e6 AS BIGINT) AS rrf_e6,
-                CAST(lex_rank AS BIGINT) AS lex_rank,
-                CAST(sem_rank AS BIGINT) AS sem_rank
-         FROM o WHERE rank <= 10 ORDER BY rank""",
-    // retrieval-quality eval: BM25 top-10 per query vs term-containment
-    // graded relevance; harmonic-discount NDCG + full-match MRR, all
-    // exact-integer (floor per rank term, e6 ratio)
-    "search_eval" ->
-      """WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, tok FROM (VALUES
-              (0,'spark'),(0,'join'),(0,'vector'),
-              (1,'stream'),(1,'window'),
-              (2,'hash'),(2,'merge'),(2,'batch'),(2,'scan')) t(qid, tok)),
-         nq AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_q
-                FROM q GROUP BY 1),
-         d AS (SELECT doc_id, string_split(text, ' ') AS toks
-               FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
-         tokt AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         tf AS (SELECT q.qid, tokt.doc_id, q.tok,
-                  CAST(count(*) AS BIGINT) AS tf
-                FROM tokt JOIN q USING (tok) GROUP BY 1, 2, 3),
-         dfc AS (SELECT qid, tok, CAST(count(*) AS BIGINT) AS df
-                 FROM tf GROUP BY 1, 2),
-         sbm AS (SELECT tf.qid, tf.doc_id, tf.tf,
-                  (10000 * st.n_docs) // dfc.df AS idf_e4,
-                  (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
-                FROM tf JOIN dl USING (doc_id)
-                JOIN dfc ON dfc.qid = tf.qid AND dfc.tok = tf.tok
-                CROSS JOIN st),
-         sc AS (SELECT qid, doc_id,
-                  CAST(sum(idf_e4 * ((tf * 2200 * 10000)
-                    // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
-                    AS BIGINT) AS score_e7
-                FROM sbm GROUP BY 1, 2),
-         rk AS (SELECT qid, doc_id, row_number() OVER (
-                  PARTITION BY qid ORDER BY score_e7 DESC, doc_id) AS rank
-                FROM sc QUALIFY rank <= 10),
-         rel AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS rel
-                 FROM tf GROUP BY 1, 2),
-         dcg AS (SELECT rk.qid,
-                   CAST(sum((1000000 * rel.rel) // (rk.rank + 1)) AS BIGINT)
-                     AS dcg_e6
-                 FROM rk JOIN rel ON rel.qid = rk.qid
-                   AND rel.doc_id = rk.doc_id
-                 GROUP BY 1),
-         irk AS (SELECT qid, doc_id, rel, row_number() OVER (
-                   PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
-                 FROM rel QUALIFY irank <= 10),
-         idcg AS (SELECT qid,
-                    CAST(sum((1000000 * rel) // (irank + 1)) AS BIGINT)
-                      AS idcg_e6
-                  FROM irk GROUP BY 1),
-         mrr AS (SELECT rk.qid, 1000000 // min(rk.rank) AS mrr_e6
-                 FROM rk JOIN rel ON rel.qid = rk.qid
-                   AND rel.doc_id = rk.doc_id
-                 JOIN nq ON nq.qid = rk.qid
-                 WHERE rel.rel = nq.n_q GROUP BY 1),
-         nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
-                  FROM rel GROUP BY 1)
-         SELECT nq.qid, CAST(COALESCE(nrel.n_rel, 0) AS BIGINT) AS n_rel,
-                CAST(COALESCE(mrr.mrr_e6, 0) AS BIGINT) AS mrr_e6,
-                CAST(COALESCE(dcg.dcg_e6, 0) AS BIGINT) AS dcg_e6,
-                CAST(COALESCE(idcg.idcg_e6, 0) AS BIGINT) AS idcg_e6,
-                CAST(CASE WHEN COALESCE(idcg.idcg_e6, 0) > 0
-                     THEN (1000000 * COALESCE(dcg.dcg_e6, 0)) // idcg.idcg_e6
-                     ELSE 0 END AS BIGINT) AS ndcg_e6
-         FROM nq LEFT JOIN nrel USING (qid) LEFT JOIN dcg USING (qid)
-         LEFT JOIN idcg USING (qid) LEFT JOIN mrr USING (qid)
-         ORDER BY qid""",
-    // the index BUILD summary: postings cardinality, vocabulary size,
-    // corpus stats — the two tx commits text_bm25_indexed serves from
-    "text_fts_build" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         p AS (SELECT tok, doc_id FROM tok GROUP BY 1, 2)
-         SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_postings,
-                CAST((SELECT count(DISTINCT tok) FROM p) AS BIGINT)
-                  AS n_terms,
-                CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
-                CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS t_toks""",
-    // 1-based generate_subscripts vs Spark's 0-based posexplode: −1
-    "text_match_phrase" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS tok,
-                   generate_subscripts(toks, 1) AS pos FROM d)
-         SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_phrase,
-                CAST(min(a.pos) - 1 AS BIGINT) AS first_pos
-         FROM tok a JOIN tok b
-           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-          AND a.tok = 'spark' AND b.tok = 'join'
-         GROUP BY 1 ORDER BY 1""",
-    // ES bool query: filter context + scored match; df/N/Σdl stay
-    // INDEX-WIDE (a filter never changes term statistics in ES)
-    "text_bool_search" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(dl) AS BIGINT) AS t_toks FROM dl),
-         tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-                FROM tok WHERE tok IN ('spark', 'join', 'vector')
-                GROUP BY 1, 2),
-         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-                 FROM tf GROUP BY 1),
-         cand AS (SELECT doc_id FROM documents
-                  WHERE lang = 'en' AND n_chars >= 300),
-         s AS (SELECT tf.doc_id, tf.tf,
-                 (10000 * st.n_docs) // dfc.df AS idf_e4,
-                 (1000 * dl.dl * st.n_docs) // st.t_toks AS dlr_e3
-               FROM tf JOIN cand USING (doc_id) JOIN dl USING (doc_id)
-               JOIN dfc USING (tok) CROSS JOIN st),
-         sc AS (SELECT doc_id,
-                 sum(idf_e4 * ((tf * 2200 * 10000)
-                   // (tf * 10000 + 12 * (250 + (750 * dlr_e3) // 1000))))
-                   AS score_e7,
-                 count(*) AS n_terms
-                FROM s GROUP BY 1),
-         r AS (SELECT row_number() OVER (ORDER BY score_e7 DESC, doc_id)
-                 AS rank, doc_id, score_e7, n_terms FROM sc)
-         SELECT CAST(rank AS BIGINT) AS rank, doc_id,
-                CAST(score_e7 AS BIGINT) AS score_e7,
-                CAST(n_terms AS BIGINT) AS n_terms
-         FROM r WHERE rank <= 10 ORDER BY rank""",
-    // ES significant_terms, JLH lift in exact e6 integers
-    "text_significant_terms" ->
-      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
-              FROM documents),
-         fg AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
-                FROM tok GROUP BY 1, 2),
-         fgt AS (SELECT lang, CAST(sum(f) AS BIGINT) AS ft
-                 FROM fg GROUP BY 1),
-         bg AS (SELECT tok, CAST(sum(f) AS BIGINT) AS b FROM fg GROUP BY 1),
-         bgt AS (SELECT CAST(sum(f) AS BIGINT) AS bt FROM fg),
-         s AS (SELECT fg.lang, fg.tok, fg.f, bg.b,
-                 (1000000 * fg.f) // fgt.ft AS fg_e6,
-                 (1000000 * bg.b) // bgt.bt AS bg_e6
-               FROM fg JOIN fgt USING (lang) JOIN bg USING (tok)
-               CROSS JOIN bgt),
-         j AS (SELECT lang, tok, f, b,
-                 ((fg_e6 - bg_e6) * fg_e6) // greatest(bg_e6, 1) AS jlh
-               FROM s WHERE fg_e6 > bg_e6),
-         r AS (SELECT lang, tok, f, b, jlh,
-                 row_number() OVER (PARTITION BY lang
-                   ORDER BY jlh DESC, tok) AS rn FROM j)
-         SELECT lang, CAST(rn AS BIGINT) AS rn, tok, f, b,
-                CAST(jlh AS BIGINT) AS jlh
-         FROM r WHERE rn <= 3 ORDER BY lang, rn""",
-    "sample_mixture" -> {
-      val h = phashSql("CAST(doc_id AS VARCHAR)",
-        graft.operators.Sampling.mixtureSalt)
-      val rateCase = graft.operators.Sampling.mixtureRatesE3
-        .map { case (l, r) => s"WHEN '$l' THEN $r" }
-        .mkString("CASE lang ", " ", " ELSE 0 END")
-      s"""WITH r AS (SELECT doc_id, lang, $rateCase AS rate_e3,
-              $h % 1000 AS hb
-            FROM documents),
-         c AS (SELECT lang, doc_id, rate_e3 // 1000 +
-                 CASE WHEN hb < rate_e3 % 1000 THEN 1 ELSE 0 END AS copies
-               FROM r)
-         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(copies) AS BIGINT) AS n_rows,
-                CAST(sum(doc_id * copies) AS BIGINT) AS id_checksum
-         FROM c WHERE copies > 0 GROUP BY 1 ORDER BY 1"""
-    },
-    "sample_quality_tiers" -> {
-      val h = phashSql("CAST(doc_id AS VARCHAR)",
-        graft.operators.Sampling.tierSalt)
-      val rateCase = graft.operators.Sampling.tierRatesE3
-        .map { case (l, r) => s"WHEN '$l' THEN $r" }
-        .mkString("CASE tier ", " ", " ELSE 0 END")
-      s"""WITH q AS (SELECT doc_id,
-                len(string_split(text, ' ')) AS n_tokens,
-                len(list_distinct(string_split(text, ' '))) AS n_distinct
-              FROM documents),
-         d AS (SELECT doc_id,
-                 (20000 * n_distinct + n_tokens) // (2 * n_tokens) AS dv
-               FROM q),
-         tr AS (SELECT doc_id,
-                  CASE WHEN dv < 5000 THEN 't1_low'
-                       WHEN dv < 6500 THEN 't2_mid'
-                       WHEN dv < 8000 THEN 't3_good'
-                       ELSE 't4_best' END AS tier
-                FROM d),
-         k AS (SELECT doc_id, tier, $rateCase AS p_e3,
-                      ($h % 1000 < $rateCase) AS kept
-               FROM tr)
-         SELECT tier, CAST(min(p_e3) AS BIGINT) AS p_e3,
-                count(*) AS n_total,
-                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_kept,
-                CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
-                  AS id_checksum
-         FROM k GROUP BY 1 ORDER BY 1"""
-    },
-    "dq_winsorize" ->
-      """WITH c AS (SELECT event_type,
-                CAST(round(value * 100) AS BIGINT) AS c, event_id
-              FROM events),
-         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-                   ORDER BY c, event_id) AS rn,
-                 count(*) OVER (PARTITION BY event_type) AS n FROM c),
-         t AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-                 max(CASE WHEN rn = (n + 99) // 100 THEN c END) AS p01_c,
-                 max(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS p99_c
-               FROM r GROUP BY 1)
-         SELECT c.event_type, CAST(max(t.n) AS BIGINT) AS n,
-                CAST(max(p01_c) AS BIGINT) AS p01_c,
-                CAST(max(p99_c) AS BIGINT) AS p99_c,
-                CAST(sum(c.c) AS BIGINT) AS sum_raw_c,
-                CAST(sum(greatest(p01_c, least(p99_c, c.c))) AS BIGINT)
-                  AS sum_clip_c,
-                CAST(sum(CASE WHEN c.c < p01_c THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_lo,
-                CAST(sum(CASE WHEN c.c > p99_c THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_hi
-         FROM c JOIN t USING (event_type)
-         GROUP BY 1 ORDER BY 1""",
-    "a_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-         s1 AS (SELECT user_id, min(us) AS t_view FROM e
-                WHERE event_type = 'view' GROUP BY 1),
-         s2 AS (SELECT e.user_id, min(us) AS t_click FROM e
-                JOIN s1 USING (user_id)
-                WHERE event_type = 'click' AND us > t_view GROUP BY 1),
-         s3 AS (SELECT e.user_id, min(us) AS t_purchase FROM e
-                JOIN s2 USING (user_id)
-                WHERE event_type = 'purchase' AND us > t_click GROUP BY 1),
-         n AS (SELECT '1_view' AS stage, count(*) AS n_users FROM s1
-               UNION ALL SELECT '2_click', count(*) FROM s2
-               UNION ALL SELECT '3_purchase', count(*) FROM s3),
-         f AS (SELECT n_users AS n_first FROM n WHERE stage = '1_view')
-         SELECT stage, n_users,
-                CAST((20000 * n_users + n_first) // (2 * n_first) AS BIGINT)
-                  AS conv_from_first_e4
-         FROM n, f ORDER BY stage""",
-    "a_retention" ->
-      """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day
-                    FROM events),
-         c AS (SELECT user_id, min(day) AS cohort_day FROM e
-               WHERE event_type = 'signup' GROUP BY 1),
-         a AS (SELECT DISTINCT user_id, day FROM e),
-         j AS (SELECT a.user_id,
-                      CAST(c.cohort_day - DATE '1970-01-01' AS BIGINT)
-                        AS cohort_epoch_day,
-                      CAST(a.day - c.cohort_day AS BIGINT) AS day_offset
-               FROM a JOIN c USING (user_id))
-         SELECT cohort_epoch_day, day_offset,
-                count(DISTINCT user_id) AS n_active
-         FROM j WHERE day_offset BETWEEN 0 AND 7
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "sample_temperature" -> {
-      val h = phashSql("CAST(doc_id AS VARCHAR)",
-        graft.operators.Sampling.temperatureSalt)
-      // √ is correctly rounded (IEEE-754) in both engines, so
-      // s_l = floor(sqrt(n)·1e6) is deterministic; everything after
-      // is integer division (HUGEINT = Spark DECIMAL(38,0))
-      s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
-         s AS (SELECT lang, n_total,
-                 CAST(floor(sqrt(CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT)
-                   AS s_l FROM c),
-         tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS corpus_n,
-                        CAST(sum(s_l) AS BIGINT) AS s_sum FROM s),
-         r AS (SELECT lang, n_total,
-                 least(1000,
-                   (CAST(1000 AS HUGEINT) * ((corpus_n * 400) // 1000) * s_l)
-                   // (CAST(s_sum AS HUGEINT) * n_total)) AS p_e3
-               FROM s, tot),
-         m AS (SELECT d.lang, d.doc_id, r.n_total, r.p_e3
-               FROM documents d JOIN r USING (lang)
-               WHERE $h % 1000 < r.p_e3)
-         SELECT lang, CAST(min(n_total) AS BIGINT) AS n_total,
-                CAST(min(p_e3) AS BIGINT) AS p_e3,
-                count(*) AS n_sampled,
-                CAST(sum(doc_id) AS BIGINT) AS id_checksum
-         FROM m GROUP BY 1 ORDER BY 1"""
-    },
-    // deterministic shuffle: the engine's sharded-rank position is
-    // exactly this single global window by construction
-    "sample_shuffle" -> {
-      val h = phashSql("CAST(doc_id AS VARCHAR)",
-        graft.operators.Sampling.shuffleSalt)
-      s"""WITH h AS (SELECT doc_id, $h AS h FROM documents),
-          s AS (SELECT doc_id, h,
-                  h % ${graft.operators.Sampling.shuffleShards} AS shard
-                FROM h)
-          SELECT CAST(row_number() OVER (ORDER BY shard, h, doc_id)
-                   AS BIGINT) AS pos, doc_id, h
-          FROM s ORDER BY pos"""
-    },
-    // token-budget cut: the engine's sharded running total is exactly
-    // this single per-lang window by construction
-    "sample_token_budget" -> {
-      val h = phashSql("CAST(doc_id AS VARCHAR)",
-        graft.operators.Sampling.budgetSalt)
-      val shards = graft.operators.Sampling.shuffleShards
-      val pm = graft.operators.Sampling.budgetPermille
-      s"""WITH d AS (SELECT lang, doc_id,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-                $h AS h
-              FROM documents),
-          s AS (SELECT lang, doc_id, n_toks, h, h % $shards AS shard FROM d),
-          b AS (SELECT lang,
-                  CAST((sum(n_toks) * $pm) // 1000 AS BIGINT) AS budget_toks
-                FROM d GROUP BY 1),
-          c AS (SELECT lang, doc_id, n_toks,
-                  sum(n_toks) OVER (PARTITION BY lang
-                    ORDER BY shard, h, doc_id
-                    ROWS UNBOUNDED PRECEDING) AS cum
-                FROM s),
-          k AS (SELECT c.lang, c.doc_id, c.n_toks, b.budget_toks
-                FROM c JOIN b USING (lang) WHERE c.cum <= b.budget_toks)
-          SELECT lang, CAST(min(budget_toks) AS BIGINT) AS budget_toks,
-                 count(*) AS n_docs,
-                 CAST(sum(n_toks) AS BIGINT) AS toks_kept,
-                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
-          FROM k GROUP BY 1 ORDER BY 1"""
-    },
-    // leakage-safe split: same recursive CC as dedup_cc, split stamped
-    // on the component label — purity holds by construction
-    "sample_leakage_safe" -> {
-      val mh = minhashOracle
-      val hb = phashSql("CAST(component AS VARCHAR)",
-        graft.operators.Sampling.splitSalt)
-      s"""WITH RECURSIVE mh AS (SELECT a, b FROM ($mh)),
-          ed AS (SELECT a AS src, b AS dst FROM mh
-                 UNION SELECT b AS src, a AS dst FROM mh),
-          v AS (SELECT DISTINCT src AS id FROM ed),
-          walk(id, label) AS (
-            SELECT id, id FROM v
-            UNION
-            SELECT ed.dst, walk.label FROM walk JOIN ed ON ed.src = walk.id),
-          cc AS (SELECT id, min(label) AS component FROM walk GROUP BY 1),
-          lab AS (SELECT d.doc_id,
-                    coalesce(cc.component, d.doc_id) AS component
-                  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
-          sp AS (SELECT doc_id, component,
-                   CASE WHEN bucket < 8 THEN 'train'
-                        WHEN bucket = 8 THEN 'dev'
-                        ELSE 'test' END AS split
-                 FROM (SELECT doc_id, component, $hb % 10 AS bucket FROM lab))
-          SELECT split, count(*) AS n_docs,
-                 CAST(count(DISTINCT component) AS BIGINT) AS n_components,
-                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
-          FROM sp GROUP BY 1 ORDER BY 1"""
-    },
-    // bloom-indexed point lookup == the plain IN-list filter
-    "lake_point_read" ->
-      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
-              FROM documents),
-         ids AS (SELECT mn AS id FROM b
-                 UNION ALL SELECT mn + (mx - mn) // 3 FROM b
-                 UNION ALL SELECT mn + 2 * ((mx - mn) // 3) FROM b)
-         SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
-         FROM documents WHERE doc_id IN (SELECT id FROM ids)
-         ORDER BY doc_id""",
-    // copy-on-write DELETE == the plain NOT-BETWEEN filter
-    "lake_delete" ->
-      """WITH b AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 8 + 1 AS lo,
-                min(o_orderkey) + 2 * ((max(o_orderkey) - min(o_orderkey)) // 8)
-                  AS hi
-           FROM orders)
-         SELECT o_orderpriority AS prio, count(*) AS n,
-                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                  AS sum_cents
-         FROM orders, b WHERE o_orderkey NOT BETWEEN b.lo AND b.hi
-         GROUP BY 1 ORDER BY 1""",
-    // time travel: three committed states recomputed relationally —
-    // v0 base customers, v1 after the urgent-order upsert, v2 after
-    // the disjoint-key supplier insert
-    "lake_time_travel" ->
-      """WITH base AS (SELECT c_custkey AS k,
-                CAST(round(c_acctbal * 100) AS BIGINT) AS val_cents
-              FROM customer),
-         upd AS (SELECT o_custkey AS k,
-                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                     AS BIGINT) AS val_cents
-                 FROM orders WHERE o_orderpriority = '1-URGENT'
-                 GROUP BY 1),
-         v1 AS (SELECT base.k,
-                  COALESCE(upd.val_cents, base.val_cents) AS val_cents,
-                  CASE WHEN upd.k IS NOT NULL THEN 1 ELSE 0 END AS updated
-                FROM base LEFT JOIN upd USING (k)),
-         ins AS (SELECT 20000000 + s_suppkey AS k,
-                   CAST(round(s_acctbal * 100) AS BIGINT) AS val_cents
-                 FROM supplier),
-         v2 AS (SELECT k, val_cents, updated FROM v1
-                UNION ALL SELECT k, val_cents, 0 FROM ins)
-         SELECT 'v0' AS state, count(*) AS n_rows,
-                CAST(sum(val_cents) AS BIGINT) AS sum_cents,
-                CAST(0 AS BIGINT) AS n_updated
-         FROM base
-         UNION ALL
-         SELECT 'v1', count(*), CAST(sum(val_cents) AS BIGINT),
-                CAST(sum(updated) AS BIGINT)
-         FROM v1
-         UNION ALL
-         SELECT 'v2', count(*), CAST(sum(val_cents) AS BIGINT),
-                CAST(sum(updated) AS BIGINT)
-         FROM v2
-         ORDER BY state""",
-    // identical magic-mask bit-spreading pipeline as ZOrder.spread16
-    "f_zorder" ->
-      """WITH t AS (SELECT o_custkey % 1024 AS a, o_orderkey % 1024 AS b
-              FROM orders),
-         s0 AS (SELECT a & 65535 AS xa, b & 65535 AS xb FROM t),
-         s1 AS (SELECT (xa | (xa << 8)) & 16711935 AS xa,
-                       (xb | (xb << 8)) & 16711935 AS xb FROM s0),
-         s2 AS (SELECT (xa | (xa << 4)) & 252645135 AS xa,
-                       (xb | (xb << 4)) & 252645135 AS xb FROM s1),
-         s3 AS (SELECT (xa | (xa << 2)) & 858993459 AS xa,
-                       (xb | (xb << 2)) & 858993459 AS xb FROM s2),
-         s4 AS (SELECT (xa | (xa << 1)) & 1431655765 AS xa,
-                       (xb | (xb << 1)) & 1431655765 AS xb FROM s3),
-         z AS (SELECT xa | (xb << 1) AS z FROM s4)
-         SELECT z // 65536 AS z_seg, count(*) AS n,
-                CAST(sum(z) AS BIGINT) AS sum_z
-         FROM z GROUP BY 1 ORDER BY 1""",
-    "dq_profile" ->
-      """SELECT coalesce(lang, 'unknown') AS lang, count(*) AS n_docs,
-                CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
-                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-                CAST(min(n_chars) AS BIGINT) AS min_chars,
-                CAST(max(n_chars) AS BIGINT) AS max_chars,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                (20000 * CAST(sum(n_chars) AS BIGINT) + count(*))
-                  // (2 * count(*)) / 10000.0 AS avg_chars_4dp
-         FROM documents GROUP BY 1 ORDER BY 1""",
-    "dq_expectations" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_ids,
-                CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_null_ids,
-                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_null_lang,
-                CAST(sum(CASE WHEN lang IS NOT NULL
-                              AND NOT regexp_matches(lang, '^[a-z]{2}$')
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
-                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_null_text,
-                CAST(sum(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL
-                              AND n_chars <> length(text)
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
-         FROM documents""",
-    // drift audit: one scan, shares in exact e6, totals via window
-    // over the per-lang aggregate (integer sums promote to HUGEINT in
-    // DuckDB, hence the output CASTs)
-    "dq_drift" ->
-      """WITH a AS (SELECT coalesce(lang, 'unknown') AS lang,
-                count(*) AS n_all,
-                sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS n_gated
-              FROM documents GROUP BY 1)
-         SELECT lang, CAST(n_all AS BIGINT) AS n_all,
-                CAST(n_gated AS BIGINT) AS n_gated,
-                CAST((1000000 * n_all) // (sum(n_all) OVER ())
-                  AS BIGINT) AS share_all_e6,
-                CAST((1000000 * n_gated) // (sum(n_gated) OVER ())
-                  AS BIGINT) AS share_gated_e6,
-                CAST(abs((1000000 * n_all) // (sum(n_all) OVER ())
-                  - (1000000 * n_gated) // (sum(n_gated) OVER ()))
-                  AS BIGINT) AS drift_e6
-         FROM a ORDER BY lang""",
-  )
+  def oracleSql: Map[String, String] =
+    graft.registry.RelationalReg.oracleSql ++
+    graft.registry.DomainReg.oracleSql ++
+    graft.registry.DedupReg.oracleSql ++
+    graft.registry.TextReg.oracleSql ++
+    graft.registry.SimReg.oracleSql ++
+    graft.registry.PipelineReg.oracleSql
 }

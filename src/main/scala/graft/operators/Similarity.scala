@@ -1370,10 +1370,23 @@ object Similarity {
     * (codes serve candidate generation; the exact column serves only
     * the candK rerank and column-prunes out of the scoring scan).
     * Bloom bitmap on `cell` drives the probe point reads. */
-  private def buildIvfSq8Index(spark: SparkSession, dir: String): IvfSq8Index = {
+  private def buildIvfSq8Index(spark: SparkSession, dir: String): IvfSq8Index =
+    buildIvfSq8IndexWith(spark, dir, key = "", scratch = "tx_ivf_sq8",
+      sqrtQuantizer)
+
+  /** [[buildIvfSq8Index]] with the quantizer as a parameter — the
+    * index machinery (range pin, direct encode, 3-commit layout) is
+    * orthogonal to how the centroids were trained, which is the point
+    * of the r11 composition: the SAMPLE-trained quantizer (linear
+    * training, [[sampleQuantizer]]) drops into the same standing-index
+    * lifecycle the full-trained one uses. Registered under
+    * `dir + key` so both indices coexist in one session. */
+  private def buildIvfSq8IndexWith(spark: SparkSession, dir: String,
+      key: String, scratch: String,
+      quant: (SparkSession, String) => (DataFrame, Boolean)): IvfSq8Index = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val (cents, bounded) = sqrtQuantizer(spark, dir)
+    val (cents, bounded) = quant(spark, dir)
     val member = memberCells(spark, dir, cents, bounded)
     val qe = quantized(spark, dir)
     val range = qe.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
@@ -1395,7 +1408,7 @@ object Similarity {
       s"""transform(embedding, x ->
             ((CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) - ${mnv}L)
               * 255) div ${sv}L)""")
-    val pDir = Scratch.fresh("tx_ivf_sq8")
+    val pDir = Scratch.fresh(scratch)
     TxTable(spark, pDir).append(
       Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding"))
@@ -1406,12 +1419,12 @@ object Similarity {
           col("embedding"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
-    val cDir = Scratch.fresh("tx_ivf_sq8_cents")
+    val cDir = Scratch.fresh(scratch + "_cents")
     TxTable(spark, cDir).append(cents)
-    val sDir = Scratch.fresh("tx_ivf_sq8_stats")
+    val sDir = Scratch.fresh(scratch + "_stats")
     TxTable(spark, sDir).append(range)
     val idx = IvfSq8Index(pDir, cDir, sDir)
-    ivfSq8Standing.put(dir, idx)
+    ivfSq8Standing.put(dir + key, idx)
     idx
   }
 
@@ -1421,6 +1434,56 @@ object Similarity {
     val hit = ivfSq8Standing.get(dir)
     if (hit != null) hit else buildIvfSq8Index(spark, dir)
   }
+
+  /** Get-or-build the SAMPLE-trained composed index (Bench warms it so
+    * `sim_ann_ivfsq8_sample` times the serving path alone). */
+  def ensureIvfSq8Sample(spark: SparkSession, dir: String): IvfSq8Index = {
+    val hit = ivfSq8Standing.get(dir + "#sample")
+    if (hit != null) hit
+    else buildIvfSq8IndexWith(spark, dir, key = "#sample",
+      scratch = "tx_ivf_sq8_smp", sampleQuantizer)
+  }
+
+  /** The SAMPLE-trained IVF-SQ8 build as its own declared query — the
+    * r11 composition of the two proven build-cost levers: gate-sampled
+    * Lloyd training (linear instead of N^1.5, [[sampleQuantizer]]) and
+    * the direct SQ8 encode against the pinned range (no N·d exchange,
+    * [[buildIvfSq8IndexWith]]), with the one full-corpus argmin pass
+    * through the map-side-combining [[argminByDist]] kernel as the
+    * only N·k term. Same 3-commit layout as [[ivfSq8Build]]; the audit
+    * row extends its (cell population, pinned range) columns with
+    * `n_sample` — the measured witness that training stayed capped. */
+  def ivfSq8BuildSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.TxTable
+    val idx = buildIvfSq8IndexWith(spark, dir, key = "#sample",
+      scratch = "tx_ivf_sq8_smp", sampleQuantizer)
+    val n = Tables(spark, dir).embeddings.count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val mod = math.max(1L, n / (8L * kk))
+    val nSample = Tables(spark, dir).embeddings
+      .filter(graft.functions.PortableHash
+        .phash(col("vec_id").cast("string"), 7) % mod === 0)
+      .agg(count(lit(1)).as("n_sample"))
+    val range = TxTable(spark, idx.stats).read()
+    TxTable(spark, idx.postings).read()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).cast("long").as("n_vecs"),
+        min(col("n")).cast("long").as("min_cell_pop"),
+        max(col("n")).cast("long").as("max_cell_pop"))
+      .crossJoin(broadcast(range))
+      .crossJoin(broadcast(nSample))
+  }
+
+  /** Recall@k of the sample-trained composed serve ([[annIvfSq8Sample]])
+    * vs the brute-force exact top-k — prices all three approximations
+    * together (sampled centroids, probed-cell candidate loss, 8-bit
+    * code ranking before the rerank); read against
+    * [[annSampleRecall]] (same centroids, uncompressed candidates) the
+    * delta isolates what the codes cost on this alphabet. */
+  def annIvfSq8SampleRecall(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    recallOf(spark, dir, annIvfSq8Sample(spark, dir, k, candK, nprobe), k)
 
   /** The IVF-SQ8 BUILD as its own declared query: owns the quantizer
     * training, the SQ8 range pin, and all three tx commits; returns
@@ -1460,9 +1523,21 @@ object Similarity {
     * sets are bit-identical cross-engine and the whole path shares one
     * oracle with the unindexed algebra. */
   def annIvfSq8(spark: SparkSession, dir: String, k: Int = 5,
-      candK: Int = 20, nprobe: Int = 3): DataFrame = {
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    annIvfSq8From(spark, dir, ensureIvfSq8(spark, dir), k, candK, nprobe)
+
+  /** Multi-probe SQ8-compressed ANN served from the SAMPLE-trained
+    * composed index — same serving mechanics as [[annIvfSq8]] (the
+    * serve never knows how its centroids were trained), over the
+    * sample-trained cell alphabet. Different training set ⇒ different
+    * cells ⇒ its own oracle, like the uncompressed sample family. */
+  def annIvfSq8Sample(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    annIvfSq8From(spark, dir, ensureIvfSq8Sample(spark, dir), k, candK, nprobe)
+
+  private def annIvfSq8From(spark: SparkSession, dir: String,
+      idx: IvfSq8Index, k: Int, candK: Int, nprobe: Int): DataFrame = {
     import graft.lake.TxTable
-    val idx = ensureIvfSq8(spark, dir)
     val cents = TxTable(spark, idx.centroids).read()
     val range = TxTable(spark, idx.stats).read()
     // build-pinned centroid table is k·d rows — metadata-sized, so
