@@ -38,6 +38,8 @@ object Bench {
       "sim_ann_indexed_sqrt" -> ivfSqrt,
       "sim_ann_filtered" -> ivfSqrt,
       "sim_ann_filtered_recall" -> ivfSqrt,
+      "sim_ann_filtered_adaptive" -> ivfSqrt,
+      "sim_ann_filtered_adaptive_recall" -> ivfSqrt,
       "sim_ann_ivfsq8" -> ivfSq8,
       "sim_ann_ivfsq8_recall" -> ivfSq8,
       "sim_ann_indexed_sample" -> ivfSample,

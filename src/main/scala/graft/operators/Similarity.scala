@@ -998,6 +998,67 @@ object Similarity {
     topkByCell(spark, dir, members, probes, k)
   }
 
+  /** The nprobe-widening rule for filtered ANN, as a number a spec can
+    * pin: to hold the UNFILTERED design point's candidate count under
+    * a predicate of selectivity s = n_match/N, the probe list must
+    * grow 1/s× — candidates in probed cells thin out in proportion to
+    * s (the starvation law `FilteredAnnSpec` measured), so
+    * nprobe = min(maxProbe, ⌈baseNprobe · N / n_match⌉), exact integer
+    * ceiling. Selectivity comes from ONE aggregate over the corpus
+    * label column (column-pruned scan; a deployment caches this per
+    * predicate next to the index's cell populations — it changes only
+    * on append, never per query). */
+  def adaptiveNprobe(spark: SparkSession, dir: String, baseNprobe: Int = 3,
+      maxProbe: Int = 8,
+      pred: Column = col("label") === 1): Int = {
+    val r = Tables(spark, dir).embeddings
+      .agg(count(lit(1)).as("n"),
+        sum(when(pred, 1L).otherwise(0L)).as("nm"))
+      .head
+    val n = r.getLong(0)
+    val nm = math.max(r.getLong(1), 1L)
+    math.min(maxProbe.toLong, (baseNprobe.toLong * n + nm - 1L) / nm).toInt
+  }
+
+  /** Predicate-filtered ANN with the ADAPTIVE probe width — the coded
+    * form of the fix `FilteredAnnSpec` demonstrated as prose (VERDICT
+    * r10 task 6): the serve estimates the predicate's selectivity and
+    * widens nprobe by [[adaptiveNprobe]]'s rule, so a ~10%-selective
+    * filter probes maxProbe cells (recall equal to fixed nprobe=8 by
+    * construction) while a permissive filter stays at baseNprobe and
+    * never pays the widened probe fan-out. Serving mechanics are
+    * [[annFilteredSqrt]] verbatim at the chosen width. */
+  def annFilteredAdaptive(spark: SparkSession, dir: String, k: Int = 5,
+      baseNprobe: Int = 3, maxProbe: Int = 8,
+      pred: Column = col("label") === 1): DataFrame =
+    annFilteredSqrt(spark, dir, k,
+      adaptiveNprobe(spark, dir, baseNprobe, maxProbe, pred), pred)
+
+  /** Recall@k of the adaptive filtered serve vs the brute-force exact
+    * top-k AMONG the predicate's survivors — the measured witness that
+    * the widening recovers the starved recall at selective predicates
+    * (compare [[annFilteredRecall]] at the same predicate and fixed
+    * baseNprobe). */
+  def annFilteredAdaptiveRecall(spark: SparkSession, dir: String,
+      k: Int = 5, baseNprobe: Int = 3, maxProbe: Int = 8,
+      pred: Column = col("label") === 1): DataFrame = {
+    val base = Tables(spark, dir).embeddings
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val scored = base.filter(pred)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"))
+    recallVs(annFilteredAdaptive(spark, dir, k, baseNprobe, maxProbe, pred),
+      exact, k)
+  }
+
   /** Recall@k of the FILTERED serve ([[annFilteredSqrt]]) against the
     * brute-force exact top-k AMONG THE PREDICATE'S SURVIVORS — the
     * missing quality number VERDICT r9 named (task 7): filtered ANN's

@@ -70,6 +70,10 @@ object SimReg {
       Similarity.annIvfSq8SampleRecall(s, dir)),
     "sim_ann_filtered_recall" -> ((s: SparkSession, dir: String) =>
       Similarity.annFilteredRecall(s, dir)),
+    "sim_ann_filtered_adaptive" -> ((s: SparkSession, dir: String) =>
+      Similarity.annFilteredAdaptive(s, dir)),
+    "sim_ann_filtered_adaptive_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.annFilteredAdaptiveRecall(s, dir)),
     "sim_centroids" -> Similarity.centroids _,
     "sim_knn_classify" -> Similarity.knnClassify _,
     "sim_pq_adc" -> ((s: SparkSession, dir: String) =>
@@ -219,6 +223,13 @@ object SimReg {
     * arn ≤ nprobe, exact-cosine scoring identical. */
   private[graft] def annSqrtCtes(nprobe: Int, memberWhere: String = "",
       sampleGate: String = ""): String =
+    annSqrtCtesNp(nprobe.toString, memberWhere, sampleGate)
+
+  /** [[annSqrtCtes]] with the probe bound as a SQL EXPRESSION — the
+    * adaptive-nprobe oracle passes the selectivity-widening scalar
+    * subquery where the fixed-width family passes a literal. */
+  private[graft] def annSqrtCtesNp(nprobe: String, memberWhere: String = "",
+      sampleGate: String = ""): String =
     s"""${lloydCtes(sqrtKSql, "", sampleGate)},
         cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
         qvs AS (SELECT vec_id,
@@ -308,6 +319,51 @@ object SimReg {
               / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
           FROM nn q JOIN nn t ON t.vec_id != q.vec_id
           JOIN embeddings te ON te.vec_id = t.vec_id AND (te.label % 2) = 1
+          WHERE q.vec_id < 5),
+        bfr AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
+        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
+        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
+                 FROM approx a LEFT JOIN gt b
+                   ON a.qid = b.qid AND a.nid = b.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
+        FROM (SELECT DISTINCT qid FROM gt) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""
+
+  /** SQL twin of `Similarity.adaptiveNprobe` (base 3, cap 8, predicate
+    * label = 1): exact-integer ceiling of base·N/n_match, the
+    * selectivity-widening rule. */
+  private[graft] val adaptiveNprobeSql: String =
+    """(SELECT least(8, (3 * count(*)
+          + greatest(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END), 1) - 1)
+          // greatest(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END), 1))
+        FROM embeddings)"""
+
+  /** Mirror of `Similarity.annFilteredAdaptive`: the filtered √N serve
+    * with the probe bound computed from the predicate's measured
+    * selectivity instead of hard-coded — at the ~10%-selective
+    * `label = 1` the rule saturates at the cap, so recall equals the
+    * fixed nprobe=8 serve by construction. */
+  private[graft] val annFilteredAdaptiveOracle: String =
+    s"""WITH ${annSqrtCtesNp(adaptiveNprobeSql,
+          "JOIN embeddings e ON e.vec_id = m.vec_id AND e.label = 1")}
+        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Recall@5 of the adaptive filtered serve vs the exact top-5 among
+    * the predicate's survivors. */
+  private[graft] val annFilteredAdaptiveRecallOracle: String =
+    s"""WITH ${annSqrtCtesNp(adaptiveNprobeSql,
+          "JOIN embeddings e ON e.vec_id = m.vec_id AND e.label = 1")},
+        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
+          JOIN embeddings te ON te.vec_id = t.vec_id AND te.label = 1
           WHERE q.vec_id < 5),
         bfr AS (SELECT qid, nid, row_number() OVER (
                   PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
@@ -704,6 +760,10 @@ object SimReg {
     // filtered-ANN recall: approx and ground truth BOTH under the
     // member predicate — isolates probe starvation (VERDICT r9 #7)
     "sim_ann_filtered_recall" -> annFilteredRecallOracle,
+    // adaptive probe width (r11): nprobe widens with 1/selectivity,
+    // capped — the coded fix for the probe-starvation law
+    "sim_ann_filtered_adaptive" -> annFilteredAdaptiveOracle,
+    "sim_ann_filtered_adaptive_recall" -> annFilteredAdaptiveRecallOracle,
     "sim_centroids" ->
       """WITH q AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q

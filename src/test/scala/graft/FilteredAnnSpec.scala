@@ -32,6 +32,33 @@ class FilteredAnnSpec extends SparkSpec {
     assert(wide > 0.0, "widened probe found no true neighbors at all")
   }
 
+  test("adaptive nprobe widens with 1/selectivity and caps, never below base") {
+    // the widening rule itself (r11 task 6): ~10% selectivity must
+    // saturate at the cap, ~50% must widen but stay under it, and a
+    // predicate keeping everything must stay at the base width
+    val atTen = Similarity.adaptiveNprobe(spark, sf, 3, 8, col("label") === 1)
+    val atHalf = Similarity.adaptiveNprobe(spark, sf, 3, 8,
+      pmod(col("label"), lit(2)) === 1)
+    val atAll = Similarity.adaptiveNprobe(spark, sf, 3, 8, lit(true))
+    info(s"adaptive nprobe: sel~10% -> $atTen, sel~50% -> $atHalf, sel=1 -> $atAll")
+    assert(atTen == 8, s"~10% selectivity should cap at 8, got $atTen")
+    assert(atHalf > 3 && atHalf < 8,
+      s"~50% selectivity should widen above base without hitting the cap, got $atHalf")
+    assert(atAll == 3, s"permissive predicate must stay at base 3, got $atAll")
+  }
+
+  test("adaptive serve matches the fixed-cap recall at ~10% selectivity") {
+    val selective = col("label") === 1
+    val fixedCap = meanRecall(8, selective)
+    val adaptive = Similarity
+      .annFilteredAdaptiveRecall(spark, sf, 5, 3, 8, selective)
+      .agg(avg(col("recall_e6"))).head().getDouble(0) / 1e6
+    info(f"recall@5 at ~10%% selectivity: fixed nprobe=8 $fixedCap%.2f, adaptive $adaptive%.2f")
+    // the rule saturates at the cap here, so the serves are identical
+    assert(adaptive == fixedCap,
+      s"adaptive recall $adaptive != fixed-cap recall $fixedCap")
+  }
+
   test("half-selectivity recall at default nprobe stays in family with unfiltered") {
     val half = meanRecall(3, pmod(col("label"), lit(2)) === 1)
     val unfiltered = Similarity.annSqrtRecall(spark, sf)
