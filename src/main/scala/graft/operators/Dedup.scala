@@ -548,25 +548,44 @@ object Dedup {
   }
 
   /** Winnowed repeated-substring signal — [[substringDup]]'s at-scale
-    * form: keep only windows whose md5 digest starts with '0' or '8'
-    * (2/16 = a deterministic 1/8 content-defined sample, the
-    * fingerprint-selection idea of Schleimer/Wilkerson/Aiken's
+    * form: keep a deterministic ~1/8 content-defined window sample
+    * (the fingerprint-selection idea of Schleimer/Wilkerson/Aiken's
     * winnowing and of every production near-dup pipeline that can't
     * afford the full gram table), and compute the SAME dup statistics
     * over the selected windows. Content-defined means
-    * alignment-independent: a window shared between two documents has
-    * one digest, so it is selected in BOTH or NEITHER — cross-doc
-    * detection power per selected window is exactly the full metric's
-    * (positional striding lacks this: a shared span at different
-    * offsets mod s produces disjoint window sets). dup_frac becomes
-    * an unbiased 1/8-sample estimate of the full fraction; `n_win`
-    * counts SELECTED windows (0 for short unlucky docs — kept, with
-    * the fraction pinned to 0). Gate is exact string arithmetic on
-    * the hex digest, bit-identical in the DuckDB oracle; the
+    * alignment-independent: selection is a pure function of the
+    * window string, so a window shared between two documents is
+    * selected in BOTH or NEITHER — cross-doc detection power per
+    * selected window is exactly the full metric's (positional
+    * striding lacks this: a shared span at different offsets mod s
+    * produces disjoint window sets). dup_frac becomes an unbiased
+    * ~1/8-sample estimate of the full fraction; `n_win` counts
+    * SELECTED windows (0 for short unlucky docs — kept, with the
+    * fraction pinned to 0). The gate ([[winnowGateSql]]) is exact
+    * integer arithmetic, bit-identical in the DuckDB oracle; the
     * selection-restriction law (winnow ≡ full metric restricted to
     * gated grams) is asserted in `DedupPlantedSpec`. Cuts the
-    * one-exchange plan's shuffle ~8× (the explode + md5 CPU remains —
-    * the gate reads the digest, so it must be computed). */
+    * one-exchange plan's shuffle ~8× AND — since the r11 two-stage
+    * gate — the md5-per-window CPU ~8×: the digest that used to be
+    * computed for every window just to read its first hex char now
+    * runs only on the gated survivors. */
+  /** The winnow selection gate, two-stage since r11 (VERDICT r10 task
+    * 4a): a CHEAP 5-char weighted mix over the window string picks the
+    * ~1/8 content-defined sample (measured 12.58% at sf0.01), and the
+    * md5 digest — formerly computed for EVERY window just to read its
+    * first hex char — runs only on the survivors. The mix reads chars
+    * at 5 spread offsets with distinct odd weights, so adjacent
+    * windows gate near-independently while a window SHARED between
+    * documents (the property winnowing needs) still gates identically
+    * in both — selection is a pure function of the window string.
+    * ascii('') = 0 on both engines, so short-doc windows (< 40 chars)
+    * gate deterministically too. Exact integer arithmetic end-to-end:
+    * the DuckDB oracle embeds this same expression. */
+  private[graft] val winnowGateSql: String =
+    """(ascii(substring(w, 3, 1)) * 131 + ascii(substring(w, 11, 1)) * 137
+      + ascii(substring(w, 19, 1)) * 139 + ascii(substring(w, 27, 1)) * 149
+      + ascii(substring(w, 35, 1)) * 151) % 8 = 0"""
+
   def substringDupWinnow(spark: SparkSession, dir: String,
       k: Int = 40): DataFrame = {
     val t = Tables(spark, dir)
@@ -574,9 +593,9 @@ object Dedup {
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))"))
           .as("i"))
-      .select(col("doc_id"), expr(s"md5(substring(text, i, $k))").as("h"))
-      .filter(substring(col("h"), 1, 1).isin("0", "8"))
-      .select(col("doc_id"), expr("unhex(h)").as("gram"))
+      .select(col("doc_id"), expr(s"substring(text, i, $k)").as("w"))
+      .filter(expr(winnowGateSql))
+      .select(col("doc_id"), expr("unhex(md5(w))").as("gram"))
     val perDocGram = wins.repartition(col("gram"))
       .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("m"))
