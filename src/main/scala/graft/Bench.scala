@@ -30,6 +30,7 @@ object Bench {
     val ivfSq8 = graft.operators.Similarity.ensureIvfSq8 _
     val ivfSample = graft.operators.Similarity.ensureIvfSample _
     val ivfSq8Smp = graft.operators.Similarity.ensureIvfSq8Sample _
+    val ivfPq = graft.operators.Similarity.ensureIvfPq _
     val indexOf = Map[String, (SparkSession, String) => Any](
       "text_bm25_indexed" -> fts,
       // stream_fts_serve builds its OWN fresh tx_fts_stream index via
@@ -45,7 +46,9 @@ object Bench {
       "sim_ann_indexed_sample" -> ivfSample,
       "sim_ann_recall_sample" -> ivfSample,
       "sim_ann_ivfsq8_sample" -> ivfSq8Smp,
-      "sim_ann_ivfsq8_sample_recall" -> ivfSq8Smp)
+      "sim_ann_ivfsq8_sample_recall" -> ivfSq8Smp,
+      "sim_ann_ivfpq" -> ivfPq,
+      "sim_ann_ivfpq_recall" -> ivfPq)
     indexOf.toSeq
       .filter { case (q, _) => subset.forall(_(q)) }
       .map(_._2).distinct

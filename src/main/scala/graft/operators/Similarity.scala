@@ -1697,6 +1697,191 @@ object Similarity {
     recallOf(spark, dir, annIvfSq8(spark, dir, k, candK, nprobe), k)
 
   // ----------------------------------------------------------------
+  // IVF-PQ: the composed standing index at the higher-compression
+  // point on the same curve as IVF-SQ8 — √N Lloyd cells carrying
+  // 8-byte PQ codes, ADC candidate scoring, exact rerank on survivors.
+  // ----------------------------------------------------------------
+
+  /** Standing IVF-PQ index: cell-clustered postings
+    * (cell, vec_id, codes, embedding) under the ⌈√N⌉ Lloyd quantizer,
+    * where `codes` is the vector's 8-subspace product-quantization
+    * encoding ([[pqAdc]]'s per-label subspace codebooks — argmin of
+    * exact integer subspace distance), plus the pinned centroid table
+    * and the pinned codebook. Where SQ8 stores 1 B/dim (4×
+    * compression), PQ stores 8 codes for 64 dims (~32×): the scoring
+    * scan reads 8 small ints per candidate and the query's
+    * constant-size distance table does the rest — the FAISS `IVF…,PQ8`
+    * layout. */
+  final case class IvfPqIndex(postings: String, centroids: String,
+      codebook: String)
+
+  private val ivfPqStanding =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+
+  /** Per-(subspace, label) codebook over e4 coords — half-up integer
+    * means, the deterministic stand-in for per-subspace kmeans
+    * ([[pqAdc]]'s construction, 8·|labels|·8 rows, bounded). */
+  private def pqCodebook(qe: DataFrame): DataFrame =
+    qe.withColumn("sub", expr("dim div 8"))
+      .groupBy(col("sub"), col("label").as("code"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("sub"), col("code"), col("dim"),
+        expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+          .as("c"))
+
+  /** One pass into the standing IVF-PQ index: train the ⌈√N⌉
+    * quantizer (same deterministic Lloyd ⇒ same cell alphabet as the
+    * √N/SQ8 indices), pin the PQ codebook, encode every vector as its
+    * 8 argmin sub-centroids (map-side-combining `min_by` — the r10
+    * argmin kernel, no N·8·k window sort), and lay the postings out
+    * cell-range-partitioned with codes AND exact vectors side by side
+    * (codes serve ADC candidate generation; the exact column serves
+    * only the candK rerank and column-prunes out of the scoring
+    * scan). */
+  private def buildIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val (cents, bounded) = sqrtQuantizer(spark, dir)
+    val member = memberCells(spark, dir, cents, bounded)
+    val qe = qe4(spark, dir)
+    val cb = pqCodebook(qe).localCheckpoint() // 8·|labels|·8 rows, pinned
+    val subDist = qe.withColumn("sub", expr("dim div 8"))
+      .join(broadcast(cb), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    val codes = subDist
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val pqcodes = codes.groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)")
+        .as("codes"))
+    val pDir = Scratch.fresh("tx_ivf_pq")
+    TxTable(spark, pDir).append(
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+        .join(member, Seq("vec_id"))
+        .join(pqcodes, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val cDir = Scratch.fresh("tx_ivf_pq_cents")
+    TxTable(spark, cDir).append(cents)
+    val bDir = Scratch.fresh("tx_ivf_pq_cb")
+    TxTable(spark, bDir).append(cb)
+    val idx = IvfPqIndex(pDir, cDir, bDir)
+    ivfPqStanding.put(dir, idx)
+    idx
+  }
+
+  /** Get-or-build the standing IVF-PQ index (Bench warms it so
+    * `sim_ann_ivfpq` times the point-read + ADC serving path). */
+  def ensureIvfPq(spark: SparkSession, dir: String): IvfPqIndex = {
+    val hit = ivfPqStanding.get(dir)
+    if (hit != null) hit else buildIvfPqIndex(spark, dir)
+  }
+
+  /** The IVF-PQ build as its own declared query: owns the quantizer
+    * training, the codebook pin, the `min_by` encode, and all three
+    * tx commits; returns the cell-population audit extended with the
+    * codebook row count — the build-time decision (code alphabet
+    * size) a deployment monitors alongside the cell alphabet. */
+  def ivfPqBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.TxTable
+    val idx = buildIvfPqIndex(spark, dir)
+    val cbRows = TxTable(spark, idx.codebook).read()
+      .agg(count(lit(1)).as("cb_rows"))
+    TxTable(spark, idx.postings).read()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).cast("long").as("n_vecs"),
+        min(col("n")).cast("long").as("min_cell_pop"),
+        max(col("n")).cast("long").as("max_cell_pop"))
+      .crossJoin(broadcast(cbRows))
+  }
+
+  /** Multi-probe ANN served from the standing IVF-PQ index — the ADC
+    * form of [[annIvfSq8]]'s composition. Per query:
+    *  1. rank probe cells on the build-pinned centroid table
+    *     (nprobe/⌈√N⌉ of the corpus, shrinking as N grows);
+    *  2. Bloom-pruned point read of the probed cells' postings,
+    *     projecting ONLY (cell, vec_id, codes) — 8 small ints per
+    *     candidate, the 32× compression the scoring scan pays for;
+    *  3. ADC: the query's exact distance to every (sub, code)
+    *     centroid is a constant-size table (|Q|·8·|codes| rows,
+    *     broadcast); a candidate's approximate distance is the sum of
+    *     8 table lookups over its codes (posexplode + broadcast
+    *     equi-join + map-side-combined sum). Keep candK per query;
+    *  4. exact-rerank ONLY the survivors against vectors from the
+    *     SAME probed-cell read.
+    * Codebook, codes, and distance tables are exact integers, so
+    * candidate sets are bit-identical cross-engine. */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame = {
+    import graft.lake.TxTable
+    val idx = ensureIvfPq(spark, dir)
+    val cents = TxTable(spark, idx.centroids).read()
+    val bounded = cents.count() * 24L <= (32L << 20)
+    val probes = (if (bounded)
+        rankedByDist(Tables(spark, dir).embeddings
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")), cents)
+      else rankedTo(quantized(spark, dir).filter(col("vec_id") < 5), cents))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    val cellIds = probes.select(col("q_cell")).distinct()
+      .collect().map(r => lit(r.get(0))).toSeq
+    val postings = TxTable(spark, idx.postings).readWhereIn("cell", cellIds)
+    // query distance table against the PINNED codebook: |Q|·8·|codes|
+    // rows — metadata-sized, broadcast with the probe list
+    val cb = TxTable(spark, idx.codebook).read()
+    val qd = qe4(spark, dir).filter(col("vec_id") < 5)
+      .withColumn("sub", expr("dim div 8"))
+      .join(broadcast(cb), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+      .select(col("vec_id").as("qid"), col("sub"), col("code"), col("d2"))
+    val cand = postings
+      .select(col("cell"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .withColumn("sub", col("sub").cast("long"))
+      .join(broadcast(probes), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qd), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist2"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+    val top = cand.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= candK)
+      .select(col("qid"), col("vec_id").as("nid"), col("adc_dist2"))
+    val rer = top
+      .join(postings.select(col("vec_id").as("nid"),
+        col("embedding").as("n_emb")), Seq("nid"))
+      .join(broadcast(Tables(spark, dir).embeddings
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))),
+        Seq("qid"))
+      .withColumn("cos_e6",
+        graft.functions.CosineSimQ.cosineSimE6(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("nid"))
+    rer.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("adc_dist2"), col("cos_e6"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Recall@k of the IVF-PQ serve vs the brute-force exact top-k —
+    * prices the probed-cell candidate loss plus the 8-byte ADC
+    * ranking loss before the rerank; read against [[annSqrtRecall]]
+    * (same cells, exact candidates) the delta is what PQ's 32×
+    * compression costs in candidate quality. */
+  def annIvfPqRecall(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    recallOf(spark, dir, annIvfPq(spark, dir, k, candK, nprobe), k)
+
+  // ----------------------------------------------------------------
   // Grow-aware √N index maintenance: auto re-bucket under appends.
   // ----------------------------------------------------------------
 

@@ -78,6 +78,12 @@ object SimReg {
     "sim_knn_classify" -> Similarity.knnClassify _,
     "sim_pq_adc" -> ((s: SparkSession, dir: String) =>
       Similarity.pqAdc(s, dir)),
+    "sim_ivfpq_build" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfPqBuild(s, dir)),
+    "sim_ann_ivfpq" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfPq(s, dir)),
+    "sim_ann_ivfpq_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfPqRecall(s, dir)),
   )
 
   /** Shared IVF-assignment CTEs (mirror `Similarity.ivfAssign`):
@@ -497,6 +503,90 @@ object SimReg {
         FROM (SELECT DISTINCT qid FROM gt) q
         LEFT JOIN hits h USING (qid) ORDER BY qid"""
 
+  /** Mirror of `Similarity.annIvfPq` — the composed IVF-PQ serving
+    * stack: √N Lloyd cell membership/probes ([[lloydCtes]]'s `asgk`),
+    * per-(subspace, label) codebook ([[pqAdcOracle]]'s construction),
+    * every vector encoded as its 8 argmin sub-centroids, ADC candidate
+    * scoring (sum of the query's 8 exact table distances over the
+    * candidate's codes) restricted to probed-cell members, candK=20
+    * survivors, exact cosine rerank. Exact integers end-to-end. */
+  private[graft] val annIvfPqCtes: String =
+    s"""${lloydCtes(sqrtKSql)},
+        cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
+        qel AS (SELECT qe.vec_id, e.label, qe.dim,
+                  qe.dim // 8 AS sub, qe.q
+                FROM qe JOIN embeddings e USING (vec_id)),
+        cb AS (SELECT sub, label AS code, dim,
+            CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+          FROM qel GROUP BY 1, 2, 3),
+        sd AS (SELECT qel.vec_id, qel.sub, cb.code,
+            CAST(sum((qel.q - cb.c) * (qel.q - cb.c)) AS BIGINT) AS d2
+          FROM qel JOIN cb ON qel.sub = cb.sub AND qel.dim = cb.dim
+          GROUP BY 1, 2, 3),
+        pcodes AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, code) AS ern FROM sd)
+          WHERE ern = 1),
+        qs AS (SELECT vec_id AS qid, cell FROM asgk
+               WHERE arn <= 3 AND vec_id < 5),
+        qd AS (SELECT vec_id AS qid, sub, code, d2 FROM sd
+               WHERE vec_id < 5),
+        adc AS (SELECT qs.qid, m.vec_id AS nid,
+            CAST(sum(qd.d2) AS BIGINT) AS adc_dist2
+          FROM qs
+          JOIN cellof m ON m.cell = qs.cell AND m.vec_id != qs.qid
+          JOIN pcodes c ON c.vec_id = m.vec_id
+          JOIN qd ON qd.qid = qs.qid AND qd.sub = c.sub AND qd.code = c.code
+          GROUP BY 1, 2),
+        surv AS (SELECT qid, nid, adc_dist2 FROM (
+            SELECT qid, nid, adc_dist2, row_number() OVER (
+              PARTITION BY qid ORDER BY adc_dist2, nid) AS crn
+            FROM adc) WHERE crn <= 20),
+        qvs AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+                FROM embeddings),
+        nn AS (SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u)) AS BIGINT) AS nrm
+               FROM qvs),
+        rer AS (SELECT surv.qid, surv.nid, surv.adc_dist2,
+            CAST(floor(CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                             CAST(b.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM surv
+          JOIN nn a ON a.vec_id = surv.qid
+          JOIN nn b ON b.vec_id = surv.nid),
+        ranked AS (SELECT qid, nid, adc_dist2, cos_e6, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn
+                   FROM rer)"""
+
+  private[graft] val annIvfPqOracle: String =
+    s"""WITH $annIvfPqCtes
+        SELECT qid, nid, adc_dist2, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Recall@5 of the IVF-PQ serve vs the brute-force exact top-5. */
+  private[graft] val annIvfPqRecallOracle: String =
+    s"""WITH $annIvfPqCtes,
+        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
+          WHERE q.vec_id < 5),
+        bfr AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
+        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
+        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
+                 FROM approx a LEFT JOIN gt b
+                   ON a.qid = b.qid AND a.nid = b.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
+        FROM (SELECT DISTINCT qid FROM gt) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""
+
   /** Recall@5 of the EXACT √N-cell probe path — the probe-limited
     * ceiling: [[annIvfSq8RecallOracle]]'s composed number minus this
     * one is the 8-bit ranking loss (0 after the decoded-dot fix). */
@@ -790,5 +880,26 @@ object SimReg {
           WHERE r.vr = 1 ORDER BY r.qid"""
     },
     "sim_pq_adc" -> pqAdcOracle,
+    // IVF-PQ standing index (r11 stretch): the higher-compression
+    // point on the composed-index curve — PQ codes in the postings,
+    // ADC candidate scoring, exact rerank; cb_rows in the build audit
+    // pins the pinned codebook's size
+    "sim_ivfpq_build" ->
+      s"""WITH ${lloydCtes(sqrtKSql)},
+          pop AS (SELECT cell, count(*) AS n FROM asgk
+                  WHERE arn = 1 GROUP BY 1),
+          qel AS (SELECT qe.vec_id, e.label, qe.dim,
+                    qe.dim // 8 AS sub, qe.q
+                  FROM qe JOIN embeddings e USING (vec_id)),
+          cbn AS (SELECT CAST(count(*) AS BIGINT) AS cb_rows FROM (
+                    SELECT sub, label, dim FROM qel GROUP BY 1, 2, 3))
+          SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS n_vecs,
+                 CAST(min(n) AS BIGINT) AS min_cell_pop,
+                 CAST(max(n) AS BIGINT) AS max_cell_pop,
+                 CAST(max(cb_rows) AS BIGINT) AS cb_rows
+          FROM pop CROSS JOIN cbn""",
+    "sim_ann_ivfpq" -> annIvfPqOracle,
+    "sim_ann_ivfpq_recall" -> annIvfPqRecallOracle,
   )
 }
