@@ -143,7 +143,18 @@ class PlanSpec extends SparkSpec {
       // (training just reads fewer rows); recall queries embed the
       // broadcast-queries ground-truth cross like sim_ann_recall_sqrt
       "sim_ivf_build_sample", "sim_ann_indexed_sample",
-      "sim_ann_recall_sample", "sim_ann_filtered_recall")
+      "sim_ann_recall_sample", "sim_ann_filtered_recall",
+      // r11: sample-trained composed index (same 1-row range cross +
+      // proven-bound centroid kernel cross as the full-trained SQ8
+      // family; recalls embed the broadcast-queries ground-truth leg)
+      "sim_ivfsq8_build_sample", "sim_ann_ivfsq8_sample",
+      "sim_ann_ivfsq8_sample_recall",
+      // r11: adaptive filtered serve = annFilteredSqrt at a computed
+      // width — same kernel cross; recall adds the ground-truth leg
+      "sim_ann_filtered_adaptive", "sim_ann_filtered_adaptive_recall",
+      // r11: IVF-PQ — centroid kernel cross at build and serve (probe
+      // ranking); recall embeds the ground-truth cross
+      "sim_ivfpq_build", "sim_ann_ivfpq", "sim_ann_ivfpq_recall")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
