@@ -57,7 +57,7 @@ SPARK_GRAFT_SF_DIR=target/scale/x10 SPARK_GRAFT_CPUS=32 \
 tail -1 "$OUT/r11_spark_x10.json"
 
 echo "=== anchor refresh: DuckDB oracle at x10 $(date +%T) ==="
-python3 tools/bench_oracle.py /tmp/v_pq target/scale/x10 2 300 \
+python3 tools/bench_oracle.py /tmp/v_r11 target/scale/x10 2 300 \
   > "$OUT/r11_duck_x10.json" 2>"$OUT/r11_duck_x10.err"
 tail -c 2000 "$OUT/r11_duck_x10.json"
 
