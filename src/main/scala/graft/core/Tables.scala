@@ -40,6 +40,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documentsSpread: DataFrame = documents
     .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
 
+  /** [[documentsSpread]]'s embedding-table twin (the FIFTH sighting of
+    * the single-input-split lesson, caught by the r11 x100 sweep): the
+    * embeddings table is one parquet file well under
+    * `files.maxPartitionBytes`, so Spark scans it as ONE split — and
+    * every kernel that multiplies rows AFTER the scan in the same
+    * stage (the N·k argmin crossJoin, the N·d posexplode quantize, the
+    * N·d·8 PQ sub-distance expansion) inherits that single task. At
+    * x100 the argmin kernel's partial `min_by` sort-aggregated all
+    * N·k ≈ 89M scored rows on one core while 15 sat idle. One
+    * corpus-embedding-sized exchange here buys session-wide
+    * parallelism for every downstream expansion. */
+  def embeddingsSpread: DataFrame = embeddings
+    .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+
   /** `events.ts` is written as parquet timestamp[ns] (no TZ). With
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set by
     * [[Sessions]]) it reads as LongType nanos; convert to a proper

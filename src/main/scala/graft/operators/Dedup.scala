@@ -586,6 +586,34 @@ object Dedup {
       + ascii(substring(w, 19, 1)) * 139 + ascii(substring(w, 27, 1)) * 149
       + ascii(substring(w, 35, 1)) * 151) % 8 = 0"""
 
+  /** [[winnowGateSql]] evaluated at TEXT offsets: the same five
+    * window-content chars (w-position p = text position i + p − 1),
+    * the same polynomial, the same selection — but with NO per-window
+    * string materialized. The r11 x100 WinnowAB measured the naive
+    * two-stage form (select substring(text,i,k) AS w, filter on w,
+    * md5 survivors) LOSING to the r10 compute-md5-for-everything gate
+    * (134.2 s vs 59.0 s min): a 40-char string alloc per window
+    * across O(corpus chars) windows costs more than the md5 it
+    * saves — the substring family's string-alloc lesson again. This
+    * form allocates nothing per window (five 1-char reads off the
+    * document text), so the md5+substring pair runs only on the ~1/8
+    * survivors. Short-text windows agree too: past-end reads are ''
+    * and ascii('')=0 in both forms. The oracle keeps the w-form
+    * ([[winnowGateSql]]) applied to its materialized window — the
+    * driver's hash compare and `DedupPlantedSpec`'s
+    * selection-restriction law both pin the two forms equal. */
+  private def winnowGateAtOffset(k: Int): String = {
+    // offsets are window-content reads only while the window covers
+    // w-position 35; below that the offset form would read past the
+    // window into the document — no longer a function of the window
+    require(k >= 35, s"winnow gate reads w-position 35; k=$k < 35")
+    """(ascii(substring(text, i + 2, 1)) * 131
+      + ascii(substring(text, i + 10, 1)) * 137
+      + ascii(substring(text, i + 18, 1)) * 139
+      + ascii(substring(text, i + 26, 1)) * 149
+      + ascii(substring(text, i + 34, 1)) * 151) % 8 = 0"""
+  }
+
   def substringDupWinnow(spark: SparkSession, dir: String,
       k: Int = 40): DataFrame = {
     val t = Tables(spark, dir)
@@ -593,9 +621,8 @@ object Dedup {
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))"))
           .as("i"))
-      .select(col("doc_id"), expr(s"substring(text, i, $k)").as("w"))
-      .filter(expr(winnowGateSql))
-      .select(col("doc_id"), expr("unhex(md5(w))").as("gram"))
+      .filter(expr(winnowGateAtOffset(k)))
+      .select(col("doc_id"), expr(s"unhex(md5(substring(text, i, $k)))").as("gram"))
     val perDocGram = wins.repartition(col("gram"))
       .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("m"))

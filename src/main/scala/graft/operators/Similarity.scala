@@ -126,7 +126,7 @@ object Similarity {
     * coordinate — the shared front of the label-seeded IVF family. */
   private def qe4(spark: SparkSession, dir: String): DataFrame = {
     val q4 = "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
-    Tables(spark, dir).embeddings
+    Tables(spark, dir).embeddingsSpread
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
@@ -221,7 +221,7 @@ object Similarity {
   /** (vec_id, dim, q): every embedding exploded to its e4-quantized
     * integer coordinates — the input shape of the Lloyd iterations. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    quantizedOf(Tables(spark, dir).embeddings)
+    quantizedOf(Tables(spark, dir).embeddingsSpread)
 
   /** [[quantized]] over any (vec_id, embedding) frame — the grow-aware
     * index maintenance path feeds deltas and merged snapshots here. */
@@ -695,7 +695,7 @@ object Similarity {
   private def memberCells(spark: SparkSession, dir: String, cents: DataFrame,
       bounded: Boolean): DataFrame =
     if (bounded)
-      argminByDist(Tables(spark, dir).embeddings
+      argminByDist(Tables(spark, dir).embeddingsSpread
         .select(col("vec_id"), col("embedding")), cents)
     else rankedTo(quantized(spark, dir), cents)
       .filter(col("crn") === 1).select(col("vec_id"), col("cell"))
@@ -764,7 +764,8 @@ object Similarity {
     // training against the hot cache and cuts its lineage...
     val cents =
       (if (bounded) lloydCentroidsFast(
-         Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
+         Tables(spark, dir).embeddingsSpread
+           .select(col("vec_id"), col("embedding")),
          qeT, kk, 2)
        else lloydCentroids(qeT, kk, 2, boundedK = false))
         .localCheckpoint()
@@ -1117,10 +1118,15 @@ object Similarity {
     val n = nd.getLong(0)
     val kk = math.ceil(math.sqrt(n.toDouble)).toInt
     val mod = math.max(1L, n / (8L * kk))
+    // the gated sample inherits the raw scan's single input split, and
+    // every training argmin crosses it k ways in-stage — spread the
+    // 8·⌈√N⌉ survivors once (metadata-sized exchange) so the Lloyd
+    // iterations parallelize like the full-corpus paths do
     val sample = Tables(spark, dir).embeddings
       .filter(graft.functions.PortableHash
         .phash(col("vec_id").cast("string"), 7) % mod === 0)
       .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
     // persist (NOT localCheckpoint) for the same freeable-block reason
     // as [[sqrtQuantizer]] — though here the pinned input is 8k·d
