@@ -561,59 +561,27 @@ object Dedup {
     * produces disjoint window sets). dup_frac becomes an unbiased
     * ~1/8-sample estimate of the full fraction; `n_win` counts
     * SELECTED windows (0 for short unlucky docs — kept, with the
-    * fraction pinned to 0). The gate ([[winnowGateSql]]) is exact
-    * integer arithmetic, bit-identical in the DuckDB oracle; the
+    * fraction pinned to 0). The gate (md5-prefix in '0'/'8') is
+    * exact string arithmetic, bit-identical in the DuckDB oracle; the
     * selection-restriction law (winnow ≡ full metric restricted to
     * gated grams) is asserted in `DedupPlantedSpec`. Cuts the
-    * one-exchange plan's shuffle ~8× AND — since the r11 two-stage
-    * gate — the md5-per-window CPU ~8×: the digest that used to be
-    * computed for every window just to read its first hex char now
-    * runs only on the gated survivors. */
-  /** The winnow selection gate, two-stage since r11 (VERDICT r10 task
-    * 4a): a CHEAP 5-char weighted mix over the window string picks the
-    * ~1/8 content-defined sample (measured 12.58% at sf0.01), and the
-    * md5 digest — formerly computed for EVERY window just to read its
-    * first hex char — runs only on the survivors. The mix reads chars
-    * at 5 spread offsets with distinct odd weights, so adjacent
-    * windows gate near-independently while a window SHARED between
-    * documents (the property winnowing needs) still gates identically
-    * in both — selection is a pure function of the window string.
-    * ascii('') = 0 on both engines, so short-doc windows (< 40 chars)
-    * gate deterministically too. Exact integer arithmetic end-to-end:
-    * the DuckDB oracle embeds this same expression. */
-  private[graft] val winnowGateSql: String =
-    """(ascii(substring(w, 3, 1)) * 131 + ascii(substring(w, 11, 1)) * 137
-      + ascii(substring(w, 19, 1)) * 139 + ascii(substring(w, 27, 1)) * 149
-      + ascii(substring(w, 35, 1)) * 151) % 8 = 0"""
-
-  /** [[winnowGateSql]] evaluated at TEXT offsets: the same five
-    * window-content chars (w-position p = text position i + p − 1),
-    * the same polynomial, the same selection — but with NO per-window
-    * string materialized. The r11 x100 WinnowAB measured the naive
-    * two-stage form (select substring(text,i,k) AS w, filter on w,
-    * md5 survivors) LOSING to the r10 compute-md5-for-everything gate
-    * (134.2 s vs 59.0 s min): a 40-char string alloc per window
-    * across O(corpus chars) windows costs more than the md5 it
-    * saves — the substring family's string-alloc lesson again. This
-    * form allocates nothing per window (five 1-char reads off the
-    * document text), so the md5+substring pair runs only on the ~1/8
-    * survivors. Short-text windows agree too: past-end reads are ''
-    * and ascii('')=0 in both forms. The oracle keeps the w-form
-    * ([[winnowGateSql]]) applied to its materialized window — the
-    * driver's hash compare and `DedupPlantedSpec`'s
-    * selection-restriction law both pin the two forms equal. */
-  private def winnowGateAtOffset(k: Int): String = {
-    // offsets are window-content reads only while the window covers
-    // w-position 35; below that the offset form would read past the
-    // window into the document — no longer a function of the window
-    require(k >= 35, s"winnow gate reads w-position 35; k=$k < 35")
-    """(ascii(substring(text, i + 2, 1)) * 131
-      + ascii(substring(text, i + 10, 1)) * 137
-      + ascii(substring(text, i + 18, 1)) * 139
-      + ascii(substring(text, i + 26, 1)) * 149
-      + ascii(substring(text, i + 34, 1)) * 151) % 8 = 0"""
-  }
-
+    * one-exchange plan's shuffle ~8×.
+    *
+    * THE GATE IS md5-PREFIX ON PURPOSE — the "cheap pre-gate so md5
+    * runs only on survivors" idea (VERDICT r10 task 4a) was built and
+    * REFUTED twice by matched x100 A/Bs (`tools/WinnowAB`, r11):
+    * (1) gating on a 5-char ascii mix of a materialized window string
+    * lost 134.2 s vs 59.0 s — a 40-char string alloc per window costs
+    * more than the md5 it avoids; (2) gating on the same five chars
+    * read at text offsets (no window string at all) still lost
+    * 103.7 s vs 59.2 s — `substring(text, i+p, 1)` must WALK the
+    * UTF8 bytes to char position i (O(i) per read, codepoints aren't
+    * fixed-width), so five walks per window cost more than the md5
+    * arm's single walk + 40-byte digest. Any gate that reads window
+    * CONTENT pays that walk; given one walk is mandatory, hashing the
+    * window and gating on the digest is the portable optimum (a
+    * cross-engine-identical cheap hash does not exist in DuckDB
+    * v1.0.0 — md5 is the shared primitive). */
   def substringDupWinnow(spark: SparkSession, dir: String,
       k: Int = 40): DataFrame = {
     val t = Tables(spark, dir)
@@ -621,8 +589,9 @@ object Dedup {
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))"))
           .as("i"))
-      .filter(expr(winnowGateAtOffset(k)))
-      .select(col("doc_id"), expr(s"unhex(md5(substring(text, i, $k)))").as("gram"))
+      .select(col("doc_id"), expr(s"md5(substring(text, i, $k))").as("h"))
+      .filter(substring(col("h"), 1, 1).isin("0", "8"))
+      .select(col("doc_id"), expr("unhex(h)").as("gram"))
     val perDocGram = wins.repartition(col("gram"))
       .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("m"))

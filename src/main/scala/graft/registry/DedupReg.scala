@@ -293,19 +293,20 @@ object DedupReg {
                   AS dup_frac_e4,
                 (20000 * dup_win + n_win) // (2 * n_win) >= 2000 AS dup_heavy
          FROM per ORDER BY doc_id""",
-    // winnowed form: same statistics over the content-gated ~1/8
-    // window sample — the two-stage gate (r11) selects on a cheap
-    // 5-char weighted mix of the window string (Dedup.winnowGateSql),
-    // so md5 runs only on survivors; selection is a pure function of
-    // the window, so a shared window gates in both docs or neither
+    // winnowed form: same statistics over the content-gated 1/8 window
+    // sample (digest starts '0'/'8') — selection is on the digest, so a
+    // shared window is selected in both docs or neither. The gate is
+    // md5-prefix by MEASUREMENT: both cheap pre-gates (window-string
+    // char mix, text-offset char mix) lost their x100 A/Bs — see
+    // Dedup.substringDupWinnow's doc for the walk-cost mechanism
     "dedup_substring_winnow" ->
-      s"""WITH w AS (SELECT doc_id,
-                unnest([substring(text, i, 40)
+      """WITH w AS (SELECT doc_id,
+                unnest([md5(substring(text, i, 40))
                         for i in range(1, greatest(length(text) - 39, 1) + 1)])
-                  AS w
+                  AS h
               FROM documents),
-         sel AS (SELECT doc_id, md5(w) AS gram FROM w
-                 WHERE ${graft.operators.Dedup.winnowGateSql}),
+         sel AS (SELECT doc_id, h AS gram FROM w
+                 WHERE substr(h, 1, 1) IN ('0', '8')),
          gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
                 FROM sel GROUP BY 1),
          per AS (SELECT sel.doc_id, count(*) AS n_win,

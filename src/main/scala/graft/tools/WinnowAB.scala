@@ -4,14 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only matched-condition A/B for the `dedup_substring_winnow`
-  * gate change (round 11): the r10 md5-prefix gate (md5 computed for
-  * EVERY window, first hex char read for the 1/8 selection) vs the
-  * two-stage gate shipped in `Dedup.substringDupWinnow` (cheap 5-char
-  * weighted mix selects, md5 only on survivors). Same JVM,
-  * alternating runs, min per arm — the SubstringAB protocol. The
-  * change is CPU-side (the exchange already carried only gated
-  * grams), so wall-clock is the attribution metric here; shuffle
-  * volume is printed to show both arms move ~the same bytes.
+  * gate (round 11): the r10 md5-prefix gate (A arm, kept verbatim
+  * below) vs whatever `Dedup.substringDupWinnow` currently ships
+  * (B arm). Same JVM, alternating runs, min per arm — the SubstringAB
+  * protocol.
+  *
+  * OUTCOME (r11, x100, 16-thread protocol): both "cheap pre-gate so
+  * md5 runs only on survivors" candidates LOST to the md5-prefix
+  * gate — window-string char mix 134.2 s vs 59.0 s, text-offset char
+  * mix 103.7 s vs 59.2 s (per-position `substring` walks the UTF8
+  * bytes, so five 1-char reads cost more than one walk + digest).
+  * `substringDupWinnow` therefore ships the md5-prefix gate, and the
+  * two arms here are now IDENTICAL by construction — the tool stays
+  * as the harness that adjudicated the question and re-runs if a new
+  * gate candidate appears.
   *
   *   SPARK_GRAFT_SF_DIR=target/scale/x100 runMain graft.tools.WinnowAB
   */

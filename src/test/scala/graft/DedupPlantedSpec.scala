@@ -149,9 +149,8 @@ class DedupPlantedSpec extends SparkSpec {
     val grams = graft.core.Tables(spark, sf).documents
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, greatest(length(text) - 39, 1))")).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 40)").as("w"))
-      .filter(expr(graft.operators.Dedup.winnowGateSql))
-      .select(col("doc_id"), expr("md5(w)").as("h"))
+      .select(col("doc_id"), expr("md5(substring(text, i, 40))").as("h"))
+      .filter(substring(col("h"), 1, 1).isin("0", "8"))
     val nd = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val expected = grams.join(nd, Seq("h"))
