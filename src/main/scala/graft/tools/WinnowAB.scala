@@ -68,7 +68,10 @@ object WinnowAB {
     val results = (1 to rounds).flatMap { r =>
       val a = time(oldGate(spark, sfDir))
       val b = time(graft.operators.Dedup.substringDupWinnow(spark, sfDir))
-      println(f"round $r: md5-gate=$a%.1f s, two-stage=$b%.1f s")
+      // armA = the pinned r10 md5-prefix gate above; armB = whatever
+      // Dedup.substringDupWinnow currently ships (identical to armA
+      // since the r11 null result — relabel if a new candidate lands)
+      println(f"round $r: armA(md5-gate)=$a%.1f s, armB(shipped)=$b%.1f s")
       Seq(("old", a), ("new", b))
     }
     val oldMin = results.filter(_._1 == "old").map(_._2).min
