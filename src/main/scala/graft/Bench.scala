@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fixed-cost environment calibration probe (VERDICT r11 task 1):
+    * 2²⁸ rows of codegen'd integer multiply + sum through the noop
+    * sink — no I/O, no shuffle, corpus-independent, so its time is a
+    * pure function of the JVM + kernel + CPU state the suite ran
+    * under. Timed at suite start AND end and emitted in the bench
+    * JSON: a round whose calib reads far above its historical band
+    * (r7, r11 were ~1.4-2× degraded rounds) is machine-detectable
+    * from the artifact itself instead of costing a judge session of
+    * cross-round forensics. Min-of-two, same as the queries. */
+  private def calibProbe(spark: SparkSession): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 28, 1, spark.sparkContext.defaultParallelism)
+        // modulo keeps the running sum < 2⁵⁷ (ANSI mode would throw on
+        // a long overflow); the multiply is the probe's actual work
+        .selectExpr("sum((id * 2654435761) % 1000000007) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,6 +51,7 @@ object Bench {
     val ivfSample = graft.operators.Similarity.ensureIvfSample _
     val ivfSq8Smp = graft.operators.Similarity.ensureIvfSq8Sample _
     val ivfPq = graft.operators.Similarity.ensureIvfPq _
+    val ivfPqSmp = graft.operators.Similarity.ensureIvfPqSample _
     val indexOf = Map[String, (SparkSession, String) => Any](
       "text_bm25_indexed" -> fts,
       // stream_fts_serve builds its OWN fresh tx_fts_stream index via
@@ -48,7 +69,9 @@ object Bench {
       "sim_ann_ivfsq8_sample" -> ivfSq8Smp,
       "sim_ann_ivfsq8_sample_recall" -> ivfSq8Smp,
       "sim_ann_ivfpq" -> ivfPq,
-      "sim_ann_ivfpq_recall" -> ivfPq)
+      "sim_ann_ivfpq_recall" -> ivfPq,
+      "sim_ann_ivfpq_sample" -> ivfPqSmp,
+      "sim_ann_ivfpq_sample_recall" -> ivfPqSmp)
     indexOf.toSeq
       .filter { case (q, _) => subset.forall(_(q)) }
       .map(_._2).distinct
@@ -65,6 +88,7 @@ object Bench {
     // cost of one extra pass. The gc + settle between queries keeps one
     // query's garbage from billing the next.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    val calibStart = calibProbe(spark)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -85,10 +109,11 @@ object Bench {
       // any failed run fails the query; otherwise the min of the runs
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
+    val calibEnd = calibProbe(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
