@@ -124,7 +124,7 @@ object Similarity {
 
   /** (vec_id, label, dim, q): embeddings e4-quantized, one row per
     * coordinate — the shared front of the label-seeded IVF family. */
-  private def qe4(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def qe4(spark: SparkSession, dir: String): DataFrame = {
     val q4 = "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
     Tables(spark, dir).embeddingsSpread
       .select(col("vec_id"), col("label"),
@@ -135,7 +135,7 @@ object Similarity {
 
   /** Label-seeded centroid table (cell, dim, c) — the half-up integer
     * mean per (label, dim). k·d rows, bounded by the label alphabet. */
-  private def labelCentroids(qe: DataFrame): DataFrame =
+  private[graft] def labelCentroids(qe: DataFrame): DataFrame =
     qe.groupBy(col("label").as("cell"), col("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .select(col("cell"), col("dim"),
@@ -146,7 +146,7 @@ object Similarity {
     * (vec_id, cell, dist2, crn): exact-integer squared distance,
     * (dist2, cell) tie-break. `cents` is k·d — bounded by
     * construction — hence the static broadcast. */
-  private def rankedAgainst(qe: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def rankedAgainst(qe: DataFrame, cents: DataFrame): DataFrame = {
     val dists = qe.select(col("vec_id"), col("dim"), col("q"))
       .join(broadcast(cents), Seq("dim"))
       .groupBy(col("vec_id"), col("cell"))
@@ -182,7 +182,10 @@ object Similarity {
   def pqAdc(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val t = Tables(spark, dir)
     val q4 = "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
-    val qe = t.embeddings
+    // embeddingsSpread (ADVICE r11 #1): the N·d·8 subDist expansion
+    // below runs in-stage over this scan — on the raw single-split
+    // table one task would own the whole blowup
+    val qe = t.embeddingsSpread
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
@@ -225,7 +228,7 @@ object Similarity {
 
   /** [[quantized]] over any (vec_id, embedding) frame — the grow-aware
     * index maintenance path feeds deltas and merged snapshots here. */
-  private def quantizedOf(emb: DataFrame): DataFrame =
+  private[graft] def quantizedOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         expr("CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)").as("q"))
@@ -459,7 +462,7 @@ object Similarity {
     (maxProbe, curve.result())
   }
 
-  private def recallOf(spark: SparkSession, dir: String,
+  private[graft] def recallOf(spark: SparkSession, dir: String,
       approxDf: DataFrame, k: Int): DataFrame =
     recallVs(approxDf,
       topk(spark, dir, k, sameLabelOnly = false), k)
@@ -744,7 +747,7 @@ object Similarity {
     cents
   }
 
-  private def sqrtQuantizer(spark: SparkSession, dir: String)
+  private[graft] def sqrtQuantizer(spark: SparkSession, dir: String)
       : (DataFrame, Boolean) = {
     // persist (NOT localCheckpoint) the training input: Lloyd re-reads
     // it ~2·iters+1 times, but the block must be FREEABLE — a
@@ -900,10 +903,28 @@ object Similarity {
       bloomCols = Seq("cell"))
     val cDir = Scratch.fresh("tx_ivf_sqrt_cents")
     TxTable(spark, cDir).append(cents)
+    // pin the per-label selectivity histogram BESIDE the index
+    // (VERDICT r11 task 7, the FTS pinned-corpus-stats pattern): one
+    // linear aggregate at build time, |labels| rows, so the adaptive
+    // filtered serve estimates any label-predicate's selectivity from
+    // a metadata-sized point read instead of re-aggregating the corpus
+    // per query. Refresh policy = recompute at (re)build, which is the
+    // only time this index's corpus changes.
+    val sDir = Scratch.fresh("tx_ivf_sqrt_stats")
+    TxTable(spark, sDir).append(
+      Tables(spark, dir).embeddings
+        .groupBy(col("label")).agg(count(lit(1)).as("n")))
+    ivfSqrtStats.put(dir, sDir)
     val idx = IvfIndex(pDir, cDir)
     ivfStanding.put(dir + "#sqrt", idx)
     idx
   }
+
+  /** dir → tx root of the pinned per-label histogram committed by
+    * [[buildIvfSqrtIndex]] — the cached selectivity statistic
+    * [[adaptiveNprobe]] serves from. */
+  private val ivfSqrtStats =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Get-or-build the standing √N-cell IVF index (Bench warms it so
     * `sim_ann_indexed_sqrt` times the point-read serving path). */
@@ -1012,13 +1033,31 @@ object Similarity {
   def adaptiveNprobe(spark: SparkSession, dir: String, baseNprobe: Int = 3,
       maxProbe: Int = 8,
       pred: Column = col("label") === 1): Int = {
-    val r = Tables(spark, dir).embeddings
-      .agg(count(lit(1)).as("n"),
-        sum(when(pred, 1L).otherwise(0L)).as("nm"))
-      .head
+    val r = selectivityFrame(spark, dir, pred).head
     val n = r.getLong(0)
     val nm = math.max(r.getLong(1), 1L)
     math.min(maxProbe.toLong, (baseNprobe.toLong * n + nm - 1L) / nm).toInt
+  }
+
+  /** The (n, n_match) selectivity aggregate behind [[adaptiveNprobe]],
+    * exposed as a frame so `AdaptiveStatsSpec` can pin its plan: when
+    * the standing √N index has pinned its per-label histogram
+    * ([[buildIvfSqrtIndex]]), the estimate is a weighted sum over that
+    * |labels|-row tx table — NO corpus scan at serve time (r11 task 7;
+    * the label histogram covers every label-only predicate exactly,
+    * which is the filtered-ANN API's predicate family). Unbuilt index
+    * (or a cold session) falls back to the one column-pruned corpus
+    * aggregate, same exact counts — the cache can never change an
+    * answer, only the plan. */
+  private[graft] def selectivityFrame(spark: SparkSession, dir: String,
+      pred: Column): DataFrame = {
+    import graft.lake.TxTable
+    val statsPath = ivfSqrtStats.get(dir)
+    val src = if (statsPath != null) TxTable(spark, statsPath).read()
+      else Tables(spark, dir).embeddings
+        .select(col("label"), lit(1L).as("n"))
+    src.agg(sum(col("n")).cast("long").as("n"),
+      sum(when(pred, col("n")).otherwise(0L)).cast("long").as("nm"))
   }
 
   /** Predicate-filtered ANN with the ADAPTIVE probe width — the coded
@@ -1031,9 +1070,13 @@ object Similarity {
     * [[annFilteredSqrt]] verbatim at the chosen width. */
   def annFilteredAdaptive(spark: SparkSession, dir: String, k: Int = 5,
       baseNprobe: Int = 3, maxProbe: Int = 8,
-      pred: Column = col("label") === 1): DataFrame =
+      pred: Column = col("label") === 1): DataFrame = {
+    // ensure first so the selectivity estimate reads the histogram
+    // pinned beside the index, not a per-serve corpus aggregate
+    ensureIvfSqrt(spark, dir)
     annFilteredSqrt(spark, dir, k,
       adaptiveNprobe(spark, dir, baseNprobe, maxProbe, pred), pred)
+  }
 
   /** Recall@k of the adaptive filtered serve vs the brute-force exact
     * top-k AMONG the predicate's survivors — the measured witness that
@@ -1726,9 +1769,13 @@ object Similarity {
 
   /** Per-(subspace, label) codebook over e4 coords — half-up integer
     * means, the deterministic stand-in for per-subspace kmeans
-    * ([[pqAdc]]'s construction, 8·|labels|·8 rows, bounded). */
-  private def pqCodebook(qe: DataFrame): DataFrame =
-    qe.withColumn("sub", expr("dim div 8"))
+    * ([[pqAdc]]'s construction, (d/dimsPerSub)·|labels|·dimsPerSub
+    * rows, bounded). dimsPerSub=8 on d=64 is the default 8-subspace
+    * (~32×) point; dimsPerSub=4 the 16-subspace (~16×) frontier
+    * variant — more subspaces = finer quantization = better ADC
+    * ranking at proportionally more code bytes per candidate. */
+  private def pqCodebook(qe: DataFrame, dimsPerSub: Int = 8): DataFrame =
+    qe.withColumn("sub", expr(s"dim div $dimsPerSub"))
       .groupBy(col("sub"), col("label").as("code"), col("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .select(col("sub"), col("code"), col("dim"),
@@ -1744,14 +1791,32 @@ object Similarity {
     * (codes serve ADC candidate generation; the exact column serves
     * only the candK rerank and column-prunes out of the scoring
     * scan). */
-  private def buildIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+  private def buildIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex =
+    buildIvfPqIndexWith(spark, dir, key = "", scratch = "tx_ivf_pq",
+      sqrtQuantizer)
+
+  /** [[buildIvfPqIndex]] with the coarse quantizer as a parameter —
+    * the same composition seam [[buildIvfSq8IndexWith]] opened for the
+    * SQ8 family (r11): the PQ index machinery (codebook pin, `min_by`
+    * encode, 3-commit layout) is orthogonal to how the cell alphabet
+    * was trained, so the SAMPLE-trained quantizer (linear training,
+    * [[sampleQuantizer]]) drops in unchanged. The PQ CODEBOOK stays a
+    * full-corpus aggregate either way — per-(sub, label) means are ONE
+    * linear N·d pass (same cost class as the SQ8 family's full-corpus
+    * [mn,mx] range pin), so sampling it would save nothing asymptotic
+    * while forking the code alphabet; the N^1.5 term this composition
+    * removes is Lloyd's iters·N·k coarse training alone. */
+  private[graft] def buildIvfPqIndexWith(spark: SparkSession, dir: String,
+      key: String, scratch: String,
+      quant: (SparkSession, String) => (DataFrame, Boolean),
+      dimsPerSub: Int = 8): IvfPqIndex = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val (cents, bounded) = sqrtQuantizer(spark, dir)
+    val (cents, bounded) = quant(spark, dir)
     val member = memberCells(spark, dir, cents, bounded)
     val qe = qe4(spark, dir)
-    val cb = pqCodebook(qe).localCheckpoint() // 8·|labels|·8 rows, pinned
-    val subDist = qe.withColumn("sub", expr("dim div 8"))
+    val cb = pqCodebook(qe, dimsPerSub).localCheckpoint() // bounded, pinned
+    val subDist = qe.withColumn("sub", expr(s"dim div $dimsPerSub"))
       .join(broadcast(cb), Seq("sub", "dim"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
@@ -1761,7 +1826,7 @@ object Similarity {
     val pqcodes = codes.groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)")
         .as("codes"))
-    val pDir = Scratch.fresh("tx_ivf_pq")
+    val pDir = Scratch.fresh(scratch)
     TxTable(spark, pDir).append(
       Tables(spark, dir).embeddings
         .select(col("vec_id"), col("embedding"))
@@ -1770,12 +1835,12 @@ object Similarity {
         .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
-    val cDir = Scratch.fresh("tx_ivf_pq_cents")
+    val cDir = Scratch.fresh(scratch + "_cents")
     TxTable(spark, cDir).append(cents)
-    val bDir = Scratch.fresh("tx_ivf_pq_cb")
+    val bDir = Scratch.fresh(scratch + "_cb")
     TxTable(spark, bDir).append(cb)
     val idx = IvfPqIndex(pDir, cDir, bDir)
-    ivfPqStanding.put(dir, idx)
+    ivfPqStanding.put(dir + key, idx)
     idx
   }
 
@@ -1784,6 +1849,48 @@ object Similarity {
   def ensureIvfPq(spark: SparkSession, dir: String): IvfPqIndex = {
     val hit = ivfPqStanding.get(dir)
     if (hit != null) hit else buildIvfPqIndex(spark, dir)
+  }
+
+  /** Get-or-build the SAMPLE-trained IVF-PQ index (Bench warms it so
+    * `sim_ann_ivfpq_sample` times the ADC serving path alone). */
+  def ensureIvfPqSample(spark: SparkSession, dir: String): IvfPqIndex = {
+    val hit = ivfPqStanding.get(dir + "#sample")
+    if (hit != null) hit
+    else buildIvfPqIndexWith(spark, dir, key = "#sample",
+      scratch = "tx_ivf_pq_smp", sampleQuantizer)
+  }
+
+  /** The SAMPLE-trained IVF-PQ build as its own declared query
+    * (VERDICT r11 task 2) — the same two proven build-cost levers the
+    * SQ8 family composed in r11, applied to the PQ index:
+    * gate-sampled Lloyd coarse training (linear instead of N^1.5,
+    * [[sampleQuantizer]]) under the unchanged PQ machinery (linear
+    * full-corpus codebook aggregate, `min_by` encode, 3-commit
+    * layout), leaving the full-corpus argmin assignment and the
+    * encode as the only N-proportional passes. The audit row extends
+    * [[ivfPqBuild]]'s (cell populations, cb_rows) with `n_sample` —
+    * the measured witness that coarse training stayed capped. */
+  def ivfPqBuildSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.TxTable
+    val idx = buildIvfPqIndexWith(spark, dir, key = "#sample",
+      scratch = "tx_ivf_pq_smp", sampleQuantizer)
+    val n = Tables(spark, dir).embeddings.count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val mod = math.max(1L, n / (8L * kk))
+    val nSample = Tables(spark, dir).embeddings
+      .filter(graft.functions.PortableHash
+        .phash(col("vec_id").cast("string"), 7) % mod === 0)
+      .agg(count(lit(1)).as("n_sample"))
+    val cbRows = TxTable(spark, idx.codebook).read()
+      .agg(count(lit(1)).as("cb_rows"))
+    TxTable(spark, idx.postings).read()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).cast("long").as("n_vecs"),
+        min(col("n")).cast("long").as("min_cell_pop"),
+        max(col("n")).cast("long").as("max_cell_pop"))
+      .crossJoin(broadcast(cbRows))
+      .crossJoin(broadcast(nSample))
   }
 
   /** The IVF-PQ build as its own declared query: owns the quantizer
@@ -1822,9 +1929,22 @@ object Similarity {
     * Codebook, codes, and distance tables are exact integers, so
     * candidate sets are bit-identical cross-engine. */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 5,
-      candK: Int = 20, nprobe: Int = 3): DataFrame = {
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    annIvfPqFrom(spark, dir, ensureIvfPq(spark, dir), k, candK, nprobe)
+
+  /** Multi-probe ADC ANN served from the SAMPLE-trained IVF-PQ index —
+    * same serving mechanics as [[annIvfPq]] (the serve never knows how
+    * its coarse cells were trained), over the sample-trained cell
+    * alphabet. Different training set ⇒ different cells ⇒ its own
+    * oracle, mirroring the SQ8 sample family. */
+  def annIvfPqSample(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    annIvfPqFrom(spark, dir, ensureIvfPqSample(spark, dir), k, candK, nprobe)
+
+  private[graft] def annIvfPqFrom(spark: SparkSession, dir: String,
+      idx: IvfPqIndex, k: Int, candK: Int, nprobe: Int,
+      dimsPerSub: Int = 8): DataFrame = {
     import graft.lake.TxTable
-    val idx = ensureIvfPq(spark, dir)
     val cents = TxTable(spark, idx.centroids).read()
     val bounded = cents.count() * 24L <= (32L << 20)
     val probes = (if (bounded)
@@ -1841,7 +1961,7 @@ object Similarity {
     // rows — metadata-sized, broadcast with the probe list
     val cb = TxTable(spark, idx.codebook).read()
     val qd = qe4(spark, dir).filter(col("vec_id") < 5)
-      .withColumn("sub", expr("dim div 8"))
+      .withColumn("sub", expr(s"dim div $dimsPerSub"))
       .join(broadcast(cb), Seq("sub", "dim"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
@@ -1886,6 +2006,16 @@ object Similarity {
   def annIvfPqRecall(spark: SparkSession, dir: String, k: Int = 5,
       candK: Int = 20, nprobe: Int = 3): DataFrame =
     recallOf(spark, dir, annIvfPq(spark, dir, k, candK, nprobe), k)
+
+  /** Recall@k of the sample-trained IVF-PQ serve vs the brute-force
+    * exact top-k — prices all three approximations together (sampled
+    * coarse centroids, probed-cell candidate loss, ADC ranking loss);
+    * read against [[annIvfPqRecall]] at the same nprobe/candK, the
+    * delta isolates what sample training costs on this index family
+    * (measured 0 for the SQ8 twin in r11). */
+  def annIvfPqSampleRecall(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    recallOf(spark, dir, annIvfPqSample(spark, dir, k, candK, nprobe), k)
 
   // ----------------------------------------------------------------
   // Grow-aware √N index maintenance: auto re-bucket under appends.
@@ -2036,10 +2166,18 @@ object Similarity {
     * between rebuilds (appends distribute over the fixed alphabet),
     * dropping to ≈ nprobe/⌈√N⌉ at each re-bucket. */
   def ivfProbedFraction(spark: SparkSession, idx: IvfGrowIndex,
-      queries: DataFrame, nprobe: Int = 3): Double = {
+      queries: DataFrame, nprobe: Int = 3): Double =
+    probedFractionAt(spark, idx.postings, idx.centroids, queries, nprobe)
+
+  /** [[ivfProbedFraction]] over raw table roots — shared with the
+    * composed-index grow lifecycles ([[ivfSq8GrowAppend]],
+    * [[ivfPqGrowAppend]]), whose handles carry more tables but obey
+    * the same probed-fraction law. */
+  private def probedFractionAt(spark: SparkSession, postingsDir: String,
+      centroidsDir: String, queries: DataFrame, nprobe: Int): Double = {
     import graft.lake.TxTable
-    val cents = TxTable(spark, idx.centroids).read()
-    val posts = TxTable(spark, idx.postings).read()
+    val cents = TxTable(spark, centroidsDir).read()
+    val posts = TxTable(spark, postingsDir).read()
     val pop = posts.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
     val n = posts.count().toDouble
     val probes = rankedByDist(
@@ -2051,4 +2189,237 @@ object Similarity {
       .agg(avg(col("probed"))).head().getDouble(0)
     perQuery / n
   }
+
+  // ----------------------------------------------------------------
+  // Grow-aware maintenance for the COMPOSED standing indexes
+  // (VERDICT r11 task 5): the SQ8-sample and PQ-sample indexes gain
+  // the same append/trigger/rebuild lifecycle the exact √N index has.
+  // ----------------------------------------------------------------
+
+  /** Handle on a grow-aware SAMPLE-trained IVF-SQ8 index: postings +
+    * pinned centroids + pinned SQ8 range, and the pinned cell count k.
+    * Immutable, like [[IvfGrowIndex]] — a rebuild returns a NEW handle
+    * under fresh roots. */
+  final case class IvfSq8GrowIndex(postings: String, centroids: String,
+      stats: String, k: Int)
+
+  /** [[sampleQuantizer]] over an arbitrary (vec_id, embedding) frame —
+    * the grow lifecycles train on merged snapshots, not the fixed
+    * corpus table. Returns (centroids, k). Linear: the Lloyd
+    * iterations read only the hash-gated 8·⌈√N⌉ sample; rebuilds under
+    * this quantizer are therefore CHEAP enough that the composed grow
+    * path retrains from the gate instead of seeding from the outgrown
+    * alphabet ([[ivfGrowAppend]]'s proportional-split machinery exists
+    * to amortize full Lloyd's N^1.5 — sample training has no such term
+    * to amortize). */
+  private def sampleQuantizerOf(emb: DataFrame): (DataFrame, Int) = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val mod = math.max(1L, n / (8L * kk))
+    val sample = e
+      .filter(graft.functions.PortableHash
+        .phash(col("vec_id").cast("string"), 7) % mod === 0)
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+    val qeS = quantizedOf(sample).persist()
+    val cents = lloydCentroidsFast(sample, qeS, kk, 2).localCheckpoint()
+    qeS.unpersist(blocking = false)
+    (cents, kk)
+  }
+
+  /** The SQ8 encode expression against a DRIVER-PINNED (mn, s) range —
+    * shared by the grow init (fresh range) and append (range read back
+    * from the pinned stats table): exact integers, never clamped, so a
+    * delta vector outside the pinned range still encodes and decodes
+    * consistently (the affine decode is linear — no saturation point
+    * exists to corrupt). */
+  private def sq8EncodeExpr(mnv: Long, sv: Long): Column = expr(
+    s"""transform(embedding, x ->
+          ((CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) - ${mnv}L)
+            * 255) div ${sv}L)""")
+
+  private def writeSq8GrowIndex(spark: SparkSession, emb: DataFrame,
+      cents: DataFrame, k: Int): IvfSq8GrowIndex = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val member = argminByDist(emb, cents)
+    val range = quantizedOf(emb)
+      .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+      .localCheckpoint()
+    val r0 = range.head()
+    val mnv = r0.getAs[Long]("mn")
+    val sv = math.max(r0.getAs[Long]("mx") - mnv, 1L)
+    val pDir = Scratch.fresh("tx_sq8_grow")
+    TxTable(spark, pDir).append(
+      emb.join(member, Seq("vec_id"))
+        .withColumn("codes", sq8EncodeExpr(mnv, sv))
+        .withColumn("code_sum", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
+        .select(col("cell"), col("vec_id"), col("codes"), col("code_sum"),
+          col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val cDir = Scratch.fresh("tx_sq8_grow_cents")
+    TxTable(spark, cDir).append(cents)
+    val sDir = Scratch.fresh("tx_sq8_grow_stats")
+    TxTable(spark, sDir).append(range)
+    IvfSq8GrowIndex(pDir, cDir, sDir, k)
+  }
+
+  /** Train a fresh sample-quantized SQ8 index over `emb`
+    * (vec_id, embedding) — the composed grow lifecycle's t=0. */
+  def ivfSq8GrowInit(spark: SparkSession, emb: DataFrame): IvfSq8GrowIndex = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val (cents, kk) = sampleQuantizerOf(e)
+    writeSq8GrowIndex(spark, e, cents, kk)
+  }
+
+  /** Append `delta` vectors to a grow-aware SQ8 index. The cheap path
+    * assigns the delta against the PINNED centroids and encodes it
+    * against the PINNED range — both build-time artifacts stay
+    * immutable, so every previously served answer is unchanged and the
+    * append touches only the delta. The rebuild trigger is
+    * [[ivfGrowAppend]]'s law, N > (k·growthFactor)²; a rebuild
+    * RE-TRAINS the codebooks the task named — fresh gate-sampled
+    * centroids AND a fresh [mn,mx] range over the merged corpus — and
+    * rewrites postings under new roots (geometric amortization, same
+    * doubling argument). */
+  def ivfSq8GrowAppend(spark: SparkSession, idx: IvfSq8GrowIndex,
+      delta: DataFrame, growthFactor: Double = 2.0): IvfSq8GrowIndex = {
+    import graft.lake.TxTable
+    val cents = TxTable(spark, idx.centroids).read()
+    val r0 = TxTable(spark, idx.stats).read().head()
+    val mnv = r0.getAs[Long]("mn")
+    val sv = math.max(r0.getAs[Long]("mx") - mnv, 1L)
+    val d = delta.select(col("vec_id"), col("embedding"))
+    val member = argminByDist(d, cents)
+    val tx = TxTable(spark, idx.postings)
+    tx.append(
+      d.join(member, Seq("vec_id"))
+        .withColumn("codes", sq8EncodeExpr(mnv, sv))
+        .withColumn("code_sum", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
+        .select(col("cell"), col("vec_id"), col("codes"), col("code_sum"),
+          col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val n = tx.read().count()
+    val threshold = (idx.k.toDouble * growthFactor) *
+      (idx.k.toDouble * growthFactor)
+    if (n.toDouble <= threshold) idx
+    else {
+      val emb = tx.read().select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // pin the merged snapshot for the rebuild
+      val (cents2, k2) = sampleQuantizerOf(emb)
+      writeSq8GrowIndex(spark, emb, cents2, k2)
+    }
+  }
+
+  /** Probed fraction of a grow-aware SQ8 index — same law, same
+    * measurement, as [[ivfProbedFraction]]. */
+  def ivfSq8ProbedFraction(spark: SparkSession, idx: IvfSq8GrowIndex,
+      queries: DataFrame, nprobe: Int = 3): Double =
+    probedFractionAt(spark, idx.postings, idx.centroids, queries, nprobe)
+
+  /** Handle on a grow-aware SAMPLE-trained IVF-PQ index: postings +
+    * pinned centroids + pinned per-(sub, code) codebook. */
+  final case class IvfPqGrowIndex(postings: String, centroids: String,
+      codebook: String, k: Int)
+
+  /** PQ encode of `emb` (vec_id, embedding) against a PINNED codebook:
+    * quantize, sub-distance against the broadcast codebook, `min_by`
+    * argmin per (vector, subspace), pack dim-ordered. The grow append
+    * runs this over deltas only. */
+  private def pqEncodeAgainst(emb: DataFrame, cb: DataFrame,
+      dimsPerSub: Int = 8): DataFrame = {
+    val qe = quantizedOf(emb).withColumn("sub", expr(s"dim div $dimsPerSub"))
+    val subDist = qe.join(broadcast(cb), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    subDist
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)")
+        .as("codes"))
+  }
+
+  /** `emb` is (vec_id, embedding, label): the label rides INTO the
+    * postings row — like [[buildIvfSqrtIndex]]'s attribute column — so
+    * a rebuild can retrain the per-(sub, label) codebook from the
+    * merged snapshot without a corpus join. */
+  private def writePqGrowIndex(spark: SparkSession, emb: DataFrame,
+      cents: DataFrame, cb: DataFrame, k: Int): IvfPqGrowIndex = {
+    import graft.lake.TxTable
+    import graft.core.Scratch
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val member = argminByDist(e, cents)
+    val pDir = Scratch.fresh("tx_pq_grow")
+    TxTable(spark, pDir).append(
+      emb.join(member, Seq("vec_id"))
+        .join(pqEncodeAgainst(e, cb), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("codes"), col("label"),
+          col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val cDir = Scratch.fresh("tx_pq_grow_cents")
+    TxTable(spark, cDir).append(cents)
+    val bDir = Scratch.fresh("tx_pq_grow_cb")
+    TxTable(spark, bDir).append(cb)
+    IvfPqGrowIndex(pDir, cDir, bDir, k)
+  }
+
+  /** Train a fresh sample-quantized PQ index over `emb`
+    * (vec_id, embedding, label) — labels seed the per-subspace
+    * codebook, exactly as in [[buildIvfPqIndexWith]]. */
+  def ivfPqGrowInit(spark: SparkSession, emb: DataFrame): IvfPqGrowIndex = {
+    val (cents, kk) = sampleQuantizerOf(emb)
+    val qe = quantizedOf(emb)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    writePqGrowIndex(spark, emb, cents, pqCodebook(qe).localCheckpoint(), kk)
+  }
+
+  /** Append `delta` (vec_id, embedding, label) to a grow-aware PQ
+    * index: assign + PQ-encode against the PINNED centroids/codebook;
+    * rebuild (fresh sample centroids, fresh codebook, full re-encode)
+    * when N > (k·growthFactor)². */
+  def ivfPqGrowAppend(spark: SparkSession, idx: IvfPqGrowIndex,
+      delta: DataFrame, growthFactor: Double = 2.0): IvfPqGrowIndex = {
+    import graft.lake.TxTable
+    val cents = TxTable(spark, idx.centroids).read()
+    val cb = TxTable(spark, idx.codebook).read()
+    val d = delta.select(col("vec_id"), col("embedding"), col("label"))
+    val member = argminByDist(
+      d.select(col("vec_id"), col("embedding")), cents)
+    val tx = TxTable(spark, idx.postings)
+    tx.append(
+      d.join(member, Seq("vec_id"))
+        .join(pqEncodeAgainst(
+          d.select(col("vec_id"), col("embedding")), cb), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("codes"), col("label"),
+          col("embedding"))
+        .repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+    val n = tx.read().count()
+    val threshold = (idx.k.toDouble * growthFactor) *
+      (idx.k.toDouble * growthFactor)
+    if (n.toDouble <= threshold) idx
+    else {
+      // rebuild: merged snapshot (labels live in the postings rows),
+      // fresh gate-sampled centroids, fresh per-(sub, label) codebook,
+      // full re-encode under new roots — geometric amortization
+      val emb = tx.read()
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .localCheckpoint()
+      val (cents2, k2) = sampleQuantizerOf(emb)
+      val qe = quantizedOf(emb.select(col("vec_id"), col("embedding")))
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      writePqGrowIndex(spark, emb, cents2,
+        pqCodebook(qe).localCheckpoint(), k2)
+    }
+  }
+
+  /** Probed fraction of a grow-aware PQ index. */
+  def ivfPqProbedFraction(spark: SparkSession, idx: IvfPqGrowIndex,
+      queries: DataFrame, nprobe: Int = 3): Double =
+    probedFractionAt(spark, idx.postings, idx.centroids, queries, nprobe)
 }

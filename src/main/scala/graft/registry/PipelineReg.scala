@@ -20,6 +20,8 @@ object PipelineReg {
     // documentsSpread: segmentation explodes ~4 segments/doc of
     // substring+md5 CPU — session-parallel, not split-bound (the x100
     // single-split lesson; measured 25.9 -> 4.3 s at x100)
+    "mm_dedup_signature" -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.Multimodal.byteNearDup(s, dir)),
     "mm_segments" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.segments(
         graft.core.Tables(s, dir).documentsSpread.select(
@@ -49,6 +51,8 @@ object PipelineReg {
     "stream_dedup" -> graft.streaming.StreamDedup.streamDedup _,
     "stream_fts_serve" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamFts.streamFtsServe(s, dir)),
+    "stream_ivf_serve" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamIvf.streamIvfServe(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "sample_shuffle" -> Sampling.sampleShuffle _,
     "sample_token_budget" -> Sampling.sampleTokenBudget _,
@@ -79,6 +83,57 @@ object PipelineReg {
                 CAST(sum(CAST(json_extract_string(j, '$.doc_id') AS BIGINT)) AS BIGINT)
                   AS sum_ids
          FROM j GROUP BY 1 ORDER BY 1""",
+    // byte-level multimodal near-dup (r12): MinHash-LSH over DISTINCT
+    // 24-byte shingles (stride 4) of the hex byte view — 4 single-hash
+    // bands, exact shingle-Jaccard verify on candidates only; planted
+    // twins (doc_id % 37 = 0, first 5 bytes replaced) demonstrate
+    // recall end to end
+    "mm_dedup_signature" -> {
+      import graft.functions.PortableHash.phashWindowSql
+      s"""WITH a0 AS (SELECT doc_id AS asset_id, text AS txt FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, 'XXXXX' || substring(text, 6)
+              FROM documents WHERE doc_id % 37 = 0),
+          a AS (SELECT asset_id, upper(hex(encode(txt))) AS hx,
+                       octet_length(encode(txt)) AS nb
+                FROM a0 WHERE octet_length(encode(txt)) >= 24),
+          g0 AS (SELECT asset_id,
+                        substring(hx, CAST(8 * j + 1 AS INTEGER), 48) AS gram
+                 FROM (SELECT asset_id, hx,
+                         unnest(range(0, (nb - 24) // 4 + 1)) AS j FROM a)),
+          sh AS (SELECT DISTINCT asset_id, md5(gram) AS m FROM g0),
+          sig AS (SELECT asset_id,
+                         min(${phashWindowSql("m", 0)}) AS mh1,
+                         min(${phashWindowSql("m", 1)}) AS mh2,
+                         min(${phashWindowSql("m", 2)}) AS mh3,
+                         min(${phashWindowSql("m", 3)}) AS mh4,
+                         count(*) AS n_sh
+                  FROM sh GROUP BY asset_id),
+          bands AS (SELECT asset_id, n_sh,
+                           unnest(['1_' || CAST(mh1 AS VARCHAR),
+                                   '2_' || CAST(mh2 AS VARCHAR),
+                                   '3_' || CAST(mh3 AS VARCHAR),
+                                   '4_' || CAST(mh4 AS VARCHAR)]) AS bk
+                    FROM sig),
+          cand AS (SELECT DISTINCT l.asset_id AS a, r.asset_id AS b,
+                          l.n_sh AS na, r.n_sh AS nb
+                   FROM bands l JOIN bands r
+                     ON l.bk = r.bk AND l.asset_id < r.asset_id),
+          i AS (SELECT cand.a, cand.b, count(*) AS inter
+                FROM cand
+                JOIN sh x ON x.asset_id = cand.a
+                JOIN sh y ON y.asset_id = cand.b AND y.m = x.m
+                GROUP BY 1, 2),
+          p AS (SELECT cand.a, cand.b,
+                       COALESCE(i.inter, 0) AS inter,
+                       cand.na + cand.nb - COALESCE(i.inter, 0) AS union_n
+                FROM cand LEFT JOIN i ON i.a = cand.a AND i.b = cand.b)
+          SELECT a, b, CAST(inter AS BIGINT) AS inter,
+                 CAST(union_n AS BIGINT) AS union_n,
+                 (20000 * inter + union_n) // (2 * union_n) AS jaccard_e4
+          FROM p WHERE (20000 * inter + union_n) // (2 * union_n) >= 4000
+          ORDER BY a, b"""
+    },
     "mm_segments" ->
       """WITH a AS (SELECT doc_id AS asset_id, text AS txt,
                     len(text) AS l FROM documents),
@@ -261,6 +316,11 @@ object PipelineReg {
     // micro-batch commits + merged-snapshot serving) — the full-corpus
     // scan oracle verifies the whole pipeline end to end
     "stream_fts_serve" -> TextReg.bm25Oracle,
+    // the stream-maintained VECTOR index (r12): pinned base-trained
+    // quantizer + per-micro-batch idempotent delta commits + merged
+    // serve — shares sim_ivf_append's re-clustering oracle verbatim,
+    // because neither the transport nor redelivery may change answers
+    "stream_ivf_serve" -> SimReg.ivfAppendOracle,
     "sample_mixture" -> {
       val h = phashSql("CAST(doc_id AS VARCHAR)",
         graft.operators.Sampling.mixtureSalt)

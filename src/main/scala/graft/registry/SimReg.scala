@@ -84,6 +84,12 @@ object SimReg {
       Similarity.annIvfPq(s, dir)),
     "sim_ann_ivfpq_recall" -> ((s: SparkSession, dir: String) =>
       Similarity.annIvfPqRecall(s, dir)),
+    "sim_ivfpq_build_sample" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfPqBuildSample(s, dir)),
+    "sim_ann_ivfpq_sample" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfPqSample(s, dir)),
+    "sim_ann_ivfpq_sample_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.annIvfPqSampleRecall(s, dir)),
   )
 
   /** Shared IVF-assignment CTEs (mirror `Similarity.ivfAssign`):
@@ -214,6 +220,16 @@ object SimReg {
 
   private[graft] def annIvfOracle(nprobe: Int): String =
     s"""WITH ${annIvfCtes(nprobe)}
+        SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Pinned-quantizer append/stream oracle: centroids train on the
+    * base subset only (vec_id % 10 != 9); every vector — base and
+    * delta — is assigned against them. Shared by `sim_ivf_append` and
+    * the stream-maintained `stream_ivf_serve` (r12): an index
+    * maintenance transport can never change an answer. */
+  private[graft] val ivfAppendOracle: String =
+    s"""WITH ${annIvfCtes(3, "WHERE vec_id % 10 != 9")}
         SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
 
@@ -510,8 +526,15 @@ object SimReg {
     * scoring (sum of the query's 8 exact table distances over the
     * candidate's codes) restricted to probed-cell members, candK=20
     * survivors, exact cosine rerank. Exact integers end-to-end. */
-  private[graft] val annIvfPqCtes: String =
-    s"""${lloydCtes(sqrtKSql)},
+  private[graft] val annIvfPqCtes: String = annIvfPqCtesGate("")
+
+  /** [[annIvfPqCtes]] with the coarse-quantizer training gate as a
+    * parameter — `sampleGate` restricts the Lloyd ITERATIONS to the
+    * hash-gated sample (the r12 sample-trained PQ index); the PQ
+    * codebook, the codes, and the final assignment always cover the
+    * corpus, exactly as in the engine. */
+  private[graft] def annIvfPqCtesGate(sampleGate: String): String =
+    s"""${lloydCtes(sqrtKSql, "", sampleGate)},
         cellof AS (SELECT vec_id, cell FROM asgk WHERE arn = 1),
         qel AS (SELECT qe.vec_id, e.label, qe.dim,
                   qe.dim // 8 AS sub, qe.q
@@ -564,6 +587,38 @@ object SimReg {
     s"""WITH $annIvfPqCtes
         SELECT qid, nid, adc_dist2, cos_e6, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Mirror of `Similarity.annIvfPqSample`: the ADC serve over the
+    * SAMPLE-trained coarse alphabet — only the Lloyd training input
+    * changes; codebook, codes, ADC, and rerank are the full-corpus
+    * algebra. */
+  private[graft] val annIvfPqSampleOracle: String =
+    s"""WITH ${annIvfPqCtesGate(sampleGateSql)}
+        SELECT qid, nid, adc_dist2, cos_e6, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** Recall@5 of the sample-trained PQ serve vs the brute-force exact
+    * top-5 — [[annIvfPqRecallOracle]] with the gated training. */
+  private[graft] val annIvfPqSampleRecallOracle: String =
+    s"""WITH ${annIvfPqCtesGate(sampleGateSql)},
+        approx AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+        bf AS (SELECT q.vec_id AS qid, t.vec_id AS nid,
+            CAST(floor(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                             CAST(t.qv AS DOUBLE[])) AS DOUBLE)
+              / (sqrt(q.nrm) * sqrt(t.nrm)) * 1000000) AS BIGINT) AS cos_e6
+          FROM nn q JOIN nn t ON t.vec_id != q.vec_id
+          WHERE q.vec_id < 5),
+        bfr AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rn FROM bf),
+        gt AS (SELECT qid, nid FROM bfr WHERE rn <= 5),
+        hits AS (SELECT a.qid, CAST(count(b.nid) AS BIGINT) AS n_hits
+                 FROM approx a LEFT JOIN gt b
+                   ON a.qid = b.qid AND a.nid = b.nid
+                 GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (1000000 * COALESCE(h.n_hits, 0)) // 5 AS recall_e6
+        FROM (SELECT DISTINCT qid FROM gt) q
+        LEFT JOIN hits h USING (qid) ORDER BY qid"""
 
   /** Recall@5 of the IVF-PQ serve vs the brute-force exact top-5. */
   private[graft] val annIvfPqRecallOracle: String =
@@ -749,10 +804,7 @@ object SimReg {
     // pinned-quantizer append: centroids train on the base subset
     // only; every vector (base + delta) is assigned against them —
     // a re-training append would drift from this and fail
-    "sim_ivf_append" ->
-      s"""WITH ${annIvfCtes(3, "WHERE vec_id % 10 != 9")}
-          SELECT qid, nid, cos_e6, CAST(rn AS BIGINT) AS rn
-          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "sim_ivf_append" -> ivfAppendOracle,
     // build summary: cell-population audit of the argmin assignment
     "sim_ivf_build" ->
       s"""WITH $ivfAssignCtes,
@@ -901,5 +953,29 @@ object SimReg {
           FROM pop CROSS JOIN cbn""",
     "sim_ann_ivfpq" -> annIvfPqOracle,
     "sim_ann_ivfpq_recall" -> annIvfPqRecallOracle,
+    // sample-trained PQ (r12): gate-sampled coarse Lloyd under the
+    // unchanged PQ machinery — codebook, encode, ADC, rerank are the
+    // full-corpus algebra; the audit carries n_sample as the witness
+    // that the N^1.5 coarse-training term was capped
+    "sim_ivfpq_build_sample" ->
+      s"""WITH ${lloydCtes(sqrtKSql, "", sampleGateSql)},
+          pop AS (SELECT cell, count(*) AS n FROM asgk
+                  WHERE arn = 1 GROUP BY 1),
+          qel AS (SELECT qe.vec_id, e.label, qe.dim,
+                    qe.dim // 8 AS sub, qe.q
+                  FROM qe JOIN embeddings e USING (vec_id)),
+          cbn AS (SELECT CAST(count(*) AS BIGINT) AS cb_rows FROM (
+                    SELECT sub, label, dim FROM qel GROUP BY 1, 2, 3)),
+          smp AS (SELECT CAST(count(*) AS BIGINT) AS n_sample
+                  FROM embeddings WHERE $sampleGateSql)
+          SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS n_vecs,
+                 CAST(min(n) AS BIGINT) AS min_cell_pop,
+                 CAST(max(n) AS BIGINT) AS max_cell_pop,
+                 CAST(max(cb_rows) AS BIGINT) AS cb_rows,
+                 CAST(max(n_sample) AS BIGINT) AS n_sample
+          FROM pop CROSS JOIN cbn CROSS JOIN smp""",
+    "sim_ann_ivfpq_sample" -> annIvfPqSampleOracle,
+    "sim_ann_ivfpq_sample_recall" -> annIvfPqSampleRecallOracle,
   )
 }

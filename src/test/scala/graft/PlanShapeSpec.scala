@@ -59,7 +59,9 @@ class PlanShapeSpec extends SparkSpec
     "dedup_ngram_jaccard" -> (9, 0, 0),
     // shingle → 64-bit sign-agg → hamming buckets: spread + one exchange
     "dedup_simhash" -> (2, 0, 0),
-    "sim_pq_adc" -> (7, 0, 0),
+    // +1 exchange vs the r9 pin: the embeddingsSpread repartition
+    // feeding the N·d·8 subDist expansion (ADVICE r11 #1)
+    "sim_pq_adc" -> (8, 0, 0),
     // 1-row corpus-stats cross join (the allowed NLJ) + top-k window
     "text_bm25_search" -> (4, 0, 1))
 

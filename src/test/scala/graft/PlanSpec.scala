@@ -154,7 +154,12 @@ class PlanSpec extends SparkSpec {
       "sim_ann_filtered_adaptive", "sim_ann_filtered_adaptive_recall",
       // r11: IVF-PQ — centroid kernel cross at build and serve (probe
       // ranking); recall embeds the ground-truth cross
-      "sim_ivfpq_build", "sim_ann_ivfpq", "sim_ann_ivfpq_recall")
+      "sim_ivfpq_build", "sim_ann_ivfpq", "sim_ann_ivfpq_recall",
+      // r12: sample-trained PQ — same kernel crosses as the full-
+      // trained PQ family (the build audit additionally crosses the
+      // 1-row n_sample and cb_rows aggregates; all bounded)
+      "sim_ivfpq_build_sample", "sim_ann_ivfpq_sample",
+      "sim_ann_ivfpq_sample_recall")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
