@@ -21,6 +21,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** SHUFFLE-leg calibration (r12): the r12 sweep showed this box's
+    * degradation is bursty and shuffle-correlated — same-bits x100
+    * re-runs of `dedup_minhash_lsh` swung 732 → 74 s between passes
+    * while the CPU probe stayed in band, so a CPU-only calibration
+    * cannot certify a shuffle-heavy row. This probe forces a fixed
+    * ~128 MB exchange (2²⁴ longs hash-repartitioned 64 ways) through
+    * the same shuffle write/read path every real exchange uses.
+    * Healthy 32-thread floor: measure once, compare per round. */
+  private def shuffleProbe(spark: SparkSession): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 24, 1, spark.sparkContext.defaultParallelism)
+        .repartition(64, org.apache.spark.sql.functions.col("id"))
+        .selectExpr("sum(id % 1000000007) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,6 +107,7 @@ object Bench {
     // query's garbage from billing the next.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
     val calibStart = calibProbe(spark)
+    val shufStart = shuffleProbe(spark)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -110,10 +129,11 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
     val calibEnd = calibProbe(spark)
+    val shufEnd = shuffleProbe(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

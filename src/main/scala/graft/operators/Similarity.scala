@@ -1928,8 +1928,18 @@ object Similarity {
     *     SAME probed-cell read.
     * Codebook, codes, and distance tables are exact integers, so
     * candidate sets are bit-identical cross-engine. */
+  /** candK default = 100 BY MEASUREMENT (r12 frontier sweep,
+    * `tools.PqFrontier` + BASELINE.md): at 8 subspaces the ADC ranking
+    * loss goes to ZERO at candK=100 — recall equals the nprobe=3
+    * probe-limited ceiling — while candK=20 (the r11 default) left a
+    * 20% relative recall gap. The dial is rerank-side only: scan bytes
+    * (8 B/candidate, ~32× compression) are unchanged, and the exact
+    * rerank grows to |Q|·100 rows — still metadata-sized. The
+    * 16-subspace variant reaches the same ceiling at candK=50 but
+    * doubles every candidate's scan bytes; 8 subspaces stays the
+    * default. */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 5,
-      candK: Int = 20, nprobe: Int = 3): DataFrame =
+      candK: Int = 100, nprobe: Int = 3): DataFrame =
     annIvfPqFrom(spark, dir, ensureIvfPq(spark, dir), k, candK, nprobe)
 
   /** Multi-probe ADC ANN served from the SAMPLE-trained IVF-PQ index —
@@ -1938,7 +1948,7 @@ object Similarity {
     * alphabet. Different training set ⇒ different cells ⇒ its own
     * oracle, mirroring the SQ8 sample family. */
   def annIvfPqSample(spark: SparkSession, dir: String, k: Int = 5,
-      candK: Int = 20, nprobe: Int = 3): DataFrame =
+      candK: Int = 100, nprobe: Int = 3): DataFrame =
     annIvfPqFrom(spark, dir, ensureIvfPqSample(spark, dir), k, candK, nprobe)
 
   private[graft] def annIvfPqFrom(spark: SparkSession, dir: String,
@@ -2004,7 +2014,7 @@ object Similarity {
     * (same cells, exact candidates) the delta is what PQ's 32×
     * compression costs in candidate quality. */
   def annIvfPqRecall(spark: SparkSession, dir: String, k: Int = 5,
-      candK: Int = 20, nprobe: Int = 3): DataFrame =
+      candK: Int = 100, nprobe: Int = 3): DataFrame =
     recallOf(spark, dir, annIvfPq(spark, dir, k, candK, nprobe), k)
 
   /** Recall@k of the sample-trained IVF-PQ serve vs the brute-force
@@ -2014,7 +2024,7 @@ object Similarity {
     * delta isolates what sample training costs on this index family
     * (measured 0 for the SQ8 twin in r11). */
   def annIvfPqSampleRecall(spark: SparkSession, dir: String, k: Int = 5,
-      candK: Int = 20, nprobe: Int = 3): DataFrame =
+      candK: Int = 100, nprobe: Int = 3): DataFrame =
     recallOf(spark, dir, annIvfPqSample(spark, dir, k, candK, nprobe), k)
 
   // ----------------------------------------------------------------

@@ -524,8 +524,9 @@ object SimReg {
     * per-(subspace, label) codebook ([[pqAdcOracle]]'s construction),
     * every vector encoded as its 8 argmin sub-centroids, ADC candidate
     * scoring (sum of the query's 8 exact table distances over the
-    * candidate's codes) restricted to probed-cell members, candK=20
-    * survivors, exact cosine rerank. Exact integers end-to-end. */
+    * candidate's codes) restricted to probed-cell members, candK=100
+    * survivors (the r12 frontier default — zero ADC loss at the probe
+    * ceiling), exact cosine rerank. Exact integers end-to-end. */
   private[graft] val annIvfPqCtes: String = annIvfPqCtesGate("")
 
   /** [[annIvfPqCtes]] with the coarse-quantizer training gate as a
@@ -564,7 +565,7 @@ object SimReg {
         surv AS (SELECT qid, nid, adc_dist2 FROM (
             SELECT qid, nid, adc_dist2, row_number() OVER (
               PARTITION BY qid ORDER BY adc_dist2, nid) AS crn
-            FROM adc) WHERE crn <= 20),
+            FROM adc) WHERE crn <= 100),
         qvs AS (SELECT vec_id,
                   list_transform(embedding,
                     x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
