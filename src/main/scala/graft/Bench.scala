@@ -133,7 +133,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd},"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line gets tail-truncated in the round record (~59 of
+    // 198 per-query numbers survived into BENCH_r12.json), so the FULL
+    // query→seconds map is also written to a file — round-over-round
+    // per-query forensics read this, not the tail (VERDICT r12 gap 1)
+    val full = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "target/bench_full.json"))
+    if (full.getParent != null) java.nio.file.Files.createDirectories(full.getParent)
+    java.nio.file.Files.write(full,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -223,7 +223,7 @@ object Similarity {
 
   /** (vec_id, dim, q): every embedding exploded to its e4-quantized
     * integer coordinates — the input shape of the Lloyd iterations. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     quantizedOf(Tables(spark, dir).embeddingsSpread)
 
   /** [[quantized]] over any (vec_id, embedding) frame — the grow-aware
@@ -516,8 +516,58 @@ object Similarity {
     * tx-table format with a per-file Bloom bitmap on `cell`, plus the
     * centroid table (cell, dim, c) pinned at build time. Serving
     * reads ONLY the probed cells' files; the corpus is never
-    * re-clustered per query. */
-  final case class IvfIndex(postings: String, centroids: String)
+    * re-clustered per query. `stats` is the √N family's pinned
+    * per-label selectivity histogram root ("" for the families that
+    * don't pin one). */
+  final case class IvfIndex(postings: String, centroids: String,
+      stats: String = "")
+
+  /** The index layout IS the durable artifact, not JVM state (VERDICT
+    * r12 gap 3): every companion-table root is written to a manifest
+    * file inside the postings root (underscore-prefixed — invisible to
+    * Spark's readers, like the tx log itself), so a session that holds
+    * only the postings path can reconstruct the full handle —
+    * including the selectivity histogram — instead of silently falling
+    * back to per-serve corpus aggregates. */
+  private val IndexManifest = "_graft_index_manifest"
+
+  private def writeIndexManifest(postingsRoot: String,
+      entries: (String, String)*): Unit = {
+    val p = java.nio.file.Paths.get(postingsRoot, IndexManifest)
+    val body = entries.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(p,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def readIndexManifest(postingsRoot: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(postingsRoot, IndexManifest)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(p).asScala
+      .filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+  }
+
+  /** Reconstruct (and re-register) a standing √N index handle from its
+    * on-disk layout alone — the COLD-SESSION path: a fresh JVM that
+    * knows only where the postings live gets back the same handle the
+    * building session held, pinned histogram included, so its filtered
+    * serves estimate selectivity from the histogram point read rather
+    * than recomputing the corpus aggregate. */
+  def loadIvfSqrt(spark: SparkSession, dir: String,
+      postingsRoot: String): IvfIndex = {
+    val m = readIndexManifest(postingsRoot)
+    val idx = IvfIndex(postingsRoot, m("centroids"), m.getOrElse("stats", ""))
+    ivfStanding.put(dir + "#sqrt", idx)
+    idx
+  }
+
+  /** Test hook: forget a standing index registration (simulates the
+    * cold session [[loadIvfSqrt]] exists for) without touching disk. */
+  private[graft] def dropStandingForTest(dir: String): Unit = {
+    ivfStanding.remove(dir + "#sqrt")
+    ()
+  }
 
   /** Standing IVF index registry: corpus dir → index. Process-scoped
     * like the FTS registry (README "swap points") — a deployment pins
@@ -914,17 +964,14 @@ object Similarity {
     TxTable(spark, sDir).append(
       Tables(spark, dir).embeddings
         .groupBy(col("label")).agg(count(lit(1)).as("n")))
-    ivfSqrtStats.put(dir, sDir)
-    val idx = IvfIndex(pDir, cDir)
+    // the histogram root lives IN the index layout (manifest beside
+    // the postings), not in JVM state — a cold session reloads the
+    // full handle from disk ([[loadIvfSqrt]], VERDICT r12 gap 3)
+    writeIndexManifest(pDir, "centroids" -> cDir, "stats" -> sDir)
+    val idx = IvfIndex(pDir, cDir, sDir)
     ivfStanding.put(dir + "#sqrt", idx)
     idx
   }
-
-  /** dir → tx root of the pinned per-label histogram committed by
-    * [[buildIvfSqrtIndex]] — the cached selectivity statistic
-    * [[adaptiveNprobe]] serves from. */
-  private val ivfSqrtStats =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Get-or-build the standing √N-cell IVF index (Bench warms it so
     * `sim_ann_indexed_sqrt` times the point-read serving path). */
@@ -1042,22 +1089,37 @@ object Similarity {
   /** The (n, n_match) selectivity aggregate behind [[adaptiveNprobe]],
     * exposed as a frame so `AdaptiveStatsSpec` can pin its plan: when
     * the standing √N index has pinned its per-label histogram
-    * ([[buildIvfSqrtIndex]]), the estimate is a weighted sum over that
-    * |labels|-row tx table — NO corpus scan at serve time (r11 task 7;
-    * the label histogram covers every label-only predicate exactly,
-    * which is the filtered-ANN API's predicate family). Unbuilt index
-    * (or a cold session) falls back to the one column-pruned corpus
-    * aggregate, same exact counts — the cache can never change an
-    * answer, only the plan. */
+    * ([[buildIvfSqrtIndex]]) AND the predicate references only the
+    * `label` column — the one key the histogram groups by — the
+    * estimate is a weighted sum over that |labels|-row tx table, NO
+    * corpus scan at serve time (r11 task 7). Any OTHER predicate (the
+    * public pred: Column contract admits every embeddings column —
+    * ADVICE r12 flagged the histogram path for silently narrowing it)
+    * keeps the full-row corpus aggregate, as does an unbuilt index or
+    * a cold session without [[loadIvfSqrt]]: same exact counts either
+    * way — the cache can never change an answer, only the plan. */
   private[graft] def selectivityFrame(spark: SparkSession, dir: String,
       pred: Column): DataFrame = {
     import graft.lake.TxTable
-    val statsPath = ivfSqrtStats.get(dir)
-    val src = if (statsPath != null) TxTable(spark, statsPath).read()
-      else Tables(spark, dir).embeddings
-        .select(col("label"), lit(1L).as("n"))
-    src.agg(sum(col("n")).cast("long").as("n"),
-      sum(when(pred, col("n")).otherwise(0L)).cast("long").as("nm"))
+    val idx = ivfStanding.get(dir + "#sqrt")
+    val cached = if (idx == null || idx.stats.isEmpty) None else {
+      // expose ONLY `label` to the predicate (the count column is
+      // renamed away): a label-only predicate analyzes and takes the
+      // histogram path; any other reference fails analysis here and
+      // falls through — never a silent mis-estimate against the
+      // histogram's own columns
+      val hist = TxTable(spark, idx.stats).read()
+        .select(col("label"), col("n").as("__hist_n"))
+      // frame construction analyzes eagerly — an unresolvable (non-
+      // label) predicate throws right here and takes the fallback
+      try Some(hist.agg(sum(col("__hist_n")).cast("long").as("n"),
+        sum(when(pred, col("__hist_n")).otherwise(0L)).cast("long").as("nm")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    cached.getOrElse(
+      Tables(spark, dir).embeddings
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(pred, 1L).otherwise(0L)).cast("long").as("nm")))
   }
 
   /** Predicate-filtered ANN with the ADAPTIVE probe width — the coded
@@ -1152,22 +1214,48 @@ object Similarity {
     * [[graft.functions.PortableHash]], so the sample — and every
     * centroid trained from it — is bit-identical in the DuckDB
     * oracle. mod = 1 (small N) degenerates to full training. */
-  private def sampleQuantizer(spark: SparkSession, dir: String)
+  /** The deterministic training-sample gate shared by every
+    * sample-trained build AND its `n_sample` audit witness (ADVICE
+    * r12): one definition of (k = ⌈√N⌉, mod = ⌊N/(8k)⌋, salted-hash
+    * predicate) so the quantizer, the grow rebuilds, and the three
+    * build audits can never silently diverge — before this helper the
+    * gate was re-derived in five places, and an edit to any one would
+    * have made the audit report a different gate than the one actually
+    * used. Exact integer arithmetic over the cross-engine
+    * [[graft.functions.PortableHash]] (seed 7), so the sample is
+    * bit-identical in the DuckDB oracle. */
+  private[graft] def sampleGate(n: Long): (Int, Long, Column) = {
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val mod = math.max(1L, n / (8L * kk))
+    val pred = graft.functions.PortableHash
+      .phash(col("vec_id").cast("string"), 7) % mod === 0
+    (kk, mod, pred)
+  }
+
+  /** The gated sample's measured size, as the one-row audit column the
+    * three sample-build queries cross-join in — computed from the SAME
+    * [[sampleGate]] the quantizer trains through. */
+  private def sampleGateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir).embeddings.count()
+    val (_, _, pred) = sampleGate(n)
+    Tables(spark, dir).embeddings.filter(pred)
+      .agg(count(lit(1)).as("n_sample"))
+  }
+
+  private[graft] def sampleQuantizer(spark: SparkSession, dir: String)
       : (DataFrame, Boolean) = {
     val nd = Tables(spark, dir).embeddings
       .agg(count(lit(1)).as("n"),
         max(size(col("embedding"))).cast("long").as("d"))
       .head
     val n = nd.getLong(0)
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val mod = math.max(1L, n / (8L * kk))
+    val (kk, _, gate) = sampleGate(n)
     // the gated sample inherits the raw scan's single input split, and
     // every training argmin crosses it k ways in-stage — spread the
     // 8·⌈√N⌉ survivors once (metadata-sized exchange) so the Lloyd
     // iterations parallelize like the full-corpus paths do
     val sample = Tables(spark, dir).embeddings
-      .filter(graft.functions.PortableHash
-        .phash(col("vec_id").cast("string"), 7) % mod === 0)
+      .filter(gate)
       .select(col("vec_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
@@ -1193,7 +1281,7 @@ object Similarity {
     * sorting all N·k scored rows. Build-side kernel only: serving
     * probes keep the window form (they need crn ≤ nprobe over a tiny
     * |Q|). */
-  private def argminByDist(emb: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def argminByDist(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centRows(cents)))
       .withColumn("dist2",
         graft.functions.Dist2Q.dist2Q(col("embedding"), col("cvec")))
@@ -1246,13 +1334,7 @@ object Similarity {
   def ivfBuildSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.lake.TxTable
     val idx = buildIvfSampleIndex(spark, dir)
-    val n = Tables(spark, dir).embeddings.count()
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val mod = math.max(1L, n / (8L * kk))
-    val nSample = Tables(spark, dir).embeddings
-      .filter(graft.functions.PortableHash
-        .phash(col("vec_id").cast("string"), 7) % mod === 0)
-      .agg(count(lit(1)).as("n_sample"))
+    val nSample = sampleGateAudit(spark, dir)
     TxTable(spark, idx.postings).read()
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_cells"),
@@ -1567,13 +1649,7 @@ object Similarity {
     import graft.lake.TxTable
     val idx = buildIvfSq8IndexWith(spark, dir, key = "#sample",
       scratch = "tx_ivf_sq8_smp", sampleQuantizer)
-    val n = Tables(spark, dir).embeddings.count()
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val mod = math.max(1L, n / (8L * kk))
-    val nSample = Tables(spark, dir).embeddings
-      .filter(graft.functions.PortableHash
-        .phash(col("vec_id").cast("string"), 7) % mod === 0)
-      .agg(count(lit(1)).as("n_sample"))
+    val nSample = sampleGateAudit(spark, dir)
     val range = TxTable(spark, idx.stats).read()
     TxTable(spark, idx.postings).read()
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
@@ -1645,7 +1721,7 @@ object Similarity {
       candK: Int = 20, nprobe: Int = 3): DataFrame =
     annIvfSq8From(spark, dir, ensureIvfSq8Sample(spark, dir), k, candK, nprobe)
 
-  private def annIvfSq8From(spark: SparkSession, dir: String,
+  private[graft] def annIvfSq8From(spark: SparkSession, dir: String,
       idx: IvfSq8Index, k: Int, candK: Int, nprobe: Int): DataFrame = {
     import graft.lake.TxTable
     val cents = TxTable(spark, idx.centroids).read()
@@ -1874,13 +1950,7 @@ object Similarity {
     import graft.lake.TxTable
     val idx = buildIvfPqIndexWith(spark, dir, key = "#sample",
       scratch = "tx_ivf_pq_smp", sampleQuantizer)
-    val n = Tables(spark, dir).embeddings.count()
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val mod = math.max(1L, n / (8L * kk))
-    val nSample = Tables(spark, dir).embeddings
-      .filter(graft.functions.PortableHash
-        .phash(col("vec_id").cast("string"), 7) % mod === 0)
-      .agg(count(lit(1)).as("n_sample"))
+    val nSample = sampleGateAudit(spark, dir)
     val cbRows = TxTable(spark, idx.codebook).read()
       .agg(count(lit(1)).as("cb_rows"))
     TxTable(spark, idx.postings).read()
@@ -2224,16 +2294,24 @@ object Similarity {
     * to amortize). */
   private def sampleQuantizerOf(emb: DataFrame): (DataFrame, Int) = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val n = e.count()
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val mod = math.max(1L, n / (8L * kk))
+    val nd = e.agg(count(lit(1)).as("n"),
+      max(size(col("embedding"))).cast("long").as("d")).head
+    val n = nd.getLong(0)
+    val (kk, _, gate) = sampleGate(n)
     val sample = e
-      .filter(graft.functions.PortableHash
-        .phash(col("vec_id").cast("string"), 7) % mod === 0)
+      .filter(gate)
       .repartition(e.sparkSession.sparkContext.defaultParallelism,
         col("vec_id"))
+    // same broadcast budget as [[sampleQuantizer]] (ADVICE r12): the
+    // fast kernel's argmin broadcasts the full k·d centroid table,
+    // which on a large grow rebuild is an unbounded static broadcast —
+    // past the 32 MB proof it falls back to the shuffled-join Lloyd
+    val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
     val qeS = quantizedOf(sample).persist()
-    val cents = lloydCentroidsFast(sample, qeS, kk, 2).localCheckpoint()
+    val cents =
+      (if (bounded) lloydCentroidsFast(sample, qeS, kk, 2)
+       else lloydCentroids(qeS, kk, 2, boundedK = false))
+        .localCheckpoint()
     qeS.unpersist(blocking = false)
     (cents, kk)
   }
@@ -2244,7 +2322,7 @@ object Similarity {
     * delta vector outside the pinned range still encodes and decodes
     * consistently (the affine decode is linear — no saturation point
     * exists to corrupt). */
-  private def sq8EncodeExpr(mnv: Long, sv: Long): Column = expr(
+  private[graft] def sq8EncodeExpr(mnv: Long, sv: Long): Column = expr(
     s"""transform(embedding, x ->
           ((CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) - ${mnv}L)
             * 255) div ${sv}L)""")

@@ -14,6 +14,27 @@ import graft.registry.RegShared._
   */
 object PipelineReg {
 
+  /** The byte near-dup FIXTURE: the spread documents as binary assets
+    * plus deterministically planted near-twins (every doc_id ≡ 0 mod
+    * 37 copied with its first 5 bytes replaced, asset_id + 10⁶) so the
+    * two dedup queries demonstrate their own recall end to end. The
+    * planting lives HERE, in the query body, not in the operator
+    * (VERDICT r12 item 2) — a real caller hands
+    * [[graft.multimodal.Multimodal.byteNearDup]] a clean corpus; the
+    * oracle embeds the same planted rows. */
+  private[graft] def mmPlantedAssets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(s, dir).documentsSpread
+      .select(col("doc_id"), col("text"))
+    val base = docs.select(col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("content"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(37L)) === 0)
+      .select((col("doc_id") + 1000000L).as("asset_id"),
+        encode(concat(lit("XXXXX"), expr("substring(text, 6)")), "UTF-8")
+          .as("content"))
+    base.unionByName(planted)
+  }
+
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_json_roundtrip" -> Coverage.s1JsonRoundtrip _,
     "mm_byte_metrics" -> Coverage.mmByteMetrics _,
@@ -21,7 +42,19 @@ object PipelineReg {
     // substring+md5 CPU — session-parallel, not split-bound (the x100
     // single-split lesson; measured 25.9 -> 4.3 s at x100)
     "mm_dedup_signature" -> ((s: SparkSession, dir: String) =>
-      graft.multimodal.Multimodal.byteNearDup(s, dir)),
+      graft.multimodal.Multimodal.byteNearDup(mmPlantedAssets(s, dir))),
+    // incremental form: standing corpus signed once into tx tables,
+    // the new batch (hash bucket 4 of 5) verified against it —
+    // per-batch cost |batch|-proportional
+    "mm_dedup_incremental" -> ((s: SparkSession, dir: String) => {
+      val a = mmPlantedAssets(s, dir)
+        .withColumn("bkt", org.apache.spark.sql.functions.pmod(
+          graft.functions.PortableHash.phash(
+            col("asset_id").cast("string"), 21), lit(5L)))
+      graft.multimodal.Multimodal.byteNearDupIncremental(s,
+        a.filter(col("bkt") < 4).drop("bkt"),
+        a.filter(col("bkt") === 4).drop("bkt"))
+    }),
     "mm_segments" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.segments(
         graft.core.Tables(s, dir).documentsSpread.select(
@@ -119,6 +152,60 @@ object PipelineReg {
                           l.n_sh AS na, r.n_sh AS nb
                    FROM bands l JOIN bands r
                      ON l.bk = r.bk AND l.asset_id < r.asset_id),
+          i AS (SELECT cand.a, cand.b, count(*) AS inter
+                FROM cand
+                JOIN sh x ON x.asset_id = cand.a
+                JOIN sh y ON y.asset_id = cand.b AND y.m = x.m
+                GROUP BY 1, 2),
+          p AS (SELECT cand.a, cand.b,
+                       COALESCE(i.inter, 0) AS inter,
+                       cand.na + cand.nb - COALESCE(i.inter, 0) AS union_n
+                FROM cand LEFT JOIN i ON i.a = cand.a AND i.b = cand.b)
+          SELECT a, b, CAST(inter AS BIGINT) AS inter,
+                 CAST(union_n AS BIGINT) AS union_n,
+                 (20000 * inter + union_n) // (2 * union_n) AS jaccard_e4
+          FROM p WHERE (20000 * inter + union_n) // (2 * union_n) >= 4000
+          ORDER BY a, b"""
+    },
+    // incremental byte near-dup: same shingle/band/verify algebra with
+    // the corpus hash-split (phash salt 21, buckets 0-3 standing /
+    // 4 incoming) and candidates restricted to standing × new — the
+    // tx-table transport cancels out of the oracle, like the lake ops
+    "mm_dedup_incremental" -> {
+      import graft.functions.PortableHash.phashWindowSql
+      val bkt = phashSql("CAST(asset_id AS VARCHAR)", 21)
+      s"""WITH a0 AS (SELECT doc_id AS asset_id, text AS txt FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, 'XXXXX' || substring(text, 6)
+              FROM documents WHERE doc_id % 37 = 0),
+          a AS (SELECT asset_id, upper(hex(encode(txt))) AS hx,
+                       octet_length(encode(txt)) AS nb,
+                       $bkt % 5 AS bkt
+                FROM a0 WHERE octet_length(encode(txt)) >= 24),
+          g0 AS (SELECT asset_id,
+                        substring(hx, CAST(8 * j + 1 AS INTEGER), 48) AS gram
+                 FROM (SELECT asset_id, hx,
+                         unnest(range(0, (nb - 24) // 4 + 1)) AS j FROM a)),
+          sh AS (SELECT DISTINCT asset_id, md5(gram) AS m FROM g0),
+          sig AS (SELECT asset_id,
+                         min(${phashWindowSql("m", 0)}) AS mh1,
+                         min(${phashWindowSql("m", 1)}) AS mh2,
+                         min(${phashWindowSql("m", 2)}) AS mh3,
+                         min(${phashWindowSql("m", 3)}) AS mh4,
+                         count(*) AS n_sh
+                  FROM sh GROUP BY asset_id),
+          bands AS (SELECT asset_id, n_sh,
+                           unnest(['1_' || CAST(mh1 AS VARCHAR),
+                                   '2_' || CAST(mh2 AS VARCHAR),
+                                   '3_' || CAST(mh3 AS VARCHAR),
+                                   '4_' || CAST(mh4 AS VARCHAR)]) AS bk
+                    FROM sig),
+          cand AS (SELECT DISTINCT l.asset_id AS a, r.asset_id AS b,
+                          l.n_sh AS na, r.n_sh AS nb
+                   FROM bands l JOIN bands r ON l.bk = r.bk
+                   JOIN a la ON la.asset_id = l.asset_id
+                   JOIN a ra ON ra.asset_id = r.asset_id
+                   WHERE la.bkt < 4 AND ra.bkt = 4),
           i AS (SELECT cand.a, cand.b, count(*) AS inter
                 FROM cand
                 JOIN sh x ON x.asset_id = cand.a
