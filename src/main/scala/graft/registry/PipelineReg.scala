@@ -86,6 +86,8 @@ object PipelineReg {
       graft.streaming.StreamFts.streamFtsServe(s, dir)),
     "stream_ivf_serve" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamIvf.streamIvfServe(s, dir)),
+    "stream_ivfsq8_serve" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamIvfSq8.streamIvfSq8Serve(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "sample_shuffle" -> Sampling.sampleShuffle _,
     "sample_token_budget" -> Sampling.sampleTokenBudget _,
@@ -408,6 +410,13 @@ object PipelineReg {
     // serve — shares sim_ivf_append's re-clustering oracle verbatim,
     // because neither the transport nor redelivery may change answers
     "stream_ivf_serve" -> SimReg.ivfAppendOracle,
+    // the stream-maintained COMPOSED index (r13): pinned sample-trained
+    // centroids + pinned SQ8 range + per-micro-batch idempotent delta
+    // commits + merged code-scan serve — shares the sample-trained
+    // batch build's oracle verbatim, because the transport is
+    // answer-neutral by construction (same pinned artifacts, same
+    // exact-integer assignment and encode)
+    "stream_ivfsq8_serve" -> SimReg.annIvfSq8SampleOracle,
     "sample_mixture" -> {
       val h = phashSql("CAST(doc_id AS VARCHAR)",
         graft.operators.Sampling.mixtureSalt)

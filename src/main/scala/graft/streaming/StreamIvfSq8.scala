@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Scratch, Tables}
+import graft.lake.TxTable
+import graft.operators.Similarity
+
+/** Streamed maintenance for the COMPOSED, code-carrying vector index
+  * (VERDICT r12 task 6) — closes the last lifecycle asymmetry:
+  * [[StreamIvf]] gave the exact √N postings a streamed transport in
+  * r12, but the SQ8/PQ postings (codes beside vectors) still had
+  * batch-only append. This is the mechanical composition the verdict
+  * named: [[StreamIvf]]'s idempotent micro-batch transport + the
+  * pinned-range SQ8 encode.
+  *
+  * Lifecycle: the build-time artifacts — gate-sampled Lloyd centroids
+  * ([[Similarity.sampleQuantizer]]) and the global [mn,mx] code range
+  * — are pinned ONCE and never retrained; the seed commit writes the
+  * base 90% (vec_id % 10 != 9) assigned + encoded against them; the
+  * late 10% arrive as parquet files tailed one per micro-batch, each
+  * batch assigned (argmin against the pinned centroids) and SQ8-
+  * encoded (against the pinned range) before an
+  * [[TxTable.appendBatchIdempotent]] commit — the batch marker makes
+  * a redelivered micro-batch a no-op (`StreamIvfSq8Spec`).
+  *
+  * Pinned centroids + pinned range + exact-integer assignment/encode
+  * ⇒ every vector lands with the same (cell, codes) row a one-shot
+  * [[Similarity.ivfSq8BuildSample]] would give it, so neither the
+  * transport nor redelivery can change an answer: the serve shares
+  * `sim_ann_ivfsq8_sample`'s oracle verbatim. Per-batch work is
+  * |batch|·k against the pinned centroid broadcast plus a |batch|·d
+  * encode — independent of the corpus — and the serve is the standing
+  * index's Bloom-pruned code-scan + rerank, unchanged. */
+object StreamIvfSq8 {
+
+  /** Seed + stream the composed index; returns the standing-index
+    * handle so the redelivery spec can replay a batch against the
+    * same snapshot the serve reads. */
+  private[graft] def streamTables(spark: SparkSession,
+      dir: String): Similarity.IvfSq8Index = {
+    val isDelta = pmod(col("vec_id"), lit(10L)) === 9L
+    // artifacts pinned at build over the FULL corpus — bit-identical
+    // to the sample-trained batch build's, which is what makes the
+    // streamed transport answer-neutral BY CONSTRUCTION rather than
+    // by re-derivation
+    val (cents, _) = Similarity.sampleQuantizer(spark, dir)
+    val range = Similarity.quantized(spark, dir)
+      .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+      .localCheckpoint()
+    val r0 = range.head()
+    val mnv = r0.getAs[Long]("mn")
+    val sv = math.max(r0.getAs[Long]("mx") - mnv, 1L)
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+
+    // assign + encode one slice against the PINNED artifacts: the
+    // map-side-combining argmin kernel (build parity) and the direct
+    // array encode (no N·d exchange) — seed and micro-batches run the
+    // same function, so a streamed row can't differ from a seeded one
+    def encoded(part: DataFrame): DataFrame =
+      part.join(Similarity.argminByDist(part, cents), Seq("vec_id"))
+        .withColumn("codes", Similarity.sq8EncodeExpr(mnv, sv))
+        .withColumn("code_sum",
+          expr("aggregate(codes, 0L, (a, x) -> a + x)"))
+        .select(col("cell"), col("vec_id"), col("codes"), col("code_sum"),
+          col("embedding"))
+
+    val pDir = Scratch.fresh("tx_ivf_sq8_stream")
+    val tx = TxTable(spark, pDir)
+    tx.append(
+      encoded(emb.filter(!isDelta)).repartitionByRange(8, col("cell")),
+      bloomCols = Seq("cell"))
+
+    // late vectors land as parquet files (bit-exact float[] transport);
+    // one file per micro-batch — the [[StreamIvf]] transport verbatim
+    val srcDir = Scratch.fresh("ivfsq8_late_src")
+    emb.filter(isDelta).repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = StructType.fromDDL("vec_id LONG, embedding ARRAY<FLOAT>")
+    val chk = Scratch.fresh("ivfsq8_late_chk")
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        tx.appendBatchIdempotent(encoded(batch), id, bloomCols = Seq("cell"))
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val cDir = Scratch.fresh("tx_ivf_sq8_stream_cents")
+    TxTable(spark, cDir).append(cents)
+    val sDir = Scratch.fresh("tx_ivf_sq8_stream_stats")
+    TxTable(spark, sDir).append(range)
+    Similarity.IvfSq8Index(pDir, cDir, sDir)
+  }
+
+  /** Multi-probe SQ8 code-scan + exact-rerank serve from the merged
+    * streamed snapshot — [[Similarity.annIvfSq8Sample]]'s serving path
+    * over the stream-maintained postings (the serve never knows how
+    * its postings arrived; same defaults, same oracle). */
+  def streamIvfSq8Serve(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    Similarity.annIvfSq8From(spark, dir, streamTables(spark, dir),
+      k, candK, nprobe)
+}
