@@ -138,9 +138,11 @@ object Bench {
     // the stdout line gets tail-truncated in the round record (~59 of
     // 198 per-query numbers survived into BENCH_r12.json), so the FULL
     // query→seconds map is also written to a file — round-over-round
-    // per-query forensics read this, not the tail (VERDICT r12 gap 1)
+    // per-query forensics read this, not the tail (VERDICT r12 gap 1).
+    // Default path is at the REPO ROOT (not the gitignored target/) so
+    // the end-of-round snapshot commit preserves the driver run's map.
     val full = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "target/bench_full.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     if (full.getParent != null) java.nio.file.Files.createDirectories(full.getParent)
     java.nio.file.Files.write(full,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -149,6 +149,11 @@ class PlanSpec extends SparkSpec {
       // family; recalls embed the broadcast-queries ground-truth leg)
       "sim_ivfsq8_build_sample", "sim_ann_ivfsq8_sample",
       "sim_ann_ivfsq8_sample_recall",
+      // r13: streamed composed index — the serve IS annIvfSq8From
+      // (same 1-row range cross + proven-bound centroid kernel cross
+      // as sim_ann_ivfsq8_sample); the build side additionally runs
+      // the argminByDist kernel cross per micro-batch, all bounded
+      "stream_ivfsq8_serve",
       // r11: adaptive filtered serve = annFilteredSqrt at a computed
       // width — same kernel cross; recall adds the ground-truth leg
       "sim_ann_filtered_adaptive", "sim_ann_filtered_adaptive_recall",
