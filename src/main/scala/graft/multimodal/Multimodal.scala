@@ -131,6 +131,53 @@ object Multimodal {
     verified(cands, inter, minJaccardE4)
   }
 
+  /** Exact-collapse → near-dup composition — the production answer to
+    * the r13 replica-clique finding (BASELINE.md: at the x10 replica
+    * scale every asset has ~10 byte-identical copies, so the
+    * all-vs-all form's candidate set grows with the CLIQUE structure,
+    * O(N·dup²) — 10 copies → 45 pairs per family, and BOTH engines
+    * paid it). Exact duplicates don't need LSH: their Jaccard is 1 by
+    * definition. So collapse them FIRST — group by content
+    * fingerprint, keep the min-id asset as the canonical
+    * representative with its multiplicity — and run the banded
+    * near-dup over the distinct contents only. Candidate work drops
+    * from O(N·dup²) to O(U·near-dup-rate) where U = distinct
+    * contents; the exact cliques ride along as a constant-width
+    * `n_copies` column instead of C(copies, 2) materialized pairs.
+    *
+    * Output is the rep-level pair set (a, b, inter, union_n,
+    * jaccard_e4, copies_a, copies_b): the full pair universe is
+    * recoverable exactly — every underlying near-dup pair (x, y) maps
+    * to the rep pair (rep(x), rep(y)) with the SAME verified Jaccard
+    * (shingle sets depend only on content, so byte-identical copies
+    * have identical signatures and band keys — `MmCollapsedSpec`
+    * asserts the bijection against [[byteNearDup]] on the same
+    * corpus), and each rep pair stands for copies_a · copies_b
+    * underlying pairs plus the within-group J=1 cliques. */
+  def byteNearDupCollapsed(assets: DataFrame,
+      minJaccardE4: Long = 4000L): DataFrame = {
+    // fingerprint collapse: the 100 TB shape groups by a 16-byte
+    // digest, never by the content bytes themselves
+    val reps = assets
+      .withColumn("fp", md5(col("content")))
+      .groupBy(col("fp"))
+      .agg(min(col("asset_id")).as("asset_id"),
+        min_by(col("content"), col("asset_id")).as("content"),
+        count(lit(1)).as("n_copies"))
+      .drop("fp")
+      .cache()
+    val pairs = byteNearDup(
+      reps.select(col("asset_id"), col("content")), minJaccardE4)
+    pairs
+      .join(reps.select(col("asset_id").as("a"),
+        col("n_copies").as("copies_a")), Seq("a"))
+      .join(reps.select(col("asset_id").as("b"),
+        col("n_copies").as("copies_b")), Seq("b"))
+      .select(col("a"), col("b"), col("inter"), col("union_n"),
+        col("jaccard_e4"), col("copies_a"), col("copies_b"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** (asset_id, sd): each asset's DISTINCT 24-byte (stride 4) byte
     * shingles as 16-byte md5 digests — the one shingling pass both
     * near-dup forms share. Assets shorter than one shingle carry no

@@ -1850,7 +1850,7 @@ object Similarity {
     * (~32×) point; dimsPerSub=4 the 16-subspace (~16×) frontier
     * variant — more subspaces = finer quantization = better ADC
     * ranking at proportionally more code bytes per candidate. */
-  private def pqCodebook(qe: DataFrame, dimsPerSub: Int = 8): DataFrame =
+  private[graft] def pqCodebook(qe: DataFrame, dimsPerSub: Int = 8): DataFrame =
     qe.withColumn("sub", expr(s"dim div $dimsPerSub"))
       .groupBy(col("sub"), col("label").as("code"), col("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
@@ -2417,7 +2417,7 @@ object Similarity {
     * quantize, sub-distance against the broadcast codebook, `min_by`
     * argmin per (vector, subspace), pack dim-ordered. The grow append
     * runs this over deltas only. */
-  private def pqEncodeAgainst(emb: DataFrame, cb: DataFrame,
+  private[graft] def pqEncodeAgainst(emb: DataFrame, cb: DataFrame,
       dimsPerSub: Int = 8): DataFrame = {
     val qe = quantizedOf(emb).withColumn("sub", expr(s"dim div $dimsPerSub"))
     val subDist = qe.join(broadcast(cb), Seq("sub", "dim"))

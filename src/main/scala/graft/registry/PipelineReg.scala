@@ -43,6 +43,13 @@ object PipelineReg {
     // single-split lesson; measured 25.9 -> 4.3 s at x100)
     "mm_dedup_signature" -> ((s: SparkSession, dir: String) =>
       graft.multimodal.Multimodal.byteNearDup(mmPlantedAssets(s, dir))),
+    // exact-collapse → near-dup composition: byte-identical copies
+    // fold to one canonical rep (+ multiplicity) BEFORE the banded
+    // LSH, so the replica-clique candidate blowup the x10 fixture
+    // exposed (O(N·dup²)) collapses to O(U·near-dup-rate)
+    "mm_dedup_collapsed" -> ((s: SparkSession, dir: String) =>
+      graft.multimodal.Multimodal.byteNearDupCollapsed(
+        mmPlantedAssets(s, dir))),
     // incremental form: standing corpus signed once into tx tables,
     // the new batch (hash bucket 4 of 5) verified against it —
     // per-batch cost |batch|-proportional
@@ -88,6 +95,8 @@ object PipelineReg {
       graft.streaming.StreamIvf.streamIvfServe(s, dir)),
     "stream_ivfsq8_serve" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamIvfSq8.streamIvfSq8Serve(s, dir)),
+    "stream_ivfpq_serve" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamIvfPq.streamIvfPqServe(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "sample_shuffle" -> Sampling.sampleShuffle _,
     "sample_token_budget" -> Sampling.sampleTokenBudget _,
@@ -167,6 +176,66 @@ object PipelineReg {
                  CAST(union_n AS BIGINT) AS union_n,
                  (20000 * inter + union_n) // (2 * union_n) AS jaccard_e4
           FROM p WHERE (20000 * inter + union_n) // (2 * union_n) >= 4000
+          ORDER BY a, b"""
+    },
+    // collapsed form: byte-identical copies fold to the min-id rep
+    // (grouping by the text itself — DuckDB's view of "same content
+    // fingerprint"; Spark groups by md5(content), the same partition
+    // of rows) before the identical shingle/band/verify algebra, with
+    // each surviving rep pair carrying its copies_a·copies_b
+    // multiplicity
+    "mm_dedup_collapsed" -> {
+      import graft.functions.PortableHash.phashWindowSql
+      s"""WITH a0 AS (SELECT doc_id AS asset_id, text AS txt FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, 'XXXXX' || substring(text, 6)
+              FROM documents WHERE doc_id % 37 = 0),
+          rep AS (SELECT min(asset_id) AS asset_id, txt,
+                         count(*) AS n_copies
+                  FROM a0 GROUP BY txt),
+          a AS (SELECT asset_id, upper(hex(encode(txt))) AS hx,
+                       octet_length(encode(txt)) AS nb
+                FROM rep WHERE octet_length(encode(txt)) >= 24),
+          g0 AS (SELECT asset_id,
+                        substring(hx, CAST(8 * j + 1 AS INTEGER), 48) AS gram
+                 FROM (SELECT asset_id, hx,
+                         unnest(range(0, (nb - 24) // 4 + 1)) AS j FROM a)),
+          sh AS (SELECT DISTINCT asset_id, md5(gram) AS m FROM g0),
+          sig AS (SELECT asset_id,
+                         min(${phashWindowSql("m", 0)}) AS mh1,
+                         min(${phashWindowSql("m", 1)}) AS mh2,
+                         min(${phashWindowSql("m", 2)}) AS mh3,
+                         min(${phashWindowSql("m", 3)}) AS mh4,
+                         count(*) AS n_sh
+                  FROM sh GROUP BY asset_id),
+          bands AS (SELECT asset_id, n_sh,
+                           unnest(['1_' || CAST(mh1 AS VARCHAR),
+                                   '2_' || CAST(mh2 AS VARCHAR),
+                                   '3_' || CAST(mh3 AS VARCHAR),
+                                   '4_' || CAST(mh4 AS VARCHAR)]) AS bk
+                    FROM sig),
+          cand AS (SELECT DISTINCT l.asset_id AS a, r.asset_id AS b,
+                          l.n_sh AS na, r.n_sh AS nb
+                   FROM bands l JOIN bands r
+                     ON l.bk = r.bk AND l.asset_id < r.asset_id),
+          i AS (SELECT cand.a, cand.b, count(*) AS inter
+                FROM cand
+                JOIN sh x ON x.asset_id = cand.a
+                JOIN sh y ON y.asset_id = cand.b AND y.m = x.m
+                GROUP BY 1, 2),
+          p AS (SELECT cand.a, cand.b,
+                       COALESCE(i.inter, 0) AS inter,
+                       cand.na + cand.nb - COALESCE(i.inter, 0) AS union_n
+                FROM cand LEFT JOIN i ON i.a = cand.a AND i.b = cand.b)
+          SELECT p.a, p.b, CAST(p.inter AS BIGINT) AS inter,
+                 CAST(p.union_n AS BIGINT) AS union_n,
+                 (20000 * p.inter + p.union_n) // (2 * p.union_n)
+                   AS jaccard_e4,
+                 CAST(ra.n_copies AS BIGINT) AS copies_a,
+                 CAST(rb.n_copies AS BIGINT) AS copies_b
+          FROM p JOIN rep ra ON ra.asset_id = p.a
+                 JOIN rep rb ON rb.asset_id = p.b
+          WHERE (20000 * p.inter + p.union_n) // (2 * p.union_n) >= 4000
           ORDER BY a, b"""
     },
     // incremental byte near-dup: same shingle/band/verify algebra with
@@ -417,6 +486,13 @@ object PipelineReg {
     // answer-neutral by construction (same pinned artifacts, same
     // exact-integer assignment and encode)
     "stream_ivfsq8_serve" -> SimReg.annIvfSq8SampleOracle,
+    // ... and the PRODUCT-quantized one (r13): pinned sample-trained
+    // centroids + pinned per-(sub, code) codebook + per-micro-batch
+    // idempotent delta commits + merged ADC serve — shares the
+    // sample-trained PQ batch build's oracle verbatim for the same
+    // reason (per-vector exact-integer encode against pinned
+    // artifacts: slicing the corpus cannot move a code)
+    "stream_ivfpq_serve" -> SimReg.annIvfPqSampleOracle,
     "sample_mixture" -> {
       val h = phashSql("CAST(doc_id AS VARCHAR)",
         graft.operators.Sampling.mixtureSalt)
