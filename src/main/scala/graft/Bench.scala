@@ -29,8 +29,8 @@ object Bench {
     * ~128 MB exchange (2²⁴ longs hash-repartitioned 64 ways) through
     * the same shuffle write/read path every real exchange uses.
     * Healthy 32-thread floor: measure once, compare per round. */
-  private def shuffleProbe(spark: SparkSession): Double =
-    (1 to 2).map { _ =>
+  private def shuffleProbe(spark: SparkSession, reps: Int = 2): Double =
+    (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       spark.range(0, 1L << 24, 1, spark.sparkContext.defaultParallelism)
         .repartition(64, org.apache.spark.sql.functions.col("id"))
@@ -106,8 +106,21 @@ object Bench {
     // cost of one extra pass. The gc + settle between queries keeps one
     // query's garbage from billing the next.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    // Per-QUERY certification legs (r13): the box's shuffle-burst mode
+    // oscillates on minute timescales — shorter than a measurement
+    // chunk — so the two chunk-boundary calib legs cannot certify the
+    // rows in the middle (measured: minhash 300 s inside an accepted
+    // chunk, 89 s isolated minutes later, both with in-band boundary
+    // legs). With this knob set, ONE single-rep shuffle probe runs
+    // after EVERY query; a row is certified iff its two ADJACENT legs
+    // (before/after) are in band. Off by default: ~2 s per query is
+    // real overhead on a 200-query sf0.1 sweep, and the driver's
+    // round bench needs totals, not per-row certification.
+    val calibEach = sys.env.get("SPARK_GRAFT_BENCH_CALIB_EACH").contains("1")
     val calibStart = calibProbe(spark)
     val shufStart = shuffleProbe(spark)
+    var legPrev = shufStart
+    val legs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -123,6 +136,11 @@ object Bench {
         spark.catalog.clearCache()
         t
       }
+      if (calibEach) {
+        val legAfter = shuffleProbe(spark, reps = 1)
+        legs(name) = (legPrev, legAfter)
+        legPrev = legAfter
+      }
       System.gc()
       Thread.sleep(50)
       // any failed run fails the query; otherwise the min of the runs
@@ -133,7 +151,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd},"sf":"$sfDir"}"""
+    val legsJson = if (!calibEach) "" else
+      legs.map { case (k, (b, a)) => s"\"" + k + "\":[" + b + "," + a + "]" }
+        .mkString(",\"calib_each\":{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd$legsJson},"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets tail-truncated in the round record (~59 of
     // 198 per-query numbers survived into BENCH_r12.json), so the FULL

@@ -154,6 +154,11 @@ class PlanSpec extends SparkSpec {
       // as sim_ann_ivfsq8_sample); the build side additionally runs
       // the argminByDist kernel cross per micro-batch, all bounded
       "stream_ivfsq8_serve",
+      // r13: streamed PQ — the serve IS annIvfPqFrom (same centroid
+      // kernel cross + broadcast ADC codebook joins as
+      // sim_ann_ivfpq_sample); per-batch assign/encode runs the same
+      // bounded kernel crosses as the one-shot PQ build
+      "stream_ivfpq_serve",
       // r11: adaptive filtered serve = annFilteredSqrt at a computed
       // width — same kernel cross; recall adds the ground-truth leg
       "sim_ann_filtered_adaptive", "sim_ann_filtered_adaptive_recall",

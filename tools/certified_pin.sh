@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Per-QUERY certified measurement (r13 protocol upgrade).
+#
+# The r13 retry runs measured the hole in chunk-level acceptance: the
+# box's shuffle-burst mode oscillates on minute timescales, so a chunk
+# whose two BOUNDARY calib legs read in-band can still contain rows
+# that ran under a burst (observed: dedup_minhash_lsh 300.3 s inside
+# an ACCEPTED chunk, 89.3 s isolated minutes later). This runner uses
+# Bench's SPARK_GRAFT_BENCH_CALIB_EACH knob: one single-rep shuffle
+# probe after EVERY query, and a row is CERTIFIED iff both its
+# adjacent legs (the probe before it and the probe after it) read
+# within the gate. Uncertified rows are upper bounds, re-run them.
+#
+#   tools/certified_pin.sh <tag> <sf_dir> <subset_csv> [runs]
+#
+# Artifacts land under measurements/ (TRACKED — target/ is wiped
+# between sessions and every raw r12/r13 decade JSON died with it;
+# from now on raw measurement artifacts are committed).
+set -uo pipefail
+cd /root/repo
+TAG="${1:?tag}"; SFDIR="${2:?sf_dir}"; SUBSET="${3:?subset}"; RUNS="${4:-1}"
+OUT=measurements
+mkdir -p "$OUT"
+if [ ! -d target/benchcp ]; then cp -r target/scala-2.13/classes target/benchcp; fi
+CP="target/benchcp:/opt/spark/jars/*"
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+GATE="${SPARK_GRAFT_SHUF_GATE:-1.10}"
+
+echo "=== certified_pin $TAG ($SFDIR, cpus=$CPUS, runs=$RUNS, gate=$GATE) $(date +%T) ==="
+SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
+SPARK_GRAFT_BENCH_SUBSET="$SUBSET" SPARK_GRAFT_BENCH_RUNS="$RUNS" \
+SPARK_GRAFT_BENCH_CALIB_EACH=1 \
+SPARK_GRAFT_BENCH_FULL="$OUT/${TAG}.json" \
+  java -Xmx96g --add-exports=java.base/sun.nio.ch=ALL-UNNAMED \
+    -cp "$CP" graft.Bench 2>"$OUT/${TAG}.err" | tail -1 >/dev/null
+
+python3 - "$OUT/${TAG}.json" "$GATE" <<'PY'
+import json, sys
+d = json.load(open(sys.argv[1])); gate = float(sys.argv[2])
+legs = d["calib"].get("calib_each", {})
+print(f"{'query':32s} {'sec':>9s} {'leg_before':>10s} {'leg_after':>10s}  verdict")
+for q, sec in sorted(d["queries"].items()):
+    b, a = legs.get(q, (float('nan'),) * 2)
+    ok = b <= gate and a <= gate
+    print(f"{q:32s} {sec:9.2f} {b:10.2f} {a:10.2f}  {'CERTIFIED' if ok else 'burst — upper bound'}")
+PY
