@@ -531,22 +531,48 @@ object Similarity {
     * back to per-serve corpus aggregates. */
   private val IndexManifest = "_graft_index_manifest"
 
-  private def writeIndexManifest(postingsRoot: String,
+  /** A manifest that cannot be loaded — missing file (not an index
+    * root, or a pre-manifest build) or a torn/partial write missing a
+    * required key. Typed and named so a cold-session loader fails with
+    * the index root in hand instead of a bare NoSuchElementException
+    * (VERDICT r13 task 8). */
+  final class IndexManifestError(val root: String, detail: String)
+    extends RuntimeException(s"index manifest at $root: $detail")
+
+  /** Written atomically (temp + rename in the same directory): a crash
+    * mid-write leaves either the previous manifest or none — never a
+    * half-written file a loader would misread as a torn index. */
+  private[graft] def writeIndexManifest(postingsRoot: String,
       entries: (String, String)*): Unit = {
-    val p = java.nio.file.Paths.get(postingsRoot, IndexManifest)
+    val root = java.nio.file.Paths.get(postingsRoot)
+    val tmp = root.resolve(IndexManifest + ".tmp")
+    val fin = root.resolve(IndexManifest)
     val body = entries.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
-    java.nio.file.Files.write(p,
+    java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def readIndexManifest(postingsRoot: String): Map[String, String] = {
+  private[graft] def readIndexManifest(postingsRoot: String): Map[String, String] = {
     val p = java.nio.file.Paths.get(postingsRoot, IndexManifest)
+    if (!java.nio.file.Files.exists(p))
+      throw new IndexManifestError(postingsRoot,
+        "manifest file missing — not an index root, or a build that predates manifests")
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(p).asScala
       .filter(_.contains('='))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
       .toMap
   }
+
+  /** Required-key lookup with the typed torn-manifest failure. */
+  private[graft] def manifestKey(m: Map[String, String], root: String,
+      key: String): String =
+    m.getOrElse(key, throw new IndexManifestError(root,
+      s"required key '$key' missing (torn or partial manifest; " +
+        s"keys present: ${m.keys.toSeq.sorted.mkString(", ")})"))
 
   /** Reconstruct (and re-register) a standing √N index handle from its
     * on-disk layout alone — the COLD-SESSION path: a fresh JVM that
@@ -557,15 +583,81 @@ object Similarity {
   def loadIvfSqrt(spark: SparkSession, dir: String,
       postingsRoot: String): IvfIndex = {
     val m = readIndexManifest(postingsRoot)
-    val idx = IvfIndex(postingsRoot, m("centroids"), m.getOrElse("stats", ""))
+    val idx = IvfIndex(postingsRoot,
+      manifestKey(m, postingsRoot, "centroids"), m.getOrElse("stats", ""))
     ivfStanding.put(dir + "#sqrt", idx)
     idx
   }
 
-  /** Test hook: forget a standing index registration (simulates the
-    * cold session [[loadIvfSqrt]] exists for) without touching disk. */
+  /** Cold-session loaders for the remaining standing families (VERDICT
+    * r13 task 4) — same contract as [[loadIvfSqrt]]: a fresh JVM that
+    * holds only the postings root reconstructs the exact handle the
+    * building session registered (companion roots from the manifest,
+    * never re-derived), so serving reads the standing layout instead
+    * of silently rebuilding it. */
+  def loadIvf(spark: SparkSession, dir: String,
+      postingsRoot: String): IvfIndex = {
+    val m = readIndexManifest(postingsRoot)
+    val idx = IvfIndex(postingsRoot, manifestKey(m, postingsRoot, "centroids"))
+    ivfStanding.put(dir, idx)
+    idx
+  }
+
+  def loadIvfSample(spark: SparkSession, dir: String,
+      postingsRoot: String): IvfIndex = {
+    val m = readIndexManifest(postingsRoot)
+    val idx = IvfIndex(postingsRoot, manifestKey(m, postingsRoot, "centroids"))
+    ivfStanding.put(dir + "#sample", idx)
+    idx
+  }
+
+  def loadIvfSq8(spark: SparkSession, dir: String,
+      postingsRoot: String): IvfSq8Index = {
+    val m = readIndexManifest(postingsRoot)
+    val idx = IvfSq8Index(postingsRoot,
+      manifestKey(m, postingsRoot, "centroids"),
+      manifestKey(m, postingsRoot, "stats"))
+    ivfSq8Standing.put(dir, idx)
+    idx
+  }
+
+  def loadIvfSq8Sample(spark: SparkSession, dir: String,
+      postingsRoot: String): IvfSq8Index = {
+    val m = readIndexManifest(postingsRoot)
+    val idx = IvfSq8Index(postingsRoot,
+      manifestKey(m, postingsRoot, "centroids"),
+      manifestKey(m, postingsRoot, "stats"))
+    ivfSq8Standing.put(dir + "#sample", idx)
+    idx
+  }
+
+  def loadIvfPq(spark: SparkSession, dir: String,
+      postingsRoot: String): IvfPqIndex = {
+    val m = readIndexManifest(postingsRoot)
+    val idx = IvfPqIndex(postingsRoot,
+      manifestKey(m, postingsRoot, "centroids"),
+      manifestKey(m, postingsRoot, "codebook"))
+    ivfPqStanding.put(dir, idx)
+    idx
+  }
+
+  def loadIvfPqSample(spark: SparkSession, dir: String,
+      postingsRoot: String): IvfPqIndex = {
+    val m = readIndexManifest(postingsRoot)
+    val idx = IvfPqIndex(postingsRoot,
+      manifestKey(m, postingsRoot, "centroids"),
+      manifestKey(m, postingsRoot, "codebook"))
+    ivfPqStanding.put(dir + "#sample", idx)
+    idx
+  }
+
+  /** Test hook: forget every standing vector-index registration for
+    * `dir` (simulates the cold session the load* functions exist for)
+    * without touching disk. */
   private[graft] def dropStandingForTest(dir: String): Unit = {
-    ivfStanding.remove(dir + "#sqrt")
+    Seq(dir, dir + "#sqrt", dir + "#sample").foreach(ivfStanding.remove)
+    Seq(dir, dir + "#sample").foreach(ivfSq8Standing.remove)
+    Seq(dir, dir + "#sample").foreach(ivfPqStanding.remove)
     ()
   }
 
@@ -599,6 +691,7 @@ object Similarity {
       bloomCols = Seq("cell"))
     val cDir = Scratch.fresh("tx_ivf_cents")
     TxTable(spark, cDir).append(cents)
+    writeIndexManifest(pDir, "family" -> "ivf", "centroids" -> cDir)
     val idx = IvfIndex(pDir, cDir)
     ivfStanding.put(dir, idx)
     idx
@@ -1313,6 +1406,7 @@ object Similarity {
       bloomCols = Seq("cell"))
     val cDir = Scratch.fresh("tx_ivf_sample_cents")
     TxTable(spark, cDir).append(cents)
+    writeIndexManifest(pDir, "family" -> "ivf_sample", "centroids" -> cDir)
     val idx = IvfIndex(pDir, cDir)
     ivfStanding.put(dir + "#sample", idx)
     idx
@@ -1615,6 +1709,8 @@ object Similarity {
     TxTable(spark, cDir).append(cents)
     val sDir = Scratch.fresh(scratch + "_stats")
     TxTable(spark, sDir).append(range)
+    writeIndexManifest(pDir, "family" -> ("ivf_sq8" + key),
+      "centroids" -> cDir, "stats" -> sDir)
     val idx = IvfSq8Index(pDir, cDir, sDir)
     ivfSq8Standing.put(dir + key, idx)
     idx
@@ -1915,6 +2011,8 @@ object Similarity {
     TxTable(spark, cDir).append(cents)
     val bDir = Scratch.fresh(scratch + "_cb")
     TxTable(spark, bDir).append(cb)
+    writeIndexManifest(pDir, "family" -> ("ivf_pq" + key),
+      "centroids" -> cDir, "codebook" -> bDir)
     val idx = IvfPqIndex(pDir, cDir, bDir)
     ivfPqStanding.put(dir + key, idx)
     idx

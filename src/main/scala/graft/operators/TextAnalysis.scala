@@ -400,10 +400,38 @@ object TextAnalysis {
     txStats.append(docs.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("t_toks")))
     val st = txStats.read().head() // two scalars, paid once at build
+    // the stats root lives IN the index layout (manifest beside the
+    // postings) so a cold session reloads the handle from disk
+    // ([[loadFts]], VERDICT r13 task 4) instead of rebuilding
+    Similarity.writeIndexManifest(pDir, "family" -> "fts", "stats" -> sDir)
     val idx = FtsIndex(pDir, sDir,
       st.getLong(st.fieldIndex("n_docs")), st.getLong(st.fieldIndex("t_toks")))
     ftsStanding.put(dir, idx)
     idx
+  }
+
+  /** Cold-session loader: reconstruct (and re-register) the standing
+    * FTS handle from the on-disk layout alone — the manifest names the
+    * stats root, whose one-row table carries the two corpus scalars,
+    * so a fresh JVM serves from the standing postings without ever
+    * re-tokenizing the corpus. */
+  def loadFts(spark: SparkSession, dir: String,
+      postingsRoot: String): FtsIndex = {
+    import graft.lake.TxTable
+    val m = Similarity.readIndexManifest(postingsRoot)
+    val sDir = Similarity.manifestKey(m, postingsRoot, "stats")
+    val st = TxTable(spark, sDir).read().head()
+    val idx = FtsIndex(postingsRoot, sDir,
+      st.getLong(st.fieldIndex("n_docs")), st.getLong(st.fieldIndex("t_toks")))
+    ftsStanding.put(dir, idx)
+    idx
+  }
+
+  /** Test hook: forget the standing FTS registration (simulates the
+    * cold session [[loadFts]] exists for) without touching disk. */
+  private[graft] def dropFtsForTest(dir: String): Unit = {
+    ftsStanding.remove(dir)
+    ()
   }
 
   /** Get-or-build the standing index (idempotent; used by Bench's

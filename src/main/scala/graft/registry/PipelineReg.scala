@@ -97,6 +97,15 @@ object PipelineReg {
       graft.streaming.StreamIvfSq8.streamIvfSq8Serve(s, dir)),
     "stream_ivfpq_serve" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamIvfPq.streamIvfPqServe(s, dir)),
+    // the SERVE half alone, against the get-or-streamed standing
+    // snapshot (r14): Bench warms the seed+stream in its index
+    // registry, so these rows time what a deployment pays per query
+    // on a stream-maintained index — the *_serve rows keep owning the
+    // whole lifecycle
+    "stream_ivfsq8_serve_only" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamIvfSq8.streamIvfSq8ServeOnly(s, dir)),
+    "stream_ivfpq_serve_only" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamIvfPq.streamIvfPqServeOnly(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "sample_shuffle" -> Sampling.sampleShuffle _,
     "sample_token_budget" -> Sampling.sampleTokenBudget _,
@@ -493,6 +502,10 @@ object PipelineReg {
     // reason (per-vector exact-integer encode against pinned
     // artifacts: slicing the corpus cannot move a code)
     "stream_ivfpq_serve" -> SimReg.annIvfPqSampleOracle,
+    // serve-only twins (r14): same merged snapshot, same pinned
+    // artifacts, same serve implementation — so the same oracles
+    "stream_ivfsq8_serve_only" -> SimReg.annIvfSq8SampleOracle,
+    "stream_ivfpq_serve_only" -> SimReg.annIvfPqSampleOracle,
     "sample_mixture" -> {
       val h = phashSql("CAST(doc_id AS VARCHAR)",
         graft.operators.Sampling.mixtureSalt)

@@ -100,7 +100,25 @@ object StreamIvfPq {
     TxTable(spark, cDir).append(cents)
     val bDir = Scratch.fresh("tx_ivf_pq_stream_cb")
     TxTable(spark, bDir).append(cb)
-    Similarity.IvfPqIndex(pDir, cDir, bDir)
+    Similarity.writeIndexManifest(pDir, "family" -> "ivf_pq#stream",
+      "centroids" -> cDir, "codebook" -> bDir)
+    val idx = Similarity.IvfPqIndex(pDir, cDir, bDir)
+    standing.put(dir, idx)
+    idx
+  }
+
+  /** Standing streamed-index registry, the batch families' pattern:
+    * one seed+stream per corpus per process; `stream_ivfpq_serve`
+    * always re-drives the full lifecycle, [[streamIvfPqServeOnly]]
+    * get-or-streams so ITS timed row is the serve alone. */
+  private val standing =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
+
+  /** Get-or-build the stream-maintained snapshot (Bench warms it so
+    * `stream_ivfpq_serve_only` times the serving path alone). */
+  def ensureStreamed(spark: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    val hit = standing.get(dir)
+    if (hit != null) hit else streamTables(spark, dir)
   }
 
   /** Multi-probe ADC code-scan + candK exact-rerank serve from the
@@ -111,5 +129,15 @@ object StreamIvfPq {
   def streamIvfPqServe(spark: SparkSession, dir: String, k: Int = 5,
       candK: Int = 100, nprobe: Int = 3): DataFrame =
     Similarity.annIvfPqFrom(spark, dir, streamTables(spark, dir),
+      k, candK, nprobe)
+
+  /** The SERVE half on its own (VERDICT r13 task 6): the same answer
+    * over a pre-seeded streamed snapshot, so the streamed transport's
+    * serving cost is its own decade-flat row — `stream_ivfpq_serve`
+    * keeps owning the full seed+stream+serve lifecycle, the FTS
+    * family's build/serve split applied to the streamed PQ index. */
+  def streamIvfPqServeOnly(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 100, nprobe: Int = 3): DataFrame =
+    Similarity.annIvfPqFrom(spark, dir, ensureStreamed(spark, dir),
       k, candK, nprobe)
 }

@@ -99,7 +99,25 @@ object StreamIvfSq8 {
     TxTable(spark, cDir).append(cents)
     val sDir = Scratch.fresh("tx_ivf_sq8_stream_stats")
     TxTable(spark, sDir).append(range)
-    Similarity.IvfSq8Index(pDir, cDir, sDir)
+    Similarity.writeIndexManifest(pDir, "family" -> "ivf_sq8#stream",
+      "centroids" -> cDir, "stats" -> sDir)
+    val idx = Similarity.IvfSq8Index(pDir, cDir, sDir)
+    standing.put(dir, idx)
+    idx
+  }
+
+  /** Standing streamed-index registry, the batch families' pattern:
+    * one seed+stream per corpus per process; `stream_ivfsq8_serve`
+    * always re-drives the full lifecycle, [[streamIvfSq8ServeOnly]]
+    * get-or-streams so ITS timed row is the serve alone. */
+  private val standing =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfSq8Index]()
+
+  /** Get-or-build the stream-maintained snapshot (Bench warms it so
+    * `stream_ivfsq8_serve_only` times the serving path alone). */
+  def ensureStreamed(spark: SparkSession, dir: String): Similarity.IvfSq8Index = {
+    val hit = standing.get(dir)
+    if (hit != null) hit else streamTables(spark, dir)
   }
 
   /** Multi-probe SQ8 code-scan + exact-rerank serve from the merged
@@ -109,5 +127,16 @@ object StreamIvfSq8 {
   def streamIvfSq8Serve(spark: SparkSession, dir: String, k: Int = 5,
       candK: Int = 20, nprobe: Int = 3): DataFrame =
     Similarity.annIvfSq8From(spark, dir, streamTables(spark, dir),
+      k, candK, nprobe)
+
+  /** The SERVE half on its own (VERDICT r13 task 6): the same answer
+    * over a pre-seeded streamed snapshot, so the streamed transport's
+    * serving cost is its own decade-flat row — `stream_ivfsq8_serve`
+    * keeps owning the full seed+stream+serve lifecycle, the FTS
+    * family's build/serve split (`text_fts_build` / `text_bm25_indexed`)
+    * applied to the streamed vector index. */
+  def streamIvfSq8ServeOnly(spark: SparkSession, dir: String, k: Int = 5,
+      candK: Int = 20, nprobe: Int = 3): DataFrame =
+    Similarity.annIvfSq8From(spark, dir, ensureStreamed(spark, dir),
       k, candK, nprobe)
 }

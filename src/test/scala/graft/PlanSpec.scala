@@ -159,6 +159,10 @@ class PlanSpec extends SparkSpec {
       // sim_ann_ivfpq_sample); per-batch assign/encode runs the same
       // bounded kernel crosses as the one-shot PQ build
       "stream_ivfpq_serve",
+      // r14: serve-only twins — identical serving plans (annIvfSq8From
+      // / annIvfPqFrom) over the get-or-streamed standing snapshot;
+      // same bounded kernel crosses as their lifecycle rows
+      "stream_ivfsq8_serve_only", "stream_ivfpq_serve_only",
       // r11: adaptive filtered serve = annFilteredSqrt at a computed
       // width — same kernel cross; recall adds the ground-truth leg
       "sim_ann_filtered_adaptive", "sim_ann_filtered_adaptive_recall",

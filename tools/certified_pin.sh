@@ -21,18 +21,30 @@ cd /root/repo
 TAG="${1:?tag}"; SFDIR="${2:?sf_dir}"; SUBSET="${3:?subset}"; RUNS="${4:-1}"
 OUT=measurements
 mkdir -p "$OUT"
-if [ ! -d target/benchcp ]; then cp -r target/scala-2.13/classes target/benchcp; fi
+# refresh the frozen classpath whenever the compiled classes are newer
+# (a stale benchcp after a recompile silently measures old code)
+if [ ! -d target/benchcp ] || [ -n "$(find target/scala-2.13/classes -newer target/benchcp -print -quit 2>/dev/null)" ]; then
+  rm -rf target/benchcp && cp -r target/scala-2.13/classes target/benchcp
+fi
 CP="target/benchcp:/opt/spark/jars/*"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 GATE="${SPARK_GRAFT_SHUF_GATE:-1.10}"
 
 echo "=== certified_pin $TAG ($SFDIR, cpus=$CPUS, runs=$RUNS, gate=$GATE) $(date +%T) ==="
+# a stale same-tag JSON from a previous run must never be adjudicated
+# as a fresh result if this JVM crashes before writing its output
+rm -f "$OUT/${TAG}.json"
 SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
 SPARK_GRAFT_BENCH_SUBSET="$SUBSET" SPARK_GRAFT_BENCH_RUNS="$RUNS" \
 SPARK_GRAFT_BENCH_CALIB_EACH=1 \
 SPARK_GRAFT_BENCH_FULL="$OUT/${TAG}.json" \
   java -Xmx96g --add-exports=java.base/sun.nio.ch=ALL-UNNAMED \
     -cp "$CP" graft.Bench 2>"$OUT/${TAG}.err" | tail -1 >/dev/null
+RC=$?
+if [ "$RC" -ne 0 ] || [ ! -s "$OUT/${TAG}.json" ]; then
+  echo "ABORT: bench JVM rc=$RC, $OUT/${TAG}.json missing or empty (see $OUT/${TAG}.err)" >&2
+  exit 1
+fi
 
 python3 - "$OUT/${TAG}.json" "$GATE" <<'PY'
 import json, sys
@@ -41,6 +53,8 @@ legs = d["calib"].get("calib_each", {})
 print(f"{'query':32s} {'sec':>9s} {'leg_before':>10s} {'leg_after':>10s}  verdict")
 for q, sec in sorted(d["queries"].items()):
     b, a = legs.get(q, (float('nan'),) * 2)
-    ok = b <= gate and a <= gate
-    print(f"{q:32s} {sec:9.2f} {b:10.2f} {a:10.2f}  {'CERTIFIED' if ok else 'burst — upper bound'}")
+    # sec > 0: a -1.0 failure sentinel must never certify (ADVICE r13)
+    ok = sec > 0 and b <= gate and a <= gate
+    verdict = 'CERTIFIED' if ok else ('FAILED' if sec <= 0 else 'burst — upper bound')
+    print(f"{q:32s} {sec:9.2f} {b:10.2f} {a:10.2f}  {verdict}")
 PY

@@ -9,7 +9,9 @@ set -uo pipefail
 cd /root/repo
 OUT=measurements
 mkdir -p "$OUT"
-if [ ! -d target/benchcp ]; then cp -r target/scala-2.13/classes target/benchcp; fi
+if [ ! -d target/benchcp ] || [ -n "$(find target/scala-2.13/classes -newer target/benchcp -print -quit 2>/dev/null)" ]; then
+  rm -rf target/benchcp && cp -r target/scala-2.13/classes target/benchcp
+fi
 CP="target/benchcp:/opt/spark/jars/*"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 GATE="${SPARK_GRAFT_SHUF_GATE:-1.10}"

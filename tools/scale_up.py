@@ -1,7 +1,18 @@
 #!/usr/bin/env python3
 """Scale-factor multiplier for the bench crossover measurement (dev tool).
 
-Usage: python3 tools/scale_up.py <src_sf_dir> <dst_dir> <replicas>
+Usage: python3 tools/scale_up.py <src_sf_dir> <dst_dir> <replicas> [clique_mod]
+
+clique_mod (default 0 = off): if > 0, documents whose ORIGINAL doc_id
+is ≡ 0 (mod clique_mod) keep their text untagged across replicas —
+i.e. they form byte-identical exact-duplicate families of depth
+`replicas`. This is the CLIQUE fixture for the exact-collapse dedup
+forms (mm_dedup_collapsed): the r13 verdict hypothesized the default
+replica protocol produces such cliques, but it does not (the word
+tagging makes every replica's text distinct — measured r14: x10 from
+sf0.1 has 49 840 singleton contents + 80 pairs, max band bucket 12),
+so the clique shape must be planted deliberately to measure the
+O(N·dup²) → O(U·near-dup-rate) claim.
 
 Builds an N-times-larger copy of a driver-generated sf directory by
 key-shifted replication, preserving every join relationship and the
@@ -51,7 +62,7 @@ SHIFT = {
 }
 
 
-def replicate(table: pa.Table, name: str, i: int) -> pa.Table:
+def replicate(table: pa.Table, name: str, i: int, clique_mod: int = 0) -> pa.Table:
     if i == 0:
         return table
     cols = {}
@@ -65,14 +76,24 @@ def replicate(table: pa.Table, name: str, i: int) -> pa.Table:
             # tag every 2nd word with the replica id so cross-replica
             # shingle overlap and edit-distance links break while token
             # count and within-replica dup structure are preserved; see
-            # module docstring
+            # module docstring. With clique_mod > 0, docs at original
+            # doc_id % clique_mod == 0 SKIP the tag — they stay
+            # byte-identical across replicas (the planted exact-dup
+            # clique fixture).
             tag = f"_r{i}"
+            ids = table.column("doc_id").to_pylist()
             out = []
+            k = 0
             for c in col.chunks:
                 vals = []
                 for s in c.cast(pa.string()).to_pylist():
+                    oid = ids[k]
+                    k += 1
                     if s is None:
                         vals.append(None)
+                        continue
+                    if clique_mod > 0 and oid % clique_mod == 0:
+                        vals.append(s)
                         continue
                     w = s.split(" ")
                     for j in range(1, len(w), 2):
@@ -94,6 +115,7 @@ def replicate(table: pa.Table, name: str, i: int) -> pa.Table:
 
 def main() -> None:
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    clique_mod = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     import os
     os.makedirs(dst, exist_ok=True)
     for name in COPY + sorted(SHIFT):
@@ -102,7 +124,7 @@ def main() -> None:
             out = t
         else:
             out = pa.concat_tables(
-                [replicate(t, name, i) for i in range(n)])
+                [replicate(t, name, i, clique_mod) for i in range(n)])
         pq.write_table(out, f"{dst}/{name}.parquet",
                        store_schema=True, use_deprecated_int96_timestamps=False,
                        coerce_timestamps=None)
