@@ -121,6 +121,28 @@ object StreamIvfPq {
     if (hit != null) hit else streamTables(spark, dir)
   }
 
+  /** Cold-session loader for the STREAMED snapshot — same contract as
+    * the batch families' `Similarity.loadIvfPq`: the manifest beside
+    * the streamed postings names the pinned centroid/codebook roots,
+    * so a fresh JVM serves the stream-maintained layout without
+    * re-seeding or re-streaming anything. */
+  def loadStreamed(spark: SparkSession, dir: String,
+      postingsRoot: String): Similarity.IvfPqIndex = {
+    val m = Similarity.readIndexManifest(postingsRoot)
+    val idx = Similarity.IvfPqIndex(postingsRoot,
+      Similarity.manifestKey(m, postingsRoot, "centroids"),
+      Similarity.manifestKey(m, postingsRoot, "codebook"))
+    standing.put(dir, idx)
+    idx
+  }
+
+  /** Test hook: forget the standing streamed registration (simulates
+    * the cold session [[loadStreamed]] exists for). */
+  private[graft] def dropStreamedForTest(dir: String): Unit = {
+    standing.remove(dir)
+    ()
+  }
+
   /** Multi-probe ADC code-scan + candK exact-rerank serve from the
     * merged streamed snapshot — [[Similarity.annIvfPqSample]]'s
     * serving path over the stream-maintained postings (the serve

@@ -120,6 +120,28 @@ object StreamIvfSq8 {
     if (hit != null) hit else streamTables(spark, dir)
   }
 
+  /** Cold-session loader for the STREAMED snapshot — same contract as
+    * the batch families' `Similarity.loadIvfSq8`: the manifest beside
+    * the streamed postings names the pinned centroid/range roots, so a
+    * fresh JVM serves the stream-maintained layout without re-seeding
+    * or re-streaming anything. */
+  def loadStreamed(spark: SparkSession, dir: String,
+      postingsRoot: String): Similarity.IvfSq8Index = {
+    val m = Similarity.readIndexManifest(postingsRoot)
+    val idx = Similarity.IvfSq8Index(postingsRoot,
+      Similarity.manifestKey(m, postingsRoot, "centroids"),
+      Similarity.manifestKey(m, postingsRoot, "stats"))
+    standing.put(dir, idx)
+    idx
+  }
+
+  /** Test hook: forget the standing streamed registration (simulates
+    * the cold session [[loadStreamed]] exists for). */
+  private[graft] def dropStreamedForTest(dir: String): Unit = {
+    standing.remove(dir)
+    ()
+  }
+
   /** Multi-probe SQ8 code-scan + exact-rerank serve from the merged
     * streamed snapshot — [[Similarity.annIvfSq8Sample]]'s serving path
     * over the stream-maintained postings (the serve never knows how

@@ -84,6 +84,34 @@ class ColdLoadSpec extends SparkSpec {
       Similarity.loadIvfPqSample(spark, sf, _))
   }
 
+  test("streamed SQ8 snapshot: cold load serves without re-streaming") {
+    import graft.streaming.StreamIvfSq8
+    val built = StreamIvfSq8.ensureStreamed(spark, sf)
+    val before = sorted(StreamIvfSq8.streamIvfSq8ServeOnly(spark, sf))
+    StreamIvfSq8.dropStreamedForTest(sf)
+    val loaded = StreamIvfSq8.loadStreamed(spark, sf, built.postings)
+    assert(loaded === built, "manifest round-trip changed the handle")
+    val after = StreamIvfSq8.streamIvfSq8ServeOnly(spark, sf)
+    assert(sorted(after) === before, "cold-loaded serve changed the answer")
+    assert(after.queryExecution.executedPlan.toString
+      .contains(baseName(built.postings)),
+      "cold-loaded serve does not read the streamed postings")
+  }
+
+  test("streamed PQ snapshot: cold load serves without re-streaming") {
+    import graft.streaming.StreamIvfPq
+    val built = StreamIvfPq.ensureStreamed(spark, sf)
+    val before = sorted(StreamIvfPq.streamIvfPqServeOnly(spark, sf))
+    StreamIvfPq.dropStreamedForTest(sf)
+    val loaded = StreamIvfPq.loadStreamed(spark, sf, built.postings)
+    assert(loaded === built, "manifest round-trip changed the handle")
+    val after = StreamIvfPq.streamIvfPqServeOnly(spark, sf)
+    assert(sorted(after) === before, "cold-loaded serve changed the answer")
+    assert(after.queryExecution.executedPlan.toString
+      .contains(baseName(built.postings)),
+      "cold-loaded serve does not read the streamed postings")
+  }
+
   test("FTS: cold load serves the standing postings, no corpus re-tokenize") {
     val built = TextAnalysis.ensureFts(spark, sf)
     val before = sorted(TextAnalysis.bm25Indexed(spark, sf))
