@@ -124,6 +124,10 @@ object Bench {
     // stream_stream_join) that each cost a judge round-trip. Set
     // SPARK_GRAFT_BENCH_CALIB_EACH=0 to skip the legs.
     val calibEach = !sys.env.get("SPARK_GRAFT_BENCH_CALIB_EACH").contains("0")
+    // parsed BEFORE the timed suite: a malformed gate value must fail
+    // in seconds, not after hours of measurement with the full-map
+    // write still ahead of it
+    val gate = sys.env.getOrElse("SPARK_GRAFT_SHUF_GATE", "1.10").toDouble
     val calibStart = calibProbe(spark)
     val shufStart = shuffleProbe(spark)
     // The first query's leg_before must be methodologically identical
@@ -169,7 +173,6 @@ object Bench {
     // same constant tools/certified_pin.sh uses) and the historical
     // healthy band [0.83, 1.06] ride in the JSON so any consumer can
     // adjudicate rows without repo context.
-    val gate = sys.env.getOrElse("SPARK_GRAFT_SHUF_GATE", "1.10").toDouble
     val cert: Map[String, Boolean] =
       if (!calibEach) Map.empty
       else results.map { case (q, sec) =>

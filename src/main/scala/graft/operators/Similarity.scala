@@ -574,6 +574,19 @@ object Similarity {
       s"required key '$key' missing (torn or partial manifest; " +
         s"keys present: ${m.keys.toSeq.sorted.mkString(", ")})"))
 
+  /** Family guard for the loaders: loading the WRONG family's postings
+    * root must fail typed, not construct a structurally mismatched
+    * handle — every builder stamps its family into the manifest, and a
+    * loader handed e.g. a PQ root would otherwise find a `centroids`
+    * key and happily register code-carrying postings as exact ones.
+    * Lenient when the key is absent (pre-r14 layouts). */
+  private[graft] def requireFamily(m: Map[String, String], root: String,
+      expected: String): Unit =
+    m.get("family").filter(_ != expected).foreach { got =>
+      throw new IndexManifestError(root,
+        s"family mismatch: manifest says '$got', loader expects '$expected'")
+    }
+
   /** Reconstruct (and re-register) a standing √N index handle from its
     * on-disk layout alone — the COLD-SESSION path: a fresh JVM that
     * knows only where the postings live gets back the same handle the
@@ -583,6 +596,7 @@ object Similarity {
   def loadIvfSqrt(spark: SparkSession, dir: String,
       postingsRoot: String): IvfIndex = {
     val m = readIndexManifest(postingsRoot)
+    requireFamily(m, postingsRoot, "ivf_sqrt")
     val idx = IvfIndex(postingsRoot,
       manifestKey(m, postingsRoot, "centroids"), m.getOrElse("stats", ""))
     ivfStanding.put(dir + "#sqrt", idx)
@@ -594,10 +608,19 @@ object Similarity {
     * holds only the postings root reconstructs the exact handle the
     * building session registered (companion roots from the manifest,
     * never re-derived), so serving reads the standing layout instead
-    * of silently rebuilding it. */
+    * of silently rebuilding it.
+    *
+    * Lifetime caveat: these loaders read whatever layout sits at the
+    * given root. A DEPLOYMENT pins its tx tables at durable paths (the
+    * README "swap points" contract) and the loaders then survive any
+    * restart; the test/bench builds here write under [[Scratch]]
+    * roots, which a clean JVM exit deletes — so in-repo the cold
+    * session is simulated by dropping the registration
+    * ([[dropStandingForTest]]), not by cycling the JVM. */
   def loadIvf(spark: SparkSession, dir: String,
       postingsRoot: String): IvfIndex = {
     val m = readIndexManifest(postingsRoot)
+    requireFamily(m, postingsRoot, "ivf")
     val idx = IvfIndex(postingsRoot, manifestKey(m, postingsRoot, "centroids"))
     ivfStanding.put(dir, idx)
     idx
@@ -606,6 +629,7 @@ object Similarity {
   def loadIvfSample(spark: SparkSession, dir: String,
       postingsRoot: String): IvfIndex = {
     val m = readIndexManifest(postingsRoot)
+    requireFamily(m, postingsRoot, "ivf_sample")
     val idx = IvfIndex(postingsRoot, manifestKey(m, postingsRoot, "centroids"))
     ivfStanding.put(dir + "#sample", idx)
     idx
@@ -614,6 +638,7 @@ object Similarity {
   def loadIvfSq8(spark: SparkSession, dir: String,
       postingsRoot: String): IvfSq8Index = {
     val m = readIndexManifest(postingsRoot)
+    requireFamily(m, postingsRoot, "ivf_sq8")
     val idx = IvfSq8Index(postingsRoot,
       manifestKey(m, postingsRoot, "centroids"),
       manifestKey(m, postingsRoot, "stats"))
@@ -624,6 +649,7 @@ object Similarity {
   def loadIvfSq8Sample(spark: SparkSession, dir: String,
       postingsRoot: String): IvfSq8Index = {
     val m = readIndexManifest(postingsRoot)
+    requireFamily(m, postingsRoot, "ivf_sq8#sample")
     val idx = IvfSq8Index(postingsRoot,
       manifestKey(m, postingsRoot, "centroids"),
       manifestKey(m, postingsRoot, "stats"))
@@ -634,6 +660,7 @@ object Similarity {
   def loadIvfPq(spark: SparkSession, dir: String,
       postingsRoot: String): IvfPqIndex = {
     val m = readIndexManifest(postingsRoot)
+    requireFamily(m, postingsRoot, "ivf_pq")
     val idx = IvfPqIndex(postingsRoot,
       manifestKey(m, postingsRoot, "centroids"),
       manifestKey(m, postingsRoot, "codebook"))
@@ -644,6 +671,7 @@ object Similarity {
   def loadIvfPqSample(spark: SparkSession, dir: String,
       postingsRoot: String): IvfPqIndex = {
     val m = readIndexManifest(postingsRoot)
+    requireFamily(m, postingsRoot, "ivf_pq#sample")
     val idx = IvfPqIndex(postingsRoot,
       manifestKey(m, postingsRoot, "centroids"),
       manifestKey(m, postingsRoot, "codebook"))
@@ -1060,7 +1088,8 @@ object Similarity {
     // the histogram root lives IN the index layout (manifest beside
     // the postings), not in JVM state — a cold session reloads the
     // full handle from disk ([[loadIvfSqrt]], VERDICT r12 gap 3)
-    writeIndexManifest(pDir, "centroids" -> cDir, "stats" -> sDir)
+    writeIndexManifest(pDir, "family" -> "ivf_sqrt",
+      "centroids" -> cDir, "stats" -> sDir)
     val idx = IvfIndex(pDir, cDir, sDir)
     ivfStanding.put(dir + "#sqrt", idx)
     idx

@@ -419,6 +419,7 @@ object TextAnalysis {
       postingsRoot: String): FtsIndex = {
     import graft.lake.TxTable
     val m = Similarity.readIndexManifest(postingsRoot)
+    Similarity.requireFamily(m, postingsRoot, "fts")
     val sDir = Similarity.manifestKey(m, postingsRoot, "stats")
     val st = TxTable(spark, sDir).read().head()
     val idx = FtsIndex(postingsRoot, sDir,

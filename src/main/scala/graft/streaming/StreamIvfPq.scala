@@ -129,6 +129,7 @@ object StreamIvfPq {
   def loadStreamed(spark: SparkSession, dir: String,
       postingsRoot: String): Similarity.IvfPqIndex = {
     val m = Similarity.readIndexManifest(postingsRoot)
+    Similarity.requireFamily(m, postingsRoot, "ivf_pq#stream")
     val idx = Similarity.IvfPqIndex(postingsRoot,
       Similarity.manifestKey(m, postingsRoot, "centroids"),
       Similarity.manifestKey(m, postingsRoot, "codebook"))

@@ -128,6 +128,7 @@ object StreamIvfSq8 {
   def loadStreamed(spark: SparkSession, dir: String,
       postingsRoot: String): Similarity.IvfSq8Index = {
     val m = Similarity.readIndexManifest(postingsRoot)
+    Similarity.requireFamily(m, postingsRoot, "ivf_sq8#stream")
     val idx = Similarity.IvfSq8Index(postingsRoot,
       Similarity.manifestKey(m, postingsRoot, "centroids"),
       Similarity.manifestKey(m, postingsRoot, "stats"))

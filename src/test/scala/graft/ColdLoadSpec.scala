@@ -149,6 +149,18 @@ class ColdLoadSpec extends SparkSpec {
       "error should list the keys that ARE present")
   }
 
+  test("loading the wrong family's root fails typed, not mismatched") {
+    // a PQ manifest HAS a 'centroids' key — without the family guard,
+    // loadIvf would happily register code-carrying PQ postings as an
+    // exact-k index and the next serve would read garbage
+    val pq = Similarity.ensureIvfPq(spark, sf)
+    val e = intercept[Similarity.IndexManifestError] {
+      Similarity.loadIvf(spark, sf, pq.postings)
+    }
+    assert(e.getMessage.contains("family mismatch"))
+    assert(e.getMessage.contains("ivf_pq"))
+  }
+
   test("manifest write is atomic: no temp residue, rewrite replaces") {
     val root = java.nio.file.Files.createTempDirectory("graft-manifest-atomic")
     Similarity.writeIndexManifest(root.toString, "centroids" -> "/a")

@@ -22,8 +22,11 @@ fi
 
 tools/certified_pin.sh r14_outliers_sf01 /root/testdata/sf0.1 \
   "dedup_canonical,graph_triangles" 2
+# runs=3: a single-run reading of the mm family times its one-time
+# codegen/JIT warm-up (20-120 s) instead of the 5.6-5.9 s steady state
+# (BASELINE.md r14 adjudication) — min-of-N with N >= 2 is mandatory
 tools/certified_pin.sh r14_mm_x10 target/scale/x10 \
-  "mm_dedup_signature,mm_dedup_collapsed,mm_dedup_incremental" 1
+  "mm_dedup_signature,mm_dedup_collapsed,mm_dedup_incremental" 3
 tools/certified_pin.sh r14_serveonly_sf01 /root/testdata/sf0.1 \
   "stream_ivfsq8_serve_only,stream_ivfpq_serve_only,stream_ivfsq8_serve,stream_ivfpq_serve" 2
 
@@ -36,5 +39,5 @@ if [ ! -e target/scale/x10c/documents.parquet ]; then
   python3 tools/scale_up.py /root/testdata/sf0.1 target/scale/x10c 10 5
 fi
 tools/certified_pin.sh r14_mm_x10clique target/scale/x10c \
-  "mm_dedup_signature,mm_dedup_collapsed" 1
+  "mm_dedup_signature,mm_dedup_collapsed" 3
 echo "=== r14 sweep done $(date +%T) ==="

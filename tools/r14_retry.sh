@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Opportunistic certification retries for the r14 open rows: the box's
+# shuffle-burst mode oscillates on minute timescales, so short rows
+# certify whenever one calm minute lands. Each attempt is a fresh
+# certified_pin chunk; a chunk stops re-running once an attempt lands
+# with every row CERTIFIED (adjudicated from the attempt's JSON).
+set -uo pipefail
+cd /root/repo
+ATTEMPTS="${1:-5}"
+PAUSE="${2:-60}"
+
+all_cert() { # artifact json -> 0 if every row certified
+  python3 - "$1" <<'PY'
+import json, sys
+try:
+    d = json.load(open(sys.argv[1]))
+except Exception:
+    sys.exit(1)
+c = d["calib"].get("cert") or {}
+sys.exit(0 if c and all(c.values()) else 1)
+PY
+}
+
+done_shorts=1; done_mm=1; done_x100=1
+for i in $(seq 1 "$ATTEMPTS"); do
+  if [ "$done_shorts" -ne 0 ]; then
+    tools/certified_pin.sh "r14_shorts_c$i" /root/testdata/sf0.1 \
+      "graph_triangles,stream_ivfpq_serve_only" 3 | tail -3
+    all_cert "measurements/r14_shorts_c$i.json" && done_shorts=0
+  fi
+  if [ "$done_mm" -ne 0 ]; then
+    tools/certified_pin.sh "r14_mm_c$i" target/scale/x10 \
+      "mm_dedup_signature,mm_dedup_collapsed,mm_dedup_incremental" 3 | tail -4
+    all_cert "measurements/r14_mm_c$i.json" && done_mm=0
+  fi
+  if [ "$done_x100" -ne 0 ]; then
+    tools/certified_pin.sh "r14_x100s_c$i" target/scale/x100 \
+      "sim_ann_ivfsq8_sample,text_bm25_indexed" 2 | tail -3
+    all_cert "measurements/r14_x100s_c$i.json" && done_x100=0
+  fi
+  if [ "$done_shorts" -eq 0 ] && [ "$done_mm" -eq 0 ] && [ "$done_x100" -eq 0 ]; then
+    echo "all chunks certified after attempt $i"
+    break
+  fi
+  sleep "$PAUSE"
+done

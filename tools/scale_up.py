@@ -81,18 +81,20 @@ def replicate(table: pa.Table, name: str, i: int, clique_mod: int = 0) -> pa.Tab
             # byte-identical across replicas (the planted exact-dup
             # clique fixture).
             tag = f"_r{i}"
-            ids = table.column("doc_id").to_pylist()
+            # only materialized when the clique knob is on (one
+            # full-column python conversion per replica otherwise)
+            ids = (table.column("doc_id").to_pylist()
+                   if clique_mod > 0 else None)
             out = []
             k = 0
             for c in col.chunks:
                 vals = []
                 for s in c.cast(pa.string()).to_pylist():
-                    oid = ids[k]
                     k += 1
                     if s is None:
                         vals.append(None)
                         continue
-                    if clique_mod > 0 and oid % clique_mod == 0:
+                    if ids is not None and ids[k - 1] % clique_mod == 0:
                         vals.append(s)
                         continue
                     w = s.split(" ")
