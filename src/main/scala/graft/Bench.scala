@@ -93,7 +93,8 @@ object Bench {
       // serve-only streamed rows (r14): the seed+stream is the warmed
       // standing state; the *_serve lifecycle rows build their own
       "stream_ivfsq8_serve_only" -> graft.streaming.StreamIvfSq8.ensureStreamed _,
-      "stream_ivfpq_serve_only" -> graft.streaming.StreamIvfPq.ensureStreamed _)
+      "stream_ivfpq_serve_only" -> graft.streaming.StreamIvfPq.ensureStreamed _,
+      "stream_fts_serve_only" -> graft.streaming.StreamFts.ensureStreamed _)
     indexOf.toSeq
       .filter { case (q, _) => subset.forall(_(q)) }
       .map(_._2).distinct
@@ -110,6 +111,15 @@ object Bench {
     // cost of one extra pass. The gc + settle between queries keeps one
     // query's garbage from billing the next.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    // CERTIFICATION REQUIRES runs >= 2 (r14 adjudication): the first
+    // evaluation of a JIT-heavy plan times 20-120 s of one-time codegen
+    // warm-up, not the plan (~6 s steady state) — a runs=1 reading of
+    // such a row is not a measurement of the engine. Rather than keep a
+    // known-cheap allowlist in sync, the rule is uniform: a runs=1 row
+    // can never read CERTIFIED (min-of-two has been the standing
+    // protocol since r9 anyway; runs=1 stays available as a quick
+    // upper-bound probe).
+    val runsCertifiable = runs >= 2
     // Per-QUERY certification legs (r13): the box's shuffle-burst mode
     // oscillates on minute timescales — shorter than a measurement
     // chunk — so the two chunk-boundary calib legs cannot certify the
@@ -135,8 +145,19 @@ object Bench {
     // shufStart (min-of-two) would give row 1 a systematically
     // lower-biased gate input (ADVICE r13).
     var legPrev = if (calibEach) shuffleProbe(spark, reps = 1) else shufStart
-    val legs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    // One measured row: `runs` reps of the query with a single-rep
+    // shuffle leg after EVERY rep (ADVICE r14: with runs > 1 a burst
+    // confined to an interior rep was invisible to two row-boundary
+    // legs — now a row's legs bracket each rep, so "adjacent legs
+    // certify the row" holds at rep granularity). Returns (min-or-
+    // sentinel, legs incl. the leading one). `legBefore` is whatever
+    // probe immediately preceded the first rep — the previous row's
+    // trailing leg in the main pass, a fresh calm-window probe in the
+    // retry pass — so every leg is methodologically identical.
+    def measureRow(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        legBefore: Double): (Double, Seq[Double]) = {
+      val rowLegs = scala.collection.mutable.ArrayBuffer[Double](legBefore)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column (count() would
@@ -149,47 +170,104 @@ object Bench {
           -1.0 // sentinel: a failed query must not look like a fast one
         }
         spark.catalog.clearCache()
+        if (calibEach) rowLegs += shuffleProbe(spark, reps = 1)
         t
-      }
-      if (calibEach) {
-        val legAfter = shuffleProbe(spark, reps = 1)
-        legs(name) = (legPrev, legAfter)
-        legPrev = legAfter
       }
       System.gc()
       Thread.sleep(50)
       // any failed run fails the query; otherwise the min of the runs
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }.toMap
+      (if (times.exists(_ < 0)) -1.0 else times.min, rowLegs.toSeq)
+    }
+    // a row is CERTIFIED iff it succeeded, ran min-of-two or better,
+    // and EVERY leg around its reps read at or under the gate
+    def certified(sec: Double, rowLegs: Seq[Double]): Boolean =
+      runsCertifiable && sec > 0 && rowLegs.nonEmpty && rowLegs.forall(_ <= gate)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val legs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val cert = scala.collection.mutable.LinkedHashMap[String, Boolean]()
+    val retried = scala.collection.mutable.LinkedHashMap[String, Int]()
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (sec, rowLegs) = measureRow(name, fn, legPrev)
+      if (calibEach) { legs(name) = rowLegs; legPrev = rowLegs.last }
+      results(name) = sec
+      cert(name) = calibEach && certified(sec, rowLegs)
+    }
+
+    // End-of-suite auto-retry of flagged rows (VERDICT r14 task 1):
+    // the box's shuffle-burst mode oscillates on minute timescales, so
+    // a single pass leaves most rows flagged even on a mostly-calm box
+    // (r14 driver run: 59/204 certified) and adjudication fell back to
+    // side artifacts. Re-run each flagged row — cheapest first, to
+    // certify the most rows per budget-second — up to K attempts, each
+    // preceded by a calm-window wait (probe; if over gate, sleep and
+    // re-probe rather than burn a rerun inside a burst). A certified
+    // attempt replaces the row's time and legs; an uncertified one
+    // only lowers the upper bound. Default ON (the driver runs the
+    // full suite with no knobs); bounded by a wall-clock budget so a
+    // degraded box costs minutes, not hours.
+    val retryOn = calibEach && runsCertifiable &&
+      !sys.env.get("SPARK_GRAFT_BENCH_RETRY").contains("0")
+    val retryK = sys.env.get("SPARK_GRAFT_BENCH_RETRY_K").map(_.toInt).getOrElse(2)
+    val retryBudget = sys.env.get("SPARK_GRAFT_BENCH_RETRY_BUDGET")
+      .map(_.toDouble).getOrElse(1200.0)
+    if (retryOn) {
+      val t0 = System.nanoTime()
+      def left = retryBudget - (System.nanoTime() - t0) / 1e9
+      val flagged = results.toSeq.filter { case (q, _) => !cert(q) }
+        .sortBy { case (_, s) => if (s > 0) s else Double.MaxValue }
+        .map(_._1)
+      for (name <- flagged if left > 0) {
+        var attempt = 0
+        while (!cert(name) && attempt < retryK && left > 0) {
+          attempt += 1
+          retried(name) = retried.getOrElse(name, 0) + 1
+          var lead = shuffleProbe(spark, reps = 1)
+          var waits = 0
+          while (lead > gate && waits < 5 && left > 0) {
+            Thread.sleep(3000); lead = shuffleProbe(spark, reps = 1); waits += 1
+          }
+          val (sec, rowLegs) = measureRow(name, SparkEntry.queries(name), lead)
+          if (certified(sec, rowLegs)) {
+            results(name) = sec; legs(name) = rowLegs; cert(name) = true
+          } else if (sec > 0 && (results(name) <= 0 || sec < results(name))) {
+            results(name) = sec; legs(name) = rowLegs // tighter upper bound
+          }
+        }
+      }
+    }
+
     val calibEnd = calibProbe(spark)
     val shufEnd = shuffleProbe(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Per-row certification verdict folded INTO the artifact (VERDICT
-    // r13 task 2): a row is CERTIFIED iff it succeeded (sec > 0 — a
-    // -1.0 failure sentinel must never certify) and both its adjacent
-    // shuffle legs read at or under the gate. The gate (default 1.10 s,
-    // same constant tools/certified_pin.sh uses) and the historical
-    // healthy band [0.83, 1.06] ride in the JSON so any consumer can
-    // adjudicate rows without repo context.
-    val cert: Map[String, Boolean] =
-      if (!calibEach) Map.empty
-      else results.map { case (q, sec) =>
-        q -> (legs.get(q) match {
-          case Some((b, a)) => sec > 0 && b <= gate && a <= gate
-          case None => false
-        })
-      }
+    // headline total aggregates SUCCESSFUL rows only — summing the
+    // -1.0 failure sentinels would silently understate it (ADVICE r14);
+    // failures are counted separately and each row stays flagged
+    val nFail = results.values.count(_ <= 0)
+    val total = results.values.filter(_ > 0).sum
     val nCert = cert.values.count(identity)
     val nFlag = cert.size - nCert
+    val nRetried = retried.values.sum
+    // Per-row certification verdict folded INTO the artifact (VERDICT
+    // r13 task 2): CERTIFIED = succeeded (sec > 0), min-of-two or
+    // better (runs >= 2 — a runs=1 reading of a JIT-heavy plan times
+    // warm-up, not the plan), and every adjacent shuffle leg (one
+    // around each rep) at or under the gate. The gate (default 1.10 s,
+    // same constant tools/certified_pin.sh uses), the historical
+    // healthy band [0.83, 1.06], and the runs/retry protocol ride in
+    // the JSON so any consumer can adjudicate rows without repo
+    // context.
     val legsJson = if (!calibEach) "" else
-      legs.map { case (k, (b, a)) => s"\"" + k + "\":[" + b + "," + a + "]" }
+      legs.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
         .mkString(",\"calib_each\":{", ",", "}") +
       cert.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString(",\"cert\":{", ",", "}") +
+      (if (retried.isEmpty) "" else
+        retried.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString(",\"retried\":{", ",", "}")) +
       s""","gate":$gate,"band":[0.83,1.06],"certified":$nCert,"flagged":$nFlag"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd$legsJson},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd$legsJson},"runs":$runs,"failed":$nFail,"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets tail-truncated in the round record (the r13
     // tail carried ONLY calib-leg pairs — zero query times), so the
@@ -205,7 +283,7 @@ object Bench {
     if (full.getParent != null) java.nio.file.Files.createDirectories(full.getParent)
     java.nio.file.Files.write(full,
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"certified":$nCert,"flagged":$nFlag,"gate":$gate,"band":[0.83,1.06],"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd},"full":"${full.toString}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"certified":$nCert,"flagged":$nFlag,"failed":$nFail,"runs":$runs,"retries":$nRetried,"gate":$gate,"band":[0.83,1.06],"calib":{"start":$calibStart,"end":$calibEnd,"shuffle_start":$shufStart,"shuffle_end":$shufEnd},"full":"${full.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

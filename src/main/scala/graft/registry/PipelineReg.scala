@@ -106,6 +106,8 @@ object PipelineReg {
       graft.streaming.StreamIvfSq8.streamIvfSq8ServeOnly(s, dir)),
     "stream_ivfpq_serve_only" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamIvfPq.streamIvfPqServeOnly(s, dir)),
+    "stream_fts_serve_only" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamFts.streamFtsServeOnly(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "sample_shuffle" -> Sampling.sampleShuffle _,
     "sample_token_budget" -> Sampling.sampleTokenBudget _,
@@ -506,6 +508,10 @@ object PipelineReg {
     // artifacts, same serve implementation — so the same oracles
     "stream_ivfsq8_serve_only" -> SimReg.annIvfSq8SampleOracle,
     "stream_ivfpq_serve_only" -> SimReg.annIvfPqSampleOracle,
+    // the FTS serve-only twin (r15): same merged snapshot, same pinned
+    // stats, same scoring tail — the full-corpus BM25 scan oracle
+    // verifies it verbatim, like stream_fts_serve and text_bm25_indexed
+    "stream_fts_serve_only" -> TextReg.bm25Oracle,
     "sample_mixture" -> {
       val h = phashSql("CAST(doc_id AS VARCHAR)",
         graft.operators.Sampling.mixtureSalt)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.core.{Scratch, Tables}
 import graft.lake.TxTable
-import graft.operators.TextAnalysis
+import graft.operators.{Similarity, TextAnalysis}
 
 /** End-to-end streamed-index pipeline — the composition of the two
   * verified halves (`StreamZoneSpec`'s idempotent micro-batch index
@@ -31,12 +31,47 @@ import graft.operators.TextAnalysis
   * reference's transport (`Send_Data_To_DataLake/main.py:64`); here
   * each uploaded batch ALSO maintains the serving index instead of
   * waiting for a rebuild.
+  *
+  * Lifecycle/serve split (VERDICT r14 task 3, the SQ8/PQ pattern):
+  * `stream_fts_serve` owns the whole seed+stream+serve lifecycle;
+  * `stream_fts_serve_only` serves against the get-or-streamed
+  * standing snapshot, so the streamed transport's per-query serving
+  * cost is its own row — directly comparable to the batch-built
+  * `text_bm25_indexed`.
   */
 object StreamFts {
 
-  def streamFtsServe(spark: SparkSession, dir: String,
-      terms: Seq[String] = Seq("spark", "join", "vector"),
-      topK: Int = 10): DataFrame = {
+  /** A standing stream-maintained FTS snapshot: the postings + stats
+    * tx roots plus the merged corpus scalars, PINNED when the handle
+    * is made (summing the per-commit stats rows is commit-count work,
+    * paid once per handle, never per query — the batch `FtsIndex`
+    * semantic applied to the streamed layout). */
+  final case class FtsStreamIndex(postings: String, stats: String,
+      nDocs: Long, tToks: Long)
+
+  /** Standing streamed-index registry, the batch families' pattern:
+    * one seed+stream per corpus per process; `stream_fts_serve`
+    * always re-drives the full lifecycle, [[streamFtsServeOnly]]
+    * get-or-streams so ITS timed row is the serve alone. */
+  private val standing =
+    new java.util.concurrent.ConcurrentHashMap[String, FtsStreamIndex]()
+
+  /** Sum the per-commit stats rows into the two corpus scalars and
+    * pin them on the handle. */
+  private def handleFor(spark: SparkSession, pDir: String,
+      sDir: String): FtsStreamIndex = {
+    val r = TxTable(spark, sDir).read()
+      .agg(sum(col("n_docs")).as("n"), sum(col("t_toks")).as("t")).head()
+    FtsStreamIndex(pDir, sDir, r.getLong(0), r.getLong(1))
+  }
+
+  /** Seed + stream the postings index; returns the standing-snapshot
+    * handle. Registration is the CALLER's job: [[ensureStreamed]]
+    * installs via computeIfAbsent (whose mapping function must not
+    * touch the map), the full-lifecycle serve and [[loadStreamed]]
+    * put explicitly. */
+  private[graft] def streamTables(spark: SparkSession,
+      dir: String): FtsStreamIndex = {
     // base seed = 90% of the corpus through a tokenize+explode —
     // spread so the build stage owns its parallelism (the x100
     // single-split lesson); the late 10% streams through micro-batch
@@ -62,8 +97,10 @@ object StreamFts {
 
     // seed commit: the base corpus, term-range-clustered with Bloom
     // bitmaps — identical layout to TextAnalysis.buildFts
-    val idx = TxTable(spark, Scratch.fresh("tx_fts_stream"))
-    val st = TxTable(spark, Scratch.fresh("tx_fts_stream_stats"))
+    val pDir = Scratch.fresh("tx_fts_stream")
+    val sDir = Scratch.fresh("tx_fts_stream_stats")
+    val idx = TxTable(spark, pDir)
+    val st = TxTable(spark, sDir)
     idx.append(postings(base).repartitionByRange(8, col("tok")),
       bloomCols = Seq("tok"))
     st.append(statsDelta(base))
@@ -91,13 +128,75 @@ object StreamFts {
       .start()
     q.awaitTermination()
 
-    // serve from the merged snapshot: one multi-term Bloom point read,
-    // per-segment df merged by the count, stats summed per commit row
-    val stRow = st.read()
-      .agg(sum(col("n_docs")).as("n"), sum(col("t_toks")).as("t")).head()
-    val posts = idx.readWhereIn("tok", terms.map(lit(_)))
+    // manifest beside the postings so a cold session reloads the
+    // handle from disk ([[loadStreamed]]) instead of re-streaming
+    Similarity.writeIndexManifest(pDir, "family" -> "fts#stream",
+      "stats" -> sDir)
+    handleFor(spark, pDir, sDir)
+  }
+
+  /** Get-or-build the stream-maintained snapshot (Bench warms it so
+    * `stream_fts_serve_only` times the serving path alone).
+    * computeIfAbsent makes the get-then-build atomic — two concurrent
+    * callers cannot both run the full seed+stream. */
+  def ensureStreamed(spark: SparkSession, dir: String): FtsStreamIndex =
+    standing.computeIfAbsent(dir, _ => streamTables(spark, dir))
+
+  /** Cold-session loader for the STREAMED snapshot — same contract as
+    * the batch family's `TextAnalysis.loadFts`: the manifest beside
+    * the streamed postings names the stats root; the handle's corpus
+    * scalars are re-summed from the per-commit stats rows (commit-
+    * count work), so a fresh JVM serves the stream-maintained layout
+    * without re-tokenizing or re-streaming anything. */
+  def loadStreamed(spark: SparkSession, dir: String,
+      postingsRoot: String): FtsStreamIndex = {
+    val m = Similarity.readIndexManifest(postingsRoot)
+    Similarity.requireFamily(m, postingsRoot, "fts#stream")
+    val idx = handleFor(spark, postingsRoot,
+      Similarity.manifestKey(m, postingsRoot, "stats"))
+    standing.put(dir, idx)
+    idx
+  }
+
+  /** Test hook: forget the standing streamed registration (simulates
+    * the cold session [[loadStreamed]] exists for). */
+  private[graft] def dropStreamedForTest(dir: String): Unit = {
+    standing.remove(dir)
+    ()
+  }
+
+  /** Serve from the merged snapshot: one multi-term Bloom point read,
+    * per-segment df merged by a count over the point-read postings
+    * (never the corpus), corpus stats from the handle's pinned
+    * scalars. The serve never knows how its postings arrived. */
+  private def serveFrom(spark: SparkSession, h: FtsStreamIndex,
+      terms: Seq[String], topK: Int): DataFrame = {
+    val posts = TxTable(spark, h.postings)
+      .readWhereIn("tok", terms.map(lit(_)))
     val dfc = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     TextAnalysis.bm25ScoreTail(posts.join(broadcast(dfc), Seq("tok")),
-      stRow.getLong(0), stRow.getLong(1), topK)
+      h.nDocs, h.tToks, topK)
   }
+
+  /** The full lifecycle as one timed query: seed commit + late
+    * micro-batch commits + merged-snapshot serving. Refreshes the
+    * standing registry (last build wins). */
+  def streamFtsServe(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "vector"),
+      topK: Int = 10): DataFrame = {
+    val idx = streamTables(spark, dir)
+    standing.put(dir, idx)
+    serveFrom(spark, idx, terms, topK)
+  }
+
+  /** The SERVE half on its own (VERDICT r14 task 3): the same answer
+    * over a pre-seeded streamed snapshot, so the streamed transport's
+    * serving cost is its own decade-flat row — `stream_fts_serve`
+    * keeps owning the full seed+stream+serve lifecycle; this is the
+    * FTS analogue of the r14 SQ8/PQ serve-only split, directly
+    * comparable to the batch-built `text_bm25_indexed`. */
+  def streamFtsServeOnly(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "vector"),
+      topK: Int = 10): DataFrame =
+    serveFrom(spark, ensureStreamed(spark, dir), terms, topK)
 }

@@ -102,9 +102,10 @@ object StreamIvfPq {
     TxTable(spark, bDir).append(cb)
     Similarity.writeIndexManifest(pDir, "family" -> "ivf_pq#stream",
       "centroids" -> cDir, "codebook" -> bDir)
-    val idx = Similarity.IvfPqIndex(pDir, cDir, bDir)
-    standing.put(dir, idx)
-    idx
+    // registration is the CALLER's job: ensureStreamed installs via
+    // computeIfAbsent (whose mapping function must not touch the map),
+    // the full-lifecycle serve and loadStreamed put explicitly
+    Similarity.IvfPqIndex(pDir, cDir, bDir)
   }
 
   /** Standing streamed-index registry, the batch families' pattern:
@@ -115,11 +116,12 @@ object StreamIvfPq {
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
 
   /** Get-or-build the stream-maintained snapshot (Bench warms it so
-    * `stream_ivfpq_serve_only` times the serving path alone). */
-  def ensureStreamed(spark: SparkSession, dir: String): Similarity.IvfPqIndex = {
-    val hit = standing.get(dir)
-    if (hit != null) hit else streamTables(spark, dir)
-  }
+    * `stream_ivfpq_serve_only` times the serving path alone).
+    * computeIfAbsent makes the get-then-build atomic — two concurrent
+    * callers can no longer both run the full seed+stream and race the
+    * registry put (ADVICE r14). */
+  def ensureStreamed(spark: SparkSession, dir: String): Similarity.IvfPqIndex =
+    standing.computeIfAbsent(dir, _ => streamTables(spark, dir))
 
   /** Cold-session loader for the STREAMED snapshot — same contract as
     * the batch families' `Similarity.loadIvfPq`: the manifest beside
@@ -150,9 +152,11 @@ object StreamIvfPq {
     * never knows how its postings arrived; same defaults, same
     * oracle). */
   def streamIvfPqServe(spark: SparkSession, dir: String, k: Int = 5,
-      candK: Int = 100, nprobe: Int = 3): DataFrame =
-    Similarity.annIvfPqFrom(spark, dir, streamTables(spark, dir),
-      k, candK, nprobe)
+      candK: Int = 100, nprobe: Int = 3): DataFrame = {
+    val idx = streamTables(spark, dir)
+    standing.put(dir, idx) // full lifecycle refreshes the registry: last build wins
+    Similarity.annIvfPqFrom(spark, dir, idx, k, candK, nprobe)
+  }
 
   /** The SERVE half on its own (VERDICT r13 task 6): the same answer
     * over a pre-seeded streamed snapshot, so the streamed transport's

@@ -101,9 +101,10 @@ object StreamIvfSq8 {
     TxTable(spark, sDir).append(range)
     Similarity.writeIndexManifest(pDir, "family" -> "ivf_sq8#stream",
       "centroids" -> cDir, "stats" -> sDir)
-    val idx = Similarity.IvfSq8Index(pDir, cDir, sDir)
-    standing.put(dir, idx)
-    idx
+    // registration is the CALLER's job: ensureStreamed installs via
+    // computeIfAbsent (whose mapping function must not touch the map),
+    // the full-lifecycle serve and loadStreamed put explicitly
+    Similarity.IvfSq8Index(pDir, cDir, sDir)
   }
 
   /** Standing streamed-index registry, the batch families' pattern:
@@ -114,11 +115,12 @@ object StreamIvfSq8 {
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfSq8Index]()
 
   /** Get-or-build the stream-maintained snapshot (Bench warms it so
-    * `stream_ivfsq8_serve_only` times the serving path alone). */
-  def ensureStreamed(spark: SparkSession, dir: String): Similarity.IvfSq8Index = {
-    val hit = standing.get(dir)
-    if (hit != null) hit else streamTables(spark, dir)
-  }
+    * `stream_ivfsq8_serve_only` times the serving path alone).
+    * computeIfAbsent makes the get-then-build atomic — two concurrent
+    * callers can no longer both run the full seed+stream and race the
+    * registry put (ADVICE r14). */
+  def ensureStreamed(spark: SparkSession, dir: String): Similarity.IvfSq8Index =
+    standing.computeIfAbsent(dir, _ => streamTables(spark, dir))
 
   /** Cold-session loader for the STREAMED snapshot — same contract as
     * the batch families' `Similarity.loadIvfSq8`: the manifest beside
@@ -148,9 +150,11 @@ object StreamIvfSq8 {
     * over the stream-maintained postings (the serve never knows how
     * its postings arrived; same defaults, same oracle). */
   def streamIvfSq8Serve(spark: SparkSession, dir: String, k: Int = 5,
-      candK: Int = 20, nprobe: Int = 3): DataFrame =
-    Similarity.annIvfSq8From(spark, dir, streamTables(spark, dir),
-      k, candK, nprobe)
+      candK: Int = 20, nprobe: Int = 3): DataFrame = {
+    val idx = streamTables(spark, dir)
+    standing.put(dir, idx) // full lifecycle refreshes the registry: last build wins
+    Similarity.annIvfSq8From(spark, dir, idx, k, candK, nprobe)
+  }
 
   /** The SERVE half on its own (VERDICT r13 task 6): the same answer
     * over a pre-seeded streamed snapshot, so the streamed transport's

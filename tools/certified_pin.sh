@@ -18,7 +18,11 @@
 # from now on raw measurement artifacts are committed).
 set -uo pipefail
 cd /root/repo
-TAG="${1:?tag}"; SFDIR="${2:?sf_dir}"; SUBSET="${3:?subset}"; RUNS="${4:-1}"
+# runs defaults to 2: a runs=1 reading of a JIT-heavy plan times the
+# one-time codegen warm-up (20-120 s) rather than the plan (~6 s
+# steady state, r14 mm adjudication) — Bench refuses to certify
+# runs=1 rows, so a runs=1 invocation is an upper-bound probe only
+TAG="${1:?tag}"; SFDIR="${2:?sf_dir}"; SUBSET="${3:?subset}"; RUNS="${4:-2}"
 OUT=measurements
 mkdir -p "$OUT"
 # refresh the frozen classpath whenever the compiled classes are newer
@@ -46,15 +50,23 @@ if [ "$RC" -ne 0 ] || [ ! -s "$OUT/${TAG}.json" ]; then
   exit 1
 fi
 
-python3 - "$OUT/${TAG}.json" "$GATE" <<'PY'
+python3 - "$OUT/${TAG}.json" "$GATE" "$RUNS" <<'PY'
 import json, sys
-d = json.load(open(sys.argv[1])); gate = float(sys.argv[2])
+d = json.load(open(sys.argv[1])); gate = float(sys.argv[2]); runs = int(sys.argv[3])
 legs = d["calib"].get("calib_each", {})
-print(f"{'query':32s} {'sec':>9s} {'leg_before':>10s} {'leg_after':>10s}  verdict")
+retried = d["calib"].get("retried", {})
+print(f"{'query':32s} {'sec':>9s} {'legs (around each rep)':>28s}  verdict")
 for q, sec in sorted(d["queries"].items()):
-    b, a = legs.get(q, (float('nan'),) * 2)
-    # sec > 0: a -1.0 failure sentinel must never certify (ADVICE r13)
-    ok = sec > 0 and b <= gate and a <= gate
-    verdict = 'CERTIFIED' if ok else ('FAILED' if sec <= 0 else 'burst — upper bound')
-    print(f"{q:32s} {sec:9.2f} {b:10.2f} {a:10.2f}  {verdict}")
+    ls = legs.get(q, [])
+    # sec > 0: a -1.0 failure sentinel must never certify (ADVICE r13);
+    # runs >= 2: a runs=1 reading of a JIT-heavy plan times warm-up,
+    # not the plan (r14 mm adjudication); ALL legs in gate: per-rep
+    # legs since r15, so interior-rep bursts are visible (ADVICE r14)
+    ok = sec > 0 and runs >= 2 and ls and all(l <= gate for l in ls)
+    verdict = 'CERTIFIED' if ok else ('FAILED' if sec <= 0 else
+        'runs=1 — upper bound' if runs < 2 else 'burst — upper bound')
+    if retried.get(q):
+        verdict += f" (after {retried[q]} retr{'y' if retried[q]==1 else 'ies'})"
+    lstr = " ".join(f"{l:5.2f}" for l in ls)
+    print(f"{q:32s} {sec:9.2f} {lstr:>28s}  {verdict}")
 PY

@@ -62,7 +62,8 @@ SHIFT = {
 }
 
 
-def replicate(table: pa.Table, name: str, i: int, clique_mod: int = 0) -> pa.Table:
+def replicate(table: pa.Table, name: str, i: int, clique_mod: int = 0,
+              ids: "list | None" = None) -> pa.Table:
     if i == 0:
         return table
     cols = {}
@@ -81,10 +82,11 @@ def replicate(table: pa.Table, name: str, i: int, clique_mod: int = 0) -> pa.Tab
             # byte-identical across replicas (the planted exact-dup
             # clique fixture).
             tag = f"_r{i}"
-            # only materialized when the clique knob is on (one
-            # full-column python conversion per replica otherwise)
-            ids = (table.column("doc_id").to_pylist()
-                   if clique_mod > 0 else None)
+            # ids is hoisted to the caller (one full-column python
+            # conversion per table, not per replica); only materialized
+            # when the clique knob is on
+            if ids is None and clique_mod > 0:
+                ids = table.column("doc_id").to_pylist()
             out = []
             k = 0
             for c in col.chunks:
@@ -94,7 +96,9 @@ def replicate(table: pa.Table, name: str, i: int, clique_mod: int = 0) -> pa.Tab
                     if s is None:
                         vals.append(None)
                         continue
-                    if ids is not None and ids[k - 1] % clique_mod == 0:
+                    # a null doc_id can never join a planted clique
+                    if (ids is not None and ids[k - 1] is not None
+                            and ids[k - 1] % clique_mod == 0):
                         vals.append(s)
                         continue
                     w = s.split(" ")
@@ -125,8 +129,10 @@ def main() -> None:
         if name in COPY:
             out = t
         else:
+            ids = (t.column("doc_id").to_pylist()
+                   if clique_mod > 0 and name == "documents" else None)
             out = pa.concat_tables(
-                [replicate(t, name, i, clique_mod) for i in range(n)])
+                [replicate(t, name, i, clique_mod, ids) for i in range(n)])
         pq.write_table(out, f"{dst}/{name}.parquet",
                        store_schema=True, use_deprecated_int96_timestamps=False,
                        coerce_timestamps=None)
