@@ -94,7 +94,8 @@ object Bench {
       // standing state; the *_serve lifecycle rows build their own
       "stream_ivfsq8_serve_only" -> graft.streaming.StreamIvfSq8.ensureStreamed _,
       "stream_ivfpq_serve_only" -> graft.streaming.StreamIvfPq.ensureStreamed _,
-      "stream_fts_serve_only" -> graft.streaming.StreamFts.ensureStreamed _)
+      "stream_fts_serve_only" -> graft.streaming.StreamFts.ensureStreamed _,
+      "stream_ivf_serve_only" -> graft.streaming.StreamIvf.ensureStreamed _)
     indexOf.toSeq
       .filter { case (q, _) => subset.forall(_(q)) }
       .map(_._2).distinct

@@ -108,6 +108,8 @@ object PipelineReg {
       graft.streaming.StreamIvfPq.streamIvfPqServeOnly(s, dir)),
     "stream_fts_serve_only" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamFts.streamFtsServeOnly(s, dir)),
+    "stream_ivf_serve_only" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamIvf.streamIvfServeOnly(s, dir)),
     "sample_mixture" -> Sampling.sampleMixture _,
     "sample_shuffle" -> Sampling.sampleShuffle _,
     "sample_token_budget" -> Sampling.sampleTokenBudget _,
@@ -512,6 +514,9 @@ object PipelineReg {
     // stats, same scoring tail — the full-corpus BM25 scan oracle
     // verifies it verbatim, like stream_fts_serve and text_bm25_indexed
     "stream_fts_serve_only" -> TextReg.bm25Oracle,
+    // ... and the exact-IVF serve-only twin, completing the matrix:
+    // shares the re-clustering oracle with the lifecycle row
+    "stream_ivf_serve_only" -> SimReg.ivfAppendOracle,
     "sample_mixture" -> {
       val h = phashSql("CAST(doc_id AS VARCHAR)",
         graft.operators.Sampling.mixtureSalt)

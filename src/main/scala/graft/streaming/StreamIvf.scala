@@ -118,9 +118,80 @@ object StreamIvf {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Standing streamed-index registry, the batch families' pattern:
+    * one seed+stream per corpus per process; `stream_ivf_serve`
+    * always re-drives the full lifecycle, [[streamIvfServeOnly]]
+    * get-or-streams so ITS timed row is the serve alone. */
+  private val standing =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
+  /** Seed + stream, then persist the pinned centroids beside the
+    * postings under a manifest — the durable-handle shape the other
+    * streamed families got in r14; returns the handle WITHOUT
+    * registering it (registration is the caller's job: ensureStreamed
+    * installs via computeIfAbsent, whose mapping function must not
+    * touch the map; the full-lifecycle serve and loadStreamed put
+    * explicitly). */
+  private[graft] def streamIndex(spark: SparkSession,
+      dir: String): Similarity.IvfIndex = {
+    val (tx, cents) = streamIvfTables(spark, dir)
+    val cDir = Scratch.fresh("tx_ivf_stream_cents")
+    TxTable(spark, cDir).append(cents)
+    Similarity.writeIndexManifest(tx.root, "family" -> "ivf#stream",
+      "centroids" -> cDir)
+    Similarity.IvfIndex(tx.root, cDir)
+  }
+
+  /** Get-or-build the stream-maintained snapshot (Bench warms it so
+    * `stream_ivf_serve_only` times the serving path alone).
+    * computeIfAbsent makes the get-then-build atomic — two concurrent
+    * callers cannot both run the full seed+stream. */
+  def ensureStreamed(spark: SparkSession, dir: String): Similarity.IvfIndex =
+    standing.computeIfAbsent(dir, _ => streamIndex(spark, dir))
+
+  /** Cold-session loader for the STREAMED snapshot — same contract as
+    * the batch family's `Similarity.loadIvf`: the manifest beside the
+    * streamed postings names the pinned centroid root, so a fresh JVM
+    * serves the stream-maintained layout without re-seeding or
+    * re-streaming anything. */
+  def loadStreamed(spark: SparkSession, dir: String,
+      postingsRoot: String): Similarity.IvfIndex = {
+    val m = Similarity.readIndexManifest(postingsRoot)
+    Similarity.requireFamily(m, postingsRoot, "ivf#stream")
+    val idx = Similarity.IvfIndex(postingsRoot,
+      Similarity.manifestKey(m, postingsRoot, "centroids"))
+    standing.put(dir, idx)
+    idx
+  }
+
+  /** Test hook: forget the standing streamed registration (simulates
+    * the cold session [[loadStreamed]] exists for). */
+  private[graft] def dropStreamedForTest(dir: String): Unit = {
+    standing.remove(dir)
+    ()
+  }
+
+  /** [[serveFrom]] against a durable handle: the pinned centroids are
+    * a k-row point read from their tx root (the corpus is never
+    * touched), the postings serve is the same Bloom-pruned read. */
+  private def serveFromIndex(spark: SparkSession, dir: String,
+      idx: Similarity.IvfIndex, k: Int, nprobe: Int): DataFrame =
+    serveFrom(spark, dir, TxTable(spark, idx.postings),
+      TxTable(spark, idx.centroids).read(), k, nprobe)
+
   def streamIvfServe(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
-    val (tx, cents) = streamIvfTables(spark, dir)
-    serveFrom(spark, dir, tx, cents, k, nprobe)
+    val idx = streamIndex(spark, dir)
+    standing.put(dir, idx) // full lifecycle refreshes the registry: last build wins
+    serveFromIndex(spark, dir, idx, k, nprobe)
   }
+
+  /** The SERVE half on its own (r15): the same answer over a
+    * pre-seeded streamed snapshot, so the streamed transport's serving
+    * cost is its own decade-flat row — completing the serve-only
+    * matrix across ALL FOUR streamed families (exact IVF here; SQ8,
+    * PQ, FTS landed in r14/r15). */
+  def streamIvfServeOnly(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 3): DataFrame =
+    serveFromIndex(spark, dir, ensureStreamed(spark, dir), k, nprobe)
 }

@@ -127,6 +127,20 @@ class ColdLoadSpec extends SparkSpec {
       s"cold-loaded BM25 re-scans the document corpus:\n$plan")
   }
 
+  test("streamed exact-IVF snapshot: cold load serves without re-streaming") {
+    import graft.streaming.StreamIvf
+    val built = StreamIvf.ensureStreamed(spark, sf)
+    val before = sorted(StreamIvf.streamIvfServeOnly(spark, sf))
+    StreamIvf.dropStreamedForTest(sf)
+    val loaded = StreamIvf.loadStreamed(spark, sf, built.postings)
+    assert(loaded === built, "manifest round-trip changed the handle")
+    val after = StreamIvf.streamIvfServeOnly(spark, sf)
+    assert(sorted(after) === before, "cold-loaded serve changed the answer")
+    assert(after.queryExecution.executedPlan.toString
+      .contains(baseName(built.postings)),
+      "cold-loaded serve does not read the streamed postings")
+  }
+
   test("streamed FTS snapshot: cold load serves without re-streaming") {
     import graft.streaming.StreamFts
     val built = StreamFts.ensureStreamed(spark, sf)
@@ -171,6 +185,15 @@ class ColdLoadSpec extends SparkSpec {
     assert(loaded === built, "mid-churn reload changed the handle")
     assert(sorted(serve()) === before,
       "mid-churn cold-loaded serve changed the answer")
+  }
+
+  test("streamed exact-IVF: mid-churn cold load (compaction + redelivery marker)") {
+    import graft.streaming.StreamIvf
+    churnTrip[graft.operators.Similarity.IvfIndex](
+      StreamIvf.ensureStreamed(spark, sf), _.postings, "cell",
+      () => StreamIvf.streamIvfServeOnly(spark, sf),
+      () => StreamIvf.dropStreamedForTest(sf),
+      StreamIvf.loadStreamed(spark, sf, _))
   }
 
   test("streamed SQ8: mid-churn cold load (compaction + redelivery marker)") {
