@@ -181,7 +181,10 @@ object StreamIvf {
 
   def streamIvfServe(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
-    val idx = streamIndex(spark, dir)
+    // seed+stream timed into the audit registry so Bench can report
+    // the row's seed_sec/serve_sec split (VERDICT r15 task 5)
+    val idx = graft.core.BuildAudit.timed("stream_ivf_serve")(
+      streamIndex(spark, dir))
     standing.put(dir, idx) // full lifecycle refreshes the registry: last build wins
     serveFromIndex(spark, dir, idx, k, nprobe)
   }

@@ -153,7 +153,10 @@ object StreamIvfPq {
     * oracle). */
   def streamIvfPqServe(spark: SparkSession, dir: String, k: Int = 5,
       candK: Int = 100, nprobe: Int = 3): DataFrame = {
-    val idx = streamTables(spark, dir)
+    // seed+stream timed into the audit registry so Bench can report
+    // the row's seed_sec/serve_sec split (VERDICT r15 task 5)
+    val idx = graft.core.BuildAudit.timed("stream_ivfpq_serve")(
+      streamTables(spark, dir))
     standing.put(dir, idx) // full lifecycle refreshes the registry: last build wins
     Similarity.annIvfPqFrom(spark, dir, idx, k, candK, nprobe)
   }

@@ -151,7 +151,10 @@ object StreamIvfSq8 {
     * its postings arrived; same defaults, same oracle). */
   def streamIvfSq8Serve(spark: SparkSession, dir: String, k: Int = 5,
       candK: Int = 20, nprobe: Int = 3): DataFrame = {
-    val idx = streamTables(spark, dir)
+    // seed+stream timed into the audit registry so Bench can report
+    // the row's seed_sec/serve_sec split (VERDICT r15 task 5)
+    val idx = graft.core.BuildAudit.timed("stream_ivfsq8_serve")(
+      streamTables(spark, dir))
     standing.put(dir, idx) // full lifecycle refreshes the registry: last build wins
     Similarity.annIvfSq8From(spark, dir, idx, k, candK, nprobe)
   }

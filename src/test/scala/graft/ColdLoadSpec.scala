@@ -183,8 +183,17 @@ class ColdLoadSpec extends SparkSpec {
     drop()
     val loaded = load(postingsOf(built))
     assert(loaded === built, "mid-churn reload changed the handle")
-    assert(sorted(serve()) === before,
+    val after = serve()
+    assert(sorted(after) === before,
       "mid-churn cold-loaded serve changed the answer")
+    // the post-load serve goes through ensureStreamed, which would
+    // silently re-stream a fresh deterministic snapshot if loadStreamed
+    // ever stopped registering the handle — and the answer-equality
+    // assert above would pass vacuously; pin the plan to the BUILT
+    // postings root, as the plain round-trip tests do (ADVICE r15)
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains(baseName(postingsOf(built))),
+      s"mid-churn cold-loaded serve does not read the built postings:\n$plan")
   }
 
   test("streamed exact-IVF: mid-churn cold load (compaction + redelivery marker)") {

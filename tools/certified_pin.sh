@@ -52,7 +52,12 @@ fi
 
 python3 - "$OUT/${TAG}.json" "$GATE" "$RUNS" <<'PY'
 import json, sys
-d = json.load(open(sys.argv[1])); gate = float(sys.argv[2]); runs = int(sys.argv[3])
+d = json.load(open(sys.argv[1])); gate = float(sys.argv[2])
+# the artifact's own runs field is authoritative (ADVICE r15: trusting
+# the shell arg prints wrong verdicts when adjudicating an artifact
+# produced under a different/env-overridden runs); pre-r15 artifacts
+# lack the field — only then fall back to the shell arg
+runs = int(d.get("runs", sys.argv[3]))
 legs = d["calib"].get("calib_each", {})
 retried = d["calib"].get("retried", {})
 print(f"{'query':32s} {'sec':>9s} {'legs (around each rep)':>28s}  verdict")

@@ -20,11 +20,12 @@ sys.exit(0 if c and all(c.values()) else 1)
 PY
 }
 
+skip_x100=0
 if [ ! -d target/scale/x100 ]; then
   echo "target/scale/x100 missing — build it first (tools/scale_up.py); skipping x100 chunk" >&2
-  done_x100=0
+  skip_x100=1
 fi
-done_x100="${done_x100:-1}"; done_serve=1
+done_x100=$(( 1 - skip_x100 )); done_serve=1
 for i in $(seq 1 "$ATTEMPTS"); do
   if [ "$done_x100" -ne 0 ]; then
     tools/certified_pin.sh "r15_mmq_c$i" target/scale/x100 \
@@ -37,7 +38,12 @@ for i in $(seq 1 "$ATTEMPTS"); do
     all_cert "measurements/r15_serve_c$i.json" && done_serve=0
   fi
   if [ "$done_x100" -eq 0 ] && [ "$done_serve" -eq 0 ]; then
-    echo "all chunks certified after attempt $i"
+    # a skipped chunk never certified anything — say so (ADVICE r15)
+    if [ "$skip_x100" -eq 1 ]; then
+      echo "serve chunk certified after attempt $i (x100 chunk SKIPPED: fixture missing)"
+    else
+      echo "all chunks certified after attempt $i"
+    fi
     break
   fi
   sleep "$PAUSE"
