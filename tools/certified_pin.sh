@@ -22,7 +22,9 @@ cd /root/repo
 # one-time codegen warm-up (20-120 s) rather than the plan (~6 s
 # steady state, r14 mm adjudication) — Bench refuses to certify
 # runs=1 rows, so a runs=1 invocation is an upper-bound probe only
-TAG="${1:?tag}"; SFDIR="${2:?sf_dir}"; SUBSET="${3:?subset}"; RUNS="${4:-2}"
+# subset must be PASSED but may be empty — an empty subset runs the
+# full suite (tools/measure.sh full)
+TAG="${1:?tag}"; SFDIR="${2:?sf_dir}"; SUBSET="${3?subset}"; RUNS="${4:-2}"
 OUT=measurements
 mkdir -p "$OUT"
 # refresh the frozen classpath whenever the compiled classes are newer
