@@ -62,7 +62,8 @@ d = json.load(open(sys.argv[1])); gate = float(sys.argv[2])
 runs = int(d.get("runs", sys.argv[3]))
 legs = d["calib"].get("calib_each", {})
 retried = d["calib"].get("retried", {})
-print(f"{'query':32s} {'sec':>9s} {'legs (around each rep)':>28s}  verdict")
+vs_pin = d.get("vs_pin", {})
+print(f"{'query':32s} {'sec':>9s} {'vs_pin':>7s} {'legs (around each rep)':>28s}  verdict")
 for q, sec in sorted(d["queries"].items()):
     ls = legs.get(q, [])
     # sec > 0: a -1.0 failure sentinel must never certify (ADVICE r13);
@@ -75,5 +76,6 @@ for q, sec in sorted(d["queries"].items()):
     if retried.get(q):
         verdict += f" (after {retried[q]} retr{'y' if retried[q]==1 else 'ies'})"
     lstr = " ".join(f"{l:5.2f}" for l in ls)
-    print(f"{q:32s} {sec:9.2f} {lstr:>28s}  {verdict}")
+    vp = f"{vs_pin[q]:7.2f}" if q in vs_pin else f"{'-':>7s}"
+    print(f"{q:32s} {sec:9.2f} {vp} {lstr:>28s}  {verdict}")
 PY
