@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimQ, Dist2Q, DotQ}
+import graft.functions.{ArgminCellQ, CosineSimQ, Dist2Q, DotQ, PqEncodeQ}
 
 /** Session extensions registering the engine's native Catalyst
   * expressions, activated via `spark.sql.extensions` (see [[Sessions]]).
@@ -27,5 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotQ(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("argmin_cell_q"),
+      new ExpressionInfo(classOf[ArgminCellQ].getName, "argmin_cell_q"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArgminCellQ(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((
+      new FunctionIdentifier("pq_encode_q"),
+      new ExpressionInfo(classOf[PqEncodeQ].getName, "pq_encode_q"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqEncodeQ(exprs.head, exprs(1), exprs(2),
+          // dimsPerSub is a plan-time constant: a literal 4th argument
+          exprs(3).eval().asInstanceOf[Number].intValue)))
   }
 }
