@@ -324,15 +324,9 @@ object Similarity {
     * over the bound → shuffle join, as it must). */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 0,
       iters: Int = 2): DataFrame = {
-    // materialize the quantized input ONCE — Lloyd re-reads it every
-    // round (seed join, per-iteration assign + update, final assign),
-    // and re-deriving the posexplode from parquet each time costs a
-    // stage per reuse; spark.ml's KMeans caches its input for the same
-    // reason. 8 B × N·d, transient, a fraction of the corpus itself.
-    val qe = quantized(spark, dir).localCheckpoint()
     // one job for both scalars: N decides k, (k, d) decide the proven
     // broadcast bound
-    lazy val nd = Tables(spark, dir).embeddings
+    val nd = Tables(spark, dir).embeddings
       .agg(count(lit(1)).as("n"),
         max(size(col("embedding"))).cast("long").as("d"))
       .head
@@ -345,8 +339,33 @@ object Similarity {
     // like a large ⌈√N⌉ (the d read costs one limit-1-style aggregate
     // that the default path already pays).
     val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
-    assignTo(qe, lloydCentroids(qe, kk, iters, bounded), bounded)
-      .orderBy(col("vec_id"))
+    if (bounded) {
+      // r16: fast-kernel training + on-row final assignment (the
+      // kernel returns (cell, dist2) — [[assignTo]]'s exact argmin
+      // columns, `KernelEquivalenceSpec`). The N·d quantized
+      // checkpoint the relational path pins is never materialized;
+      // Lloyd re-reads the persisted NARROW frame instead.
+      val embT = Tables(spark, dir).embeddingsSpread
+        .select(col("vec_id"), col("embedding")).persist()
+      val cents = lloydCentroidsFast(embT, kk, iters).localCheckpoint()
+      embT.unpersist(blocking = false)
+      Tables(spark, dir).embeddingsSpread
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centPack(cents)))
+        .select(col("vec_id"), graft.functions.ArgminCellQ
+          .argminCellQ(col("embedding"), col("cells"), col("cvecs")).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"),
+          col("m.dist2").as("dist2"))
+        .orderBy(col("vec_id"))
+    } else {
+      // materialize the quantized input ONCE — Lloyd re-reads it every
+      // round (seed join, per-iteration assign + update, final
+      // assign); spark.ml's KMeans caches its input for the same
+      // reason. 8 B × N·d, transient, a fraction of the corpus itself.
+      val qe = quantized(spark, dir).localCheckpoint()
+      assignTo(qe, lloydCentroids(qe, kk, iters, bounded), bounded)
+        .orderBy(col("vec_id"))
+    }
   }
 
   /** Oracle-able twin of the spark.ml `view_kmeans` (D11's optional
@@ -705,15 +724,14 @@ object Similarity {
   private def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val qe = qe4(spark, dir)
-    val cents = labelCentroids(qe)
-    val member = rankedAgainst(qe, cents).filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"))
+    val cents = labelCentroids(qe4(spark, dir)).localCheckpoint()
     val pDir = Scratch.fresh("tx_ivf")
+    // r16: argmin cell computed ON the scan row against the broadcast
+    // centroid pack — the former N·d·k dim-join + window + join-back
+    // (two corpus-sized exchanges) collapse into one codegen pass
     TxTable(spark, pDir).append(
-      Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("embedding"))
-        .join(member, Seq("vec_id"))
+      withArgminCell(Tables(spark, dir).embeddingsSpread
+          .select(col("vec_id"), col("embedding")), cents)
         .select(col("cell"), col("vec_id"), col("embedding"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
@@ -771,17 +789,18 @@ object Similarity {
     // quantizer pinned at build: centroids from the BASE subset only,
     // checkpointed once so build, append, and serve share one frame
     val cents = labelCentroids(qe.filter(!isDelta)).localCheckpoint()
-    val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"))
-    def commit(tx: TxTable, part: DataFrame): Unit = tx.append(
-      emb.join(rankedAgainst(part, cents).filter(col("crn") === 1)
-          .select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // r16: each commit's argmin runs ON the scan row (guide §2.4) —
+    // the former per-commit N·d·k dim-join + window rank + corpus
+    // join-back (two exchanges per commit) are gone
+    def commit(tx: TxTable, pred: Column): Unit = tx.append(
+      withArgminCell(Tables(spark, dir).embeddingsSpread
+          .select(col("vec_id"), col("embedding")).filter(pred), cents)
         .select(col("cell"), col("vec_id"), col("embedding"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
     val tx = TxTable(spark, Scratch.fresh("tx_ivf_inc"))
-    commit(tx, qe.filter(!isDelta)) // base build
-    commit(tx, qe.filter(isDelta)) // delta append, centroids pinned
+    commit(tx, !isDelta) // base build
+    commit(tx, isDelta) // delta append, centroids pinned
     // serve from the merged snapshot, probes ranked on the same
     // pinned centroid table
     val probes = rankedAgainst(qe.filter(col("vec_id") < 5), cents)
@@ -842,6 +861,33 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
         .as("cvec"))
 
+  /** The whole centroid table as ONE row (cells sorted asc, cvecs
+    * aligned) — the broadcast side of the [[graft.functions
+    * .ArgminCellQ]] row-level assignment kernel. k·d longs total,
+    * bounded-k callers only. Cell ids canonicalize to BIGINT (the
+    * kernel's cell type; label-seeded alphabets are int32 — same
+    * values, same asc order, and the TxTable Bloom probes hash the
+    * canonical string so int/long width never changes pruning). */
+  private def centPack(cents: DataFrame): DataFrame =
+    centRows(cents)
+      .agg(expr("array_sort(collect_list(struct(CAST(cell AS BIGINT) AS cell, cvec)))")
+        .as("p"))
+      .select(expr("transform(p, s -> s.cell)").as("cells"),
+        expr("transform(p, s -> s.cvec)").as("cvecs"))
+
+  /** Adds the argmin `cell` column ON the embedding row (guide §2.4:
+    * the crossJoin against the one-row [[centPack]] is a broadcast of
+    * k·d longs, the kernel runs inside the row's codegen stage, and
+    * the former min_by exchange + (vec_id → cell) join-back both
+    * disappear). Exact integers, (dist2, cell) tie-break — proven
+    * bit-identical to the relational argmin (`KernelEquivalenceSpec`). */
+  private[graft] def withArgminCell(rows: DataFrame, cents: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(centPack(cents)))
+      .withColumn("cell", graft.functions.ArgminCellQ
+        .argminCellQ(col("embedding"), col("cells"), col("cvecs"))
+        .getField("cell"))
+      .drop("cells", "cvecs")
+
   /** Ranked nearest-centroid assignment as N·k SCORED ROWS: embeddings
     * cross the broadcast per-cell centroid vectors, the native
     * [[graft.functions.Dist2Q]] computes each exact integer squared
@@ -874,44 +920,71 @@ object Similarity {
     else rankedTo(quantized(spark, dir), cents)
       .filter(col("crn") === 1).select(col("vec_id"), col("cell"))
 
-  /** Deterministic Lloyd training with the codegen assignment kernel:
-    * per round, assignment is N·k scored rows ([[rankedByDist]]) and
-    * the mean update one N·d-row aggregate — identical integers to
-    * [[lloydCentroids]] (same hash-seeded init, same argmin tie-break,
-    * same half-up integer means), only the assignment's physical shape
-    * changes. Bounded-k callers only (seeds and centroids broadcast). */
-  private def lloydCentroidsFast(emb: DataFrame,
-      qe: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The corpus rows WITH their argmin `cell` attached — the builders'
+    * postings input. Bounded-k computes the cell ON the scan row via
+    * [[withArgminCell]] (r16, guide §2.4: the former corpus-sized
+    * (vec_id → cell) join-back exchange is gone — one spread exchange,
+    * the kernel, then the range partition); the over-bound path keeps
+    * the relational assignment + join. `extra` columns (e.g. `label`)
+    * ride along on the scan row. */
+  private def memberRows(spark: SparkSession, dir: String, cents: DataFrame,
+      bounded: Boolean, extra: Column*): DataFrame = {
+    val base = Tables(spark, dir).embeddingsSpread
+      .select((col("vec_id") +: col("embedding") +: extra): _*)
+    if (bounded) withArgminCell(base, cents)
+    else base.join(memberCells(spark, dir, cents, bounded = false),
+      Seq("vec_id"))
+  }
+
+  /** Deterministic Lloyd training with the codegen kernels — identical
+    * integers to [[lloydCentroids]] (same hash-seeded init, same argmin
+    * tie-break, same half-up integer means), only the physical shape
+    * changes. Bounded-k callers only (seeds and centroids broadcast).
+    * Reads ONLY the narrow (vec_id, embedding) frame — the N·d-row
+    * quantized explode the relational form shuffles every round is
+    * never materialized (r16, guide §2.3/§2.4). */
+  private def lloydCentroidsFast(emb: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     val hashOrder = Seq(
       graft.functions.PortableHash.phash(col("vec_id").cast("string"), 11).asc,
       col("vec_id").asc)
-    val seedIds = qe.select(col("vec_id")).distinct()
+    val seedIds = emb.select(col("vec_id")).distinct()
       .orderBy(hashOrder: _*).limit(k)
     val wSeed = Window.orderBy(hashOrder: _*) // over k rows only
     val seeds0 = seedIds
       .withColumn("cell", (row_number().over(wSeed) - 1).cast("long"))
-    val cents0 = qe.join(broadcast(seeds0), Seq("vec_id"))
-      .select(col("cell"), col("dim"), col("q").as("c"))
-    lloydFrom(emb, qe, cents0, iters)
+    val cents0 = emb.join(broadcast(seeds0), Seq("vec_id"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("cell"), col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)").as("c"))
+    lloydFrom(emb, cents0, iters)
   }
 
   /** Lloyd iterations from GIVEN initial centroids (cell, dim, c) —
     * the shared tail of hash-seeded training and the grow-aware
     * rebuild (which seeds from the outgrown index's pinned centroids
-    * so cluster structure carries over instead of restarting cold). */
-  private def lloydFrom(emb: DataFrame, qe: DataFrame,
-      cents0: DataFrame, iters: Int): DataFrame = {
+    * so cluster structure carries over instead of restarting cold).
+    *
+    * r16 shape (guide §2.3 "aggregate before you shuffle"): per round,
+    * the [[graft.functions.ArgminCellQ]] kernel computes each vector's
+    * cell ON the row (no assignment exchange, no join back to the
+    * quantized explode) and [[graft.functions.SumVecQ]] folds each
+    * partition's members into k partial (sums, cnts) array rows before
+    * the exchange — the round's ONE shuffle carries k·partitions array
+    * rows instead of the N·d scalar rows the relational form moved
+    * through two exchanges. Same integers (`KernelEquivalenceSpec`):
+    * exact Long sums per dimension, half-up integer mean. */
+  private def lloydFrom(emb: DataFrame, cents0: DataFrame,
+      iters: Int): DataFrame = {
     var cents = cents0.localCheckpoint()
     for (_ <- 1 to iters) {
-      // map-side-combining argmin (r10): same integers as the window
-      // rank, but the exchange carries one partial row per vector
-      // instead of sorting all N·k scored rows
-      val asg = argminByDist(emb, cents)
-      cents = qe.join(asg, Seq("vec_id"))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-        .select(col("cell"), col("dim"),
-          expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+      cents = withArgminCell(emb, cents)
+        .groupBy(col("cell"))
+        .agg(graft.functions.SumVecQ.column(col("embedding")).as("sv"))
+        .select(col("cell"), posexplode(col("sv.sums")).as(Seq("dim", "s")),
+          col("sv.cnts").as("cnts"))
+        .select(col("cell"), col("dim").cast("long").as("dim"),
+          expr("CAST(floor(CAST(s AS DOUBLE) / CAST(cnts[dim] AS DOUBLE) + 0.5) AS BIGINT)")
             .as("c"))
         .localCheckpoint()
     }
@@ -920,33 +993,37 @@ object Similarity {
 
   private[graft] def sqrtQuantizer(spark: SparkSession, dir: String)
       : (DataFrame, Boolean) = {
-    // persist (NOT localCheckpoint) the training input: Lloyd re-reads
-    // it ~2·iters+1 times, but the block must be FREEABLE — a
-    // localCheckpoint block can neither be evicted safely (lineage is
-    // truncated) nor unpersisted through the DataFrame API, so
-    // repeated √N trainings in one JVM would pin block-manager memory
-    // until exit (measured: a 10× bench run with the leaked blocks ran
-    // unrelated queries 10-20× slower from heap pressure).
-    val qeT = quantized(spark, dir).persist()
     val nd = Tables(spark, dir).embeddings
       .agg(count(lit(1)).as("n"),
         max(size(col("embedding"))).cast("long").as("d"))
       .head
     val kk = math.ceil(math.sqrt(nd.getLong(0).toDouble)).toInt
     val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
+    // persist (NOT localCheckpoint) the training input: Lloyd re-reads
+    // it iters+1 times, but the block must be FREEABLE — a
+    // localCheckpoint block can neither be evicted safely (lineage is
+    // truncated) nor unpersisted through the DataFrame API, so
+    // repeated √N trainings in one JVM would pin block-manager memory
+    // until exit (measured: a 10× bench run with the leaked blocks ran
+    // unrelated queries 10-20× slower from heap pressure). r16: the
+    // fast path pins the NARROW (vec_id, embedding) frame — N rows of
+    // one float array, roughly a sixth of the N·d quantized explode
+    // the relational fallback needs.
+    val input =
+      (if (bounded) Tables(spark, dir).embeddingsSpread
+         .select(col("vec_id"), col("embedding"))
+       else quantized(spark, dir))
+        .persist()
     // eager: the k·d-row centroid checkpoint materializes the whole
     // training against the hot cache and cuts its lineage...
     val cents =
-      (if (bounded) lloydCentroidsFast(
-         Tables(spark, dir).embeddingsSpread
-           .select(col("vec_id"), col("embedding")),
-         qeT, kk, 2)
-       else lloydCentroids(qeT, kk, 2, boundedK = false))
+      (if (bounded) lloydCentroidsFast(input, kk, 2)
+       else lloydCentroids(input, kk, 2, boundedK = false))
         .localCheckpoint()
     // ...so the training input frees immediately; callers' final
     // assignment runs the codegen kernel over a fresh narrow scan
-    // instead of holding N·d rows hostage
-    qeT.unpersist(blocking = false)
+    // instead of holding the training blocks hostage
+    input.unpersist(blocking = false)
     (cents, bounded)
   }
 
@@ -989,14 +1066,11 @@ object Similarity {
   def annIvfSqrtK(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
     val (cents, bounded) = sqrtQuantizer(spark, dir)
-    // membership via the map-side-combining argmin kernel; the probe
+    // membership computed ON the scan row (r16 kernel); the probe
     // RANKING (crn ≤ nprobe) only ever touches the |Q|=5 query
     // vectors, so the corpus-sized window sort of the former shared
     // ranked table is gone (r10)
-    val member = memberCells(spark, dir, cents, bounded)
-    val members = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"))
-      .join(member, Seq("vec_id"))
+    val members = memberRows(spark, dir, cents, bounded)
     val probes = (if (bounded)
         rankedByDist(Tables(spark, dir).embeddings
           .filter(col("vec_id") < 5)
@@ -1059,16 +1133,13 @@ object Similarity {
     import graft.lake.TxTable
     import graft.core.Scratch
     val (cents, bounded) = sqrtQuantizer(spark, dir)
-    val member = memberCells(spark, dir, cents, bounded)
     val pDir = Scratch.fresh("tx_ivf_sqrt")
     // `label` rides along in the postings row: attribute columns live
     // IN the index cells so a filtered serve ([[annFilteredSqrt]])
     // never joins back to the corpus at query time — at 100 TB the
     // metadata-fetch join would dwarf the probe itself
     TxTable(spark, pDir).append(
-      Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("embedding"), col("label"))
-        .join(member, Seq("vec_id"))
+      memberRows(spark, dir, cents, bounded, col("label"))
         .select(col("cell"), col("vec_id"), col("embedding"), col("label"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
@@ -1382,35 +1453,29 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
     // persist (NOT localCheckpoint) for the same freeable-block reason
-    // as [[sqrtQuantizer]] — though here the pinned input is 8k·d
-    // rows, not N·d: the sample bound is the point
-    val qeS = quantizedOf(sample).persist()
+    // as [[sqrtQuantizer]] — though here the pinned input is the
+    // 8·⌈√N⌉-row sample, not the corpus: the sample bound is the point
+    val sampleT = sample.persist()
     val cents =
-      (if (bounded) lloydCentroidsFast(sample, qeS, kk, 2)
-       else lloydCentroids(qeS, kk, 2, boundedK = false))
+      (if (bounded) lloydCentroidsFast(sampleT, kk, 2)
+       else lloydCentroids(quantizedOf(sampleT), kk, 2, boundedK = false))
         .localCheckpoint()
-    qeS.unpersist(blocking = false)
+    sampleT.unpersist(blocking = false)
     (cents, bounded)
   }
 
-  /** Argmin cell of every vector via a map-side-combining aggregate
-    * instead of [[rankedByDist]]'s N·k-row window sort: `min_by` over
-    * struct(dist2, cell) is the same exact-integer argmin with the
-    * same cell-asc tie-break (lexicographic struct order — cells are
-    * distinct, so the min is unique), but partial aggregation folds
-    * the k scored rows per vector BEFORE the exchange, so the shuffle
-    * carries one partial row per (vector, map partition) rather than
-    * sorting all N·k scored rows. Build-side kernel only: serving
-    * probes keep the window form (they need crn ≤ nprobe over a tiny
-    * |Q|). */
+  /** Argmin cell of every vector, computed ON the embedding row by the
+    * [[graft.functions.ArgminCellQ]] codegen kernel (r16, guide §2.4):
+    * where the r10 form materialized N·k scored rows through a
+    * crossJoin and folded them back with a min_by exchange, the kernel
+    * loops the broadcast [[centPack]] per row inside the scan's
+    * whole-stage-codegen — zero Exchange. Same exact integers, same
+    * (dist2, cell) tie-break (`KernelEquivalenceSpec`). Build-side
+    * kernel only: serving probes keep the window form (they need
+    * crn ≤ nprobe over a tiny |Q|). */
   private[graft] def argminByDist(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centRows(cents)))
-      .withColumn("dist2",
-        graft.functions.Dist2Q.dist2Q(col("embedding"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("dist2"), col("cell")),
-        struct(col("dist2"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"))
+    withArgminCell(emb.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("cell"))
 
   /** One pass into the standing SAMPLE-trained √N index — identical
     * layout and serving mechanics to [[buildIvfSqrtIndex]] (the index
@@ -1424,12 +1489,9 @@ object Similarity {
     import graft.lake.TxTable
     import graft.core.Scratch
     val (cents, bounded) = sampleQuantizer(spark, dir)
-    val member = memberCells(spark, dir, cents, bounded)
     val pDir = Scratch.fresh("tx_ivf_sample")
     TxTable(spark, pDir).append(
-      Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("embedding"), col("label"))
-        .join(member, Seq("vec_id"))
+      memberRows(spark, dir, cents, bounded, col("label"))
         .select(col("cell"), col("vec_id"), col("embedding"), col("label"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
@@ -1548,10 +1610,7 @@ object Similarity {
       centroidsRoot: String): (graft.lake.TxTable, graft.lake.TxTable) = {
     import graft.lake.TxTable
     val (cents, bounded) = sqrtQuantizer(spark, dir)
-    val member = memberCells(spark, dir, cents, bounded)
-    val rows = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"), col("label"))
-      .join(member, Seq("vec_id"))
+    val rows = memberRows(spark, dir, cents, bounded, col("label"))
       .select(col("cell"), col("vec_id"), col("embedding"), col("label"))
       .persist()
     val posts = TxTable(spark, postingsRoot)
@@ -1702,7 +1761,6 @@ object Similarity {
     import graft.lake.TxTable
     import graft.core.Scratch
     val (cents, bounded) = quant(spark, dir)
-    val member = memberCells(spark, dir, cents, bounded)
     val qe = quantized(spark, dir)
     val range = qe.agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
       .localCheckpoint() // one row, pinned: build and serve must agree
@@ -1725,9 +1783,7 @@ object Similarity {
               * 255) div ${sv}L)""")
     val pDir = Scratch.fresh(scratch)
     TxTable(spark, pDir).append(
-      Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("embedding"))
-        .join(member, Seq("vec_id"))
+      memberRows(spark, dir, cents, bounded)
         .withColumn("codes", encode)
         .withColumn("code_sum", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
         .select(col("cell"), col("vec_id"), col("codes"), col("code_sum"),
@@ -2014,25 +2070,14 @@ object Similarity {
     import graft.lake.TxTable
     import graft.core.Scratch
     val (cents, bounded) = quant(spark, dir)
-    val member = memberCells(spark, dir, cents, bounded)
-    val qe = qe4(spark, dir)
-    val cb = pqCodebook(qe, dimsPerSub).localCheckpoint() // bounded, pinned
-    val subDist = qe.withColumn("sub", expr(s"dim div $dimsPerSub"))
-      .join(broadcast(cb), Seq("sub", "dim"))
-      .groupBy(col("vec_id"), col("sub"), col("code"))
-      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
-    val codes = subDist
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-    val pqcodes = codes.groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)")
-        .as("codes"))
+    val cb = pqCodebook(qe4(spark, dir), dimsPerSub).localCheckpoint() // bounded, pinned
+    // r16 (guide §2.3/§2.4): cell AND codes both computed ON the scan
+    // row ([[memberRows]] + [[withPqCodes]]) — the former N·d·|codes|
+    // subDist join, its two aggregate exchanges, the collect_list
+    // pack, and both join-backs are all gone.
     val pDir = Scratch.fresh(scratch)
     TxTable(spark, pDir).append(
-      Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("embedding"))
-        .join(member, Seq("vec_id"))
-        .join(pqcodes, Seq("vec_id"))
+      withPqCodes(memberRows(spark, dir, cents, bounded), cb, dimsPerSub)
         .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
@@ -2239,22 +2284,21 @@ object Similarity {
     * [[ensureIvfSqrt]]; postings cell-range-partitioned, Bloom on
     * `cell`. */
   def ivfGrowInit(spark: SparkSession, emb: DataFrame): IvfGrowIndex = {
-    val e = emb.select(col("vec_id"), col("embedding"))
-    val qe = quantizedOf(e).persist()
+    val e = emb.select(col("vec_id"), col("embedding")).persist()
     val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
-    val cents = lloydCentroidsFast(e, qe, k, 2).localCheckpoint()
-    qe.unpersist(blocking = false)
-    writeGrowIndex(spark, e, cents, k)
+    val cents = lloydCentroidsFast(e, k, 2).localCheckpoint()
+    val idx = writeGrowIndex(spark, e, cents, k)
+    e.unpersist(blocking = false)
+    idx
   }
 
   private def writeGrowIndex(spark: SparkSession, emb: DataFrame,
       cents: DataFrame, k: Int): IvfGrowIndex = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val member = argminByDist(emb, cents)
     val pDir = Scratch.fresh("tx_ivf_grow")
     TxTable(spark, pDir).append(
-      emb.join(member, Seq("vec_id"))
+      withArgminCell(emb.select(col("vec_id"), col("embedding")), cents)
         .select(col("cell"), col("vec_id"), col("embedding"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
@@ -2296,10 +2340,9 @@ object Similarity {
     import graft.lake.TxTable
     val cents = TxTable(spark, idx.centroids).read()
     val d = delta.select(col("vec_id"), col("embedding"))
-    val member = argminByDist(d, cents)
     val tx = TxTable(spark, idx.postings)
     tx.append(
-      d.join(member, Seq("vec_id"))
+      withArgminCell(d, cents)
         .select(col("cell"), col("vec_id"), col("embedding"))
         .repartitionByRange(8, col("cell")),
       bloomCols = Seq("cell"))
@@ -2313,7 +2356,6 @@ object Similarity {
       val kNew = math.ceil(math.sqrt(n.toDouble)).toInt
       val emb = tx.read().select(col("vec_id"), col("embedding"))
         .localCheckpoint() // pin the merged snapshot for the rebuild
-      val qe = quantizedOf(emb).persist()
       // current assignment under the pinned centroids: the merged
       // postings already carry it (argmin cell at commit time)
       val memberNow = tx.read().select(col("vec_id"), col("cell"))
@@ -2335,10 +2377,12 @@ object Similarity {
       val seeds = picked
         .withColumn("newcell", (row_number().over(wAll) - 1).cast("long"))
         .select(col("vec_id"), col("newcell"))
-      val cents0 = qe.join(broadcast(seeds), Seq("vec_id"))
-        .select(col("newcell").as("cell"), col("dim"), col("q").as("c"))
-      val centsNew = lloydFrom(emb, qe, cents0, 2).localCheckpoint()
-      qe.unpersist(blocking = false)
+      val cents0 = emb.join(broadcast(seeds), Seq("vec_id"))
+        .select(col("newcell").as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("cell"), col("dim").cast("long").as("dim"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)").as("c"))
+      val centsNew = lloydFrom(emb, cents0, 2).localCheckpoint()
       writeGrowIndex(spark, emb, centsNew, kNew)
     }
   }
@@ -2434,12 +2478,12 @@ object Similarity {
     // which on a large grow rebuild is an unbounded static broadcast —
     // past the 32 MB proof it falls back to the shuffled-join Lloyd
     val bounded = kk.toLong * nd.getLong(1) * 24L <= (32L << 20)
-    val qeS = quantizedOf(sample).persist()
+    val sampleT = sample.persist()
     val cents =
-      (if (bounded) lloydCentroidsFast(sample, qeS, kk, 2)
-       else lloydCentroids(qeS, kk, 2, boundedK = false))
+      (if (bounded) lloydCentroidsFast(sampleT, kk, 2)
+       else lloydCentroids(quantizedOf(sampleT), kk, 2, boundedK = false))
         .localCheckpoint()
-    qeS.unpersist(blocking = false)
+    sampleT.unpersist(blocking = false)
     (cents, kk)
   }
 
@@ -2458,7 +2502,6 @@ object Similarity {
       cents: DataFrame, k: Int): IvfSq8GrowIndex = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val member = argminByDist(emb, cents)
     val range = quantizedOf(emb)
       .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
       .localCheckpoint()
@@ -2467,7 +2510,7 @@ object Similarity {
     val sv = math.max(r0.getAs[Long]("mx") - mnv, 1L)
     val pDir = Scratch.fresh("tx_sq8_grow")
     TxTable(spark, pDir).append(
-      emb.join(member, Seq("vec_id"))
+      withArgminCell(emb.select(col("vec_id"), col("embedding")), cents)
         .withColumn("codes", sq8EncodeExpr(mnv, sv))
         .withColumn("code_sum", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
         .select(col("cell"), col("vec_id"), col("codes"), col("code_sum"),
@@ -2507,10 +2550,9 @@ object Similarity {
     val mnv = r0.getAs[Long]("mn")
     val sv = math.max(r0.getAs[Long]("mx") - mnv, 1L)
     val d = delta.select(col("vec_id"), col("embedding"))
-    val member = argminByDist(d, cents)
     val tx = TxTable(spark, idx.postings)
     tx.append(
-      d.join(member, Seq("vec_id"))
+      withArgminCell(d, cents)
         .withColumn("codes", sq8EncodeExpr(mnv, sv))
         .withColumn("code_sum", expr("aggregate(codes, 0L, (a, x) -> a + x)"))
         .select(col("cell"), col("vec_id"), col("codes"), col("code_sum"),
@@ -2540,23 +2582,42 @@ object Similarity {
   final case class IvfPqGrowIndex(postings: String, centroids: String,
       codebook: String, k: Int)
 
-  /** PQ encode of `emb` (vec_id, embedding) against a PINNED codebook:
-    * quantize, sub-distance against the broadcast codebook, `min_by`
-    * argmin per (vector, subspace), pack dim-ordered. The grow append
-    * runs this over deltas only. */
+  /** One-row flattened codebook pack (codes sorted asc; per-code
+    * FULL-LENGTH dim-ordered quantized centroid vectors) — the
+    * broadcast side of the [[graft.functions.PqEncodeQ]] encode
+    * kernel. |codes|·d longs, bounded by the code alphabet. */
+  private def cbPack(cb: DataFrame): DataFrame =
+    cb.groupBy(col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cvec"))
+      // code canonicalizes to BIGINT like [[centPack]]'s cell: the
+      // label-seeded alphabet is int32 and the kernel reads longs
+      .agg(expr("array_sort(collect_list(struct(CAST(code AS BIGINT) AS code, cvec)))")
+        .as("p"))
+      .select(expr("transform(p, s -> s.code)").as("cb_codes"),
+        expr("transform(p, s -> s.cvec)").as("cb_cvecs"))
+
+  /** Adds the PQ `codes` column ON the embedding row (r16, guide
+    * §2.3/§2.4): where the relational encode materialized N·d·|codes|
+    * subDist rows through two aggregate exchanges, a collect_list
+    * pack, and a join-back, the [[graft.functions.PqEncodeQ]] kernel
+    * loops the broadcast [[cbPack]] per row inside the scan's codegen
+    * stage — zero Exchange. Same integers, same code-asc tie-break
+    * (`KernelEquivalenceSpec`). */
+  private[graft] def withPqCodes(rows: DataFrame, cb: DataFrame,
+      dimsPerSub: Int): DataFrame =
+    rows.crossJoin(broadcast(cbPack(cb)))
+      .withColumn("codes", graft.functions.PqEncodeQ.pqEncodeQ(
+        col("embedding"), col("cb_codes"), col("cb_cvecs"), dimsPerSub))
+      .drop("cb_codes", "cb_cvecs")
+
+  /** PQ encode of `emb` (vec_id, embedding) against a PINNED codebook
+    * — [[withPqCodes]] projected to (vec_id, codes). The grow append
+    * and the streamed-PQ maintenance run this over deltas only. */
   private[graft] def pqEncodeAgainst(emb: DataFrame, cb: DataFrame,
-      dimsPerSub: Int = 8): DataFrame = {
-    val qe = quantizedOf(emb).withColumn("sub", expr(s"dim div $dimsPerSub"))
-    val subDist = qe.join(broadcast(cb), Seq("sub", "dim"))
-      .groupBy(col("vec_id"), col("sub"), col("code"))
-      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
-    subDist
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)")
-        .as("codes"))
-  }
+      dimsPerSub: Int = 8): DataFrame =
+    withPqCodes(emb.select(col("vec_id"), col("embedding")), cb, dimsPerSub)
+      .select(col("vec_id"), col("codes"))
 
   /** `emb` is (vec_id, embedding, label): the label rides INTO the
     * postings row — like [[buildIvfSqrtIndex]]'s attribute column — so
@@ -2566,12 +2627,11 @@ object Similarity {
       cents: DataFrame, cb: DataFrame, k: Int): IvfPqGrowIndex = {
     import graft.lake.TxTable
     import graft.core.Scratch
-    val e = emb.select(col("vec_id"), col("embedding"))
-    val member = argminByDist(e, cents)
     val pDir = Scratch.fresh("tx_pq_grow")
     TxTable(spark, pDir).append(
-      emb.join(member, Seq("vec_id"))
-        .join(pqEncodeAgainst(e, cb), Seq("vec_id"))
+      withPqCodes(withArgminCell(
+          emb.select(col("vec_id"), col("embedding"), col("label")), cents),
+        cb, dimsPerSub = 8)
         .select(col("cell"), col("vec_id"), col("codes"), col("label"),
           col("embedding"))
         .repartitionByRange(8, col("cell")),
@@ -2603,13 +2663,9 @@ object Similarity {
     val cents = TxTable(spark, idx.centroids).read()
     val cb = TxTable(spark, idx.codebook).read()
     val d = delta.select(col("vec_id"), col("embedding"), col("label"))
-    val member = argminByDist(
-      d.select(col("vec_id"), col("embedding")), cents)
     val tx = TxTable(spark, idx.postings)
     tx.append(
-      d.join(member, Seq("vec_id"))
-        .join(pqEncodeAgainst(
-          d.select(col("vec_id"), col("embedding")), cb), Seq("vec_id"))
+      withPqCodes(withArgminCell(d, cents), cb, dimsPerSub = 8)
         .select(col("cell"), col("vec_id"), col("codes"), col("label"),
           col("embedding"))
         .repartitionByRange(8, col("cell")),

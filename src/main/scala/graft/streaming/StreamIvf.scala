@@ -52,14 +52,12 @@ object StreamIvf {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
 
-    def assigned(part: DataFrame): DataFrame = {
-      val member = Similarity
-        .rankedAgainst(Similarity.quantizedOf(part), cents)
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("cell"))
-      part.join(member, Seq("vec_id"))
+    // r16: argmin ON the row via the ArgminCellQ kernel (same integers,
+    // same tie-break as the relational rank — KernelEquivalenceSpec);
+    // the per-commit N·d·k dim-join + window + join-back are gone
+    def assigned(part: DataFrame): DataFrame =
+      Similarity.withArgminCell(part, cents)
         .select(col("cell"), col("vec_id"), col("embedding"))
-    }
 
     val tx = TxTable(spark, Scratch.fresh("tx_ivf_stream"))
     tx.append(

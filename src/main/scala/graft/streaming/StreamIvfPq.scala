@@ -64,10 +64,13 @@ object StreamIvfPq {
 
     // assign + encode one slice against the PINNED artifacts — seed
     // and micro-batches run the same function, so a streamed row
-    // can't differ from a seeded one
+    // can't differ from a seeded one. r16: both the argmin cell and
+    // the PQ codes are computed ON the row by the codegen kernels —
+    // the two per-commit join-backs (and the encode's N·d·|codes|
+    // subDist expansion) are gone
     def encoded(part: DataFrame): DataFrame =
-      part.join(Similarity.argminByDist(part, cents), Seq("vec_id"))
-        .join(Similarity.pqEncodeAgainst(part, cb), Seq("vec_id"))
+      Similarity.withPqCodes(
+          Similarity.withArgminCell(part, cents), cb, dimsPerSub = 8)
         .select(col("cell"), col("vec_id"), col("codes"), col("embedding"))
 
     val pDir = Scratch.fresh("tx_ivf_pq_stream")

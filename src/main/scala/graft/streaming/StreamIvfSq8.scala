@@ -58,11 +58,12 @@ object StreamIvfSq8 {
       .select(col("vec_id"), col("embedding"))
 
     // assign + encode one slice against the PINNED artifacts: the
-    // map-side-combining argmin kernel (build parity) and the direct
-    // array encode (no N·d exchange) — seed and micro-batches run the
-    // same function, so a streamed row can't differ from a seeded one
+    // on-row ArgminCellQ kernel (r16 — no assignment exchange, no
+    // join-back) and the direct array encode (no N·d exchange) — seed
+    // and micro-batches run the same function, so a streamed row can't
+    // differ from a seeded one
     def encoded(part: DataFrame): DataFrame =
-      part.join(Similarity.argminByDist(part, cents), Seq("vec_id"))
+      Similarity.withArgminCell(part, cents)
         .withColumn("codes", Similarity.sq8EncodeExpr(mnv, sv))
         .withColumn("code_sum",
           expr("aggregate(codes, 0L, (a, x) -> a + x)"))

@@ -102,6 +102,38 @@ class KernelEquivalenceSpec extends SparkSpec {
     assert(got.size == 250 && got == expect)
   }
 
+  test("int32 alphabets must canonicalize to BIGINT in the packs " +
+      "(the label-seeded cell/code ids are int32; the kernels read longs)") {
+    val emb = randomEmb(120, 16, seed = 31)
+    // int32 cells, as labelCentroids/pqCodebook produce them
+    val centsInt = someCents(emb, 9)
+      .withColumn("cell", col("cell").cast("int"))
+    val qe = quantizedOf(emb)
+    val relational = qe.join(centsInt, Seq("dim"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    val expect = relational.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the pack MUST cast the alphabet to BIGINT (as centPack/cbPack
+    // do) — an array<int> read through the kernel's getLong misreads
+    val pack = centsInt.groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cvec"))
+      .agg(expr("array_sort(collect_list(struct(CAST(cell AS BIGINT) AS cell, cvec)))")
+        .as("p"))
+      .select(expr("transform(p, s -> s.cell)").as("cells"),
+        expr("transform(p, s -> s.cvec)").as("cvecs"))
+    val got = emb.crossJoin(broadcast(pack))
+      .select(col("vec_id"),
+        ArgminCellQ.argminCellQ(col("embedding"), col("cells"), col("cvecs"))
+          .getField("cell").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 120 && got == expect)
+  }
+
   test("SumVecQ equals the relational per-(cell, dim) sum/count") {
     val emb = randomEmb(400, 48, seed = 23)
       .withColumn("cell", pmod(col("vec_id"), lit(7L)))
