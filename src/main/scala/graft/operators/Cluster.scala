@@ -137,14 +137,26 @@ object Cluster {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // r16 (guide §2.4): hoist the loop invariants. verts and deg were
+    // lazy — re-derived (a distinct + an aggregate, each a shuffle)
+    // inside EVERY iteration's action — and the per-u share join paid
+    // a separate ranks⋈deg exchange per round. The out-degree now
+    // rides ON the edge row (one prep join, checkpointed), so each
+    // round is: edges⋈ranks → per-edge share (r div deg, same exact
+    // integers) → one dst aggregate → the vertex left join.
     val verts = undirected.select(col("src").as("id")).distinct()
-    val deg = undirected.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val degEdges = undirected
+      .join(undirected.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg")),
+        undirected("src") === col("id"))
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
     var ranks = verts.withColumn("r", lit(1000000L)).localCheckpoint()
     (1 to iters).foreach { _ =>
-      val contrib = ranks.join(deg, Seq("id"))
+      val contrib = degEdges
+        .join(ranks, degEdges("src") === ranks("id"))
         .withColumn("share", expr("r div deg"))
-        .join(undirected, ranks("id") === undirected("src"))
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("share")).as("s"))
       ranks = verts.join(contrib, verts("id") === contrib("cid"), "left")
