@@ -155,9 +155,19 @@ object Similarity {
     dists.withColumn("crn", row_number().over(w))
   }
 
+  /** r16: argmin on the row via the kernel (same (dist2, cell)
+    * tie-break as the crn = 1 rank — `KernelEquivalenceSpec`); the
+    * N·d·k dim-join, its aggregate exchange, and the per-vector
+    * window sort are gone. `cell` casts back to the label alphabet's
+    * int32 so the declared schema is unchanged. */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    ivfAssignRanked(spark, dir).filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"), col("dist2"))
+    Tables(spark, dir).embeddingsSpread
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centPack(labelCentroids(qe4(spark, dir)))))
+      .select(col("vec_id"), graft.functions.ArgminCellQ
+        .argminCellQ(col("embedding"), col("cells"), col("cvecs")).as("m"))
+      .select(col("vec_id"), col("m.cell").cast("int").as("cell"),
+        col("m.dist2").as("dist2"))
       .orderBy(col("vec_id"))
 
   /** Product-quantization ANN (ADC — asymmetric distance computation,
@@ -197,17 +207,23 @@ object Similarity {
       .select(col("sub"), col("code"), col("dim"),
         expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
           .as("c"))
-    // exact squared distance of every vector to every sub-centroid:
-    // feeds BOTH the encoding argmin and the query lookup tables
-    val subDist = qe.join(broadcast(cb), Seq("sub", "dim"))
+    // r16: the corpus-side encode runs ON the row via the PqEncodeQ
+    // kernel (same integers, same code-asc tie-break as the old
+    // per-(vec, sub) window argmin — `KernelEquivalenceSpec`), so the
+    // N·d·|codes| subDist expansion now runs ONLY for the |Q|=5 query
+    // vectors' lookup tables. posexplode's position IS the subspace
+    // (codes are dim-ordered).
+    val codes = t.embeddingsSpread
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cbPack(cb)))
+      .select(col("vec_id"), graft.functions.PqEncodeQ.pqEncodeQ(
+        col("embedding"), col("cb_codes"), col("cb_cvecs"), 8).as("carr"))
+      .select(col("vec_id"), posexplode(col("carr")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+    val qdist = qe.filter(col("vec_id") < 5)
+      .join(broadcast(cb), Seq("sub", "dim"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("code"))
-    val codes = subDist.withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
-    val qdist = subDist.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("sub"), col("code"), col("d2"))
     val adc = codes.join(broadcast(qdist), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
@@ -404,11 +420,13 @@ object Similarity {
   def annIvfMultiprobe(spark: SparkSession, dir: String, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
-    val ranked = ivfAssignRanked(spark, dir)
-    val member = ranked.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell"))
-    val base = t.embeddings.select(col("vec_id"), col("embedding"))
-      .join(member, Seq("vec_id"))
+    val cents = labelCentroids(qe4(spark, dir)).localCheckpoint()
+    // r16: membership on the scan row via the kernel — the corpus-wide
+    // rank + join-back is gone; the probe RANKING below only ever
+    // touches the |Q|=5 query vectors
+    val base = withArgminCell(
+      t.embeddingsSpread.select(col("vec_id"), col("embedding")), cents)
+    val ranked = rankedAgainst(qe4(spark, dir).filter(col("vec_id") < 5), cents)
     val queries = ranked
       .filter(col("vec_id") < 5 && col("crn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cell").as("q_cell"))

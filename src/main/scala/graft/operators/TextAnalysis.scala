@@ -386,28 +386,25 @@ object TextAnalysis {
     val docs = Tables(spark, dir).documentsSpread.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    // r16: one tokenize+explode pass feeds BOTH commits (the stats row
-    // derives from the grouped postings' distinct (doc_id, dl) — dl is
-    // functionally dependent on doc_id and every doc has >= 1 posting)
-    // — the former second corpus scan+tokenize for the stats aggregate
-    // is gone (guide §1.2)
-    val grouped = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
     val pDir = Scratch.fresh("tx_fts")
     TxTable(spark, pDir).append(
-      grouped
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
         .repartitionByRange(8, col("tok"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
         ,
       bloomCols = Seq("tok"))
     val sDir = Scratch.fresh("tx_fts_stats")
     val txStats = TxTable(spark, sDir)
-    txStats.append(grouped.select(col("doc_id"), col("dl")).distinct()
+    // r16 (guide §1.2): the stats row derives from the JUST-WRITTEN
+    // postings — a column-pruned read of (doc_id, dl) — instead of a
+    // second full corpus scan + tokenize. Exact: dl is functionally
+    // dependent on doc_id and every doc has >= 1 posting (split of ""
+    // is [""]), so distinct (doc_id, dl) is one row per document.
+    txStats.append(TxTable(spark, pDir).read()
+      .select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks")))
-    grouped.unpersist(blocking = false)
     val st = txStats.read().head() // two scalars, paid once at build
     // the stats root lives IN the index layout (manifest beside the
     // postings) so a cold session reloads the handle from disk
@@ -552,42 +549,39 @@ object TextAnalysis {
       statsRoot: String): (graft.lake.TxTable, graft.lake.TxTable) = {
     import graft.lake.TxTable
     // r16 (guide §1.2 "don't compute things you throw away"): the old
-    // loop re-scanned the corpus and re-ran the tokenize+explode per
-    // slice AND per stats row — 2·slices parquet scans, 2 full
-    // tokenize passes. ONE slice-tagged tokenize+explode+groupBy pass
-    // now feeds all 2·slices commits from a persisted frame. The
-    // grouping keys include doc_id, so each slice's postings are
-    // bit-identical to tokenizing that slice alone; the commits (and
-    // the fragmentation the lifecycle models) are unchanged.
-    val posts = Tables(spark, dir).documentsSpread
+    // loop re-scanned the corpus and re-ran the tokenize per slice AND
+    // per stats row — 2·slices parquet scans, 2 full tokenize passes.
+    // ONE slice-tagged tokenize pass is persisted, RANGE-clustered by
+    // slice (hashing 10 values into 10 partitions would collide, guide
+    // §2.5) so each cached batch holds one slice and the per-slice
+    // filters below prune batches via the in-memory min/max stats.
+    // Both commit kinds read it: postings explode+group their slice's
+    // cached rows (grouping keys include doc_id, so each slice's
+    // postings are bit-identical to tokenizing that slice alone), and
+    // the stats rows are the same count/sum(dl) aggregate as before,
+    // now over cache. The commits (and the fragmentation the lifecycle
+    // models) are unchanged.
+    val docs = Tables(spark, dir).documentsSpread
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
       .withColumn("slice", pmod(col("doc_id"), lit(slices)))
+      .repartitionByRange(slices, col("slice"))
       .persist()
-    // per-slice corpus stats from the same frame: one (doc_id, dl) row
-    // per doc (dl is functionally dependent on doc_id, and every doc
-    // has >= 1 posting — split of an empty text still yields [""]), so
-    // count/sum equal the per-slice tokenize they replace
-    val statsBySlice = posts
-      .select(col("slice"), col("doc_id"), col("dl")).distinct()
-      .groupBy(col("slice"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
-      .localCheckpoint()
     val idx = TxTable(spark, postingsRoot)
     val st = TxTable(spark, statsRoot)
     try {
       for (i <- 0 until slices) {
-        idx.append(posts.filter(col("slice") === i)
-          .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+        val slice = docs.filter(col("slice") === i)
+        idx.append(slice
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+          .groupBy(col("tok"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
           .repartitionByRange(4, col("tok")),
           bloomCols = Seq("tok"))
-        st.append(statsBySlice.filter(col("slice") === i)
-          .select(col("n_docs"), col("t_toks")))
+        st.append(slice.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("t_toks")))
       }
-    } finally posts.unpersist(blocking = false)
+    } finally docs.unpersist(blocking = false)
     idx.compact(targetFiles, bloomCols = Seq("tok"),
       clusterBy = Seq("tok"))
     st.compact(1)

@@ -101,16 +101,14 @@ object StreamFts {
     val sDir = Scratch.fresh("tx_fts_stream_stats")
     val idx = TxTable(spark, pDir)
     val st = TxTable(spark, sDir)
-    // r16: one tokenize pass feeds both seed commits — the stats row
-    // derives from the postings frame's distinct (doc_id, dl) (dl is
-    // functionally dependent on doc_id; every doc has >= 1 posting),
-    // so the former second scan+tokenize of the 90% base is gone
-    val basePosts = postings(base).persist()
-    idx.append(basePosts.repartitionByRange(8, col("tok")),
+    // r16 (guide §1.2): one tokenize pass — the seed stats row derives
+    // from the JUST-WRITTEN seed postings (a column-pruned (doc_id,
+    // dl) read; dl is functionally dependent on doc_id and every doc
+    // has >= 1 posting) instead of a second scan+tokenize of the base
+    idx.append(postings(base).repartitionByRange(8, col("tok")),
       bloomCols = Seq("tok"))
-    st.append(basePosts.select(col("doc_id"), col("dl")).distinct()
+    st.append(idx.read().select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks")))
-    basePosts.unpersist(blocking = false)
 
     // the late documents land as files (the reference's per-file
     // upload transport); the stream tails the directory one file per
