@@ -31,6 +31,26 @@ case class ArgminCellQ(first: Expression, second: Expression,
 
   override def dataType: DataType = ArgminCellQ.outType
 
+  // the embedding may arrive as array<float> (the corpus tables) or
+  // array<double> (derived frames, e.g. SQL transform() replicas) —
+  // a float widens to double exactly, so both quantize identically to
+  // the relational CAST(x AS DOUBLE) route. Anything else must fail
+  // analysis: ArrayData.getFloat on a double array silently misreads.
+  private lazy val embIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    first.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"argmin_cell_q expects array<float> or array<double> embeddings, got $t")
+    }
+
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): ArgminCellQ = copy(f, s, t)
 
@@ -42,7 +62,8 @@ case class ArgminCellQ(first: Expression, second: Expression,
     val q = new Array[Long](d)
     var i = 0
     while (i < d) {
-      q(i) = math.floor(emb.getFloat(i).toDouble * 10000.0 + 0.5).toLong
+      val x = if (embIsFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      q(i) = math.floor(x * 10000.0 + 0.5).toLong
       i += 1
     }
     var bestCell = 0L
@@ -79,11 +100,13 @@ case class ArgminCellQ(first: Expression, second: Expression,
       val diff = ctx.freshName("diff")
       val bestCell = ctx.freshName("bestCell")
       val bestDist = ctx.freshName("bestDist")
+      val get =
+        if (embIsFloat) s"((double) $e.getFloat($i))" else s"$e.getDouble($i)"
       s"""
         int $d = $e.numElements();
         long[] $q = new long[$d];
         for (int $i = 0; $i < $d; $i++) {
-          $q[$i] = (long) java.lang.Math.floor(((double) $e.getFloat($i)) * 10000.0 + 0.5);
+          $q[$i] = (long) java.lang.Math.floor($get * 10000.0 + 0.5);
         }
         long $bestCell = 0L;
         long $bestDist = Long.MAX_VALUE;

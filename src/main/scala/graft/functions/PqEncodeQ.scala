@@ -34,6 +34,23 @@ case class PqEncodeQ(first: Expression, second: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // same float-or-double embedding contract as [[ArgminCellQ]] — a
+  // float widens to double exactly; anything else fails analysis
+  private lazy val embIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    first.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_q expects array<float> or array<double> embeddings, got $t")
+    }
+
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): PqEncodeQ =
     copy(first = f, second = s, third = t)
@@ -46,7 +63,8 @@ case class PqEncodeQ(first: Expression, second: Expression,
     val q = new Array[Long](d)
     var i = 0
     while (i < d) {
-      q(i) = math.floor(emb.getFloat(i).toDouble * 10000.0 + 0.5).toLong
+      val x = if (embIsFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      q(i) = math.floor(x * 10000.0 + 0.5).toLong
       i += 1
     }
     val k = codes.numElements()
@@ -97,11 +115,13 @@ case class PqEncodeQ(first: Expression, second: Expression,
       val acc = ctx.freshName("acc")
       val t = ctx.freshName("t")
       val diff = ctx.freshName("diff")
+      val get =
+        if (embIsFloat) s"((double) $e.getFloat($i))" else s"$e.getDouble($i)"
       s"""
         int $d = $e.numElements();
         long[] $q = new long[$d];
         for (int $i = 0; $i < $d; $i++) {
-          $q[$i] = (long) java.lang.Math.floor(((double) $e.getFloat($i)) * 10000.0 + 0.5);
+          $q[$i] = (long) java.lang.Math.floor($get * 10000.0 + 0.5);
         }
         int $k = $cs.numElements();
         int $nSubs = ($d + $dimsPerSub - 1) / $dimsPerSub;

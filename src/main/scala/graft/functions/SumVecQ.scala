@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions.udaf
   */
 final case class SumVec(sums: Seq[Long], cnts: Seq[Long])
 
-object SumVecQ extends Aggregator[Seq[Float],
+object SumVecQ extends Aggregator[Seq[Double],
     (Array[Long], Array[Long]), SumVec] {
 
   override def zero: (Array[Long], Array[Long]) =
@@ -35,15 +35,21 @@ object SumVecQ extends Aggregator[Seq[Float],
   private def grow(a: Array[Long], n: Int): Array[Long] =
     if (a.length >= n) a else java.util.Arrays.copyOf(a, n)
 
+  // input is Seq[Double]: the [[column]] helper casts the embedding to
+  // array<double> explicitly — float widens to double EXACTLY, so the
+  // quantization below is identical to the former Seq[Float] form (and
+  // to the relational CAST(x AS DOUBLE)), while array<double> frames
+  // (e.g. SQL transform() replicas) now aggregate correctly instead of
+  // failing analysis.
   override def reduce(buf: (Array[Long], Array[Long]),
-      in: Seq[Float]): (Array[Long], Array[Long]) = {
+      in: Seq[Double]): (Array[Long], Array[Long]) = {
     if (in == null) return buf
     val d = in.length
     val sums = grow(buf._1, d)
     val cnts = grow(buf._2, d)
     var i = 0
     while (i < d) {
-      sums(i) += math.floor(in(i).toDouble * 10000.0 + 0.5).toLong
+      sums(i) += math.floor(in(i) * 10000.0 + 0.5).toLong
       cnts(i) += 1L
       i += 1
     }
@@ -71,6 +77,8 @@ object SumVecQ extends Aggregator[Seq[Float],
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
   override def outputEncoder: Encoder[SumVec] = Encoders.product[SumVec]
 
-  /** Untyped Column form: sumvec_q(embedding) → struct(sums, cnts). */
-  def column(embedding: Column): Column = udaf(SumVecQ).apply(embedding)
+  /** Untyped Column form: sumvec_q(embedding) → struct(sums, cnts).
+    * The explicit array<double> cast is exact for float inputs. */
+  def column(embedding: Column): Column =
+    udaf(SumVecQ).apply(embedding.cast("array<double>"))
 }

@@ -59,9 +59,11 @@ class PlanShapeSpec extends SparkSpec
     "dedup_ngram_jaccard" -> (9, 0, 0),
     // shingle → 64-bit sign-agg → hamming buckets: spread + one exchange
     "dedup_simhash" -> (2, 0, 0),
-    // +1 exchange vs the r9 pin: the embeddingsSpread repartition
-    // feeding the N·d·8 subDist expansion (ADVICE r11 #1)
-    "sim_pq_adc" -> (8, 0, 0),
+    // r16: corpus-side encode is the on-row PqEncodeQ kernel against
+    // the ONE-ROW broadcast codebook pack (the allowed NLJ); the
+    // N·d·|codes| subDist expansion remains only for the |Q|=5 query
+    // lookup tables
+    "sim_pq_adc" -> (8, 0, 1),
     // 1-row corpus-stats cross join (the allowed NLJ) + top-k window
     "text_bm25_search" -> (4, 0, 1))
 

@@ -173,7 +173,15 @@ class PlanSpec extends SparkSpec {
       // trained PQ family (the build audit additionally crosses the
       // 1-row n_sample and cb_rows aggregates; all bounded)
       "sim_ivfpq_build_sample", "sim_ann_ivfpq_sample",
-      "sim_ann_ivfpq_sample_recall")
+      "sim_ann_ivfpq_sample_recall",
+      // r16: the ArgminCellQ/PqEncodeQ kernels cross a ONE-ROW
+      // broadcast pack (cells/cvecs or codebook, k·d / |codes|·d longs
+      // — bounded by construction) into the embedding scan; the former
+      // N·k expansion + argmin exchange + join-back are gone
+      "sim_ivf_assign", "sim_ivf_kmeans", "sim_ann_multiprobe",
+      "sim_pq_adc",
+      // embeds ivfAssign's kernel cross for the true-cell membership
+      "sim_ann_ivf_true")
     val allowCartesian = Set("dedup_srp_bands", "dedup_embedding_srp")
     // streaming queries execute on build; roundtrips write scratch files;
     // iterative ops run jobs — all are covered by their own specs/oracles
